@@ -1,13 +1,166 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Events, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is one line of SURVEY.md §2's capability
+  * inventory; keys with a DuckDB-expressible equivalent also appear in
+  * [[oracleSql]] (column names aliased identically on both sides).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q2_top_customers"     -> (Relational.q2TopCustomers _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
+    "q_window_running"     -> (Relational.qWindowRunning _),
+    "q_rollup"             -> (Relational.qRollup _),
+    "q_cube"               -> (Relational.qCube _),
+    "q_semi_join"          -> (Relational.qSemiJoin _),
+    "q_anti_join"          -> (Relational.qAntiJoin _),
+    "q_distinct"           -> (Relational.qDistinct _),
+    "q_approx_distinct"    -> (Relational.qApproxDistinct _),
+    "q_asof_join"          -> (Relational.qAsofJoin _),
+    // event-stream surface
+    "evt_produce"          -> (Events.evtProduce _),
+    "evt_offsets"          -> (Events.evtOffsets _),
+    "evt_consume_batches"  -> (Events.evtConsumeBatches _),
+    "evt_windowed"         -> (Events.evtWindowed _),
+    "evt_sessionize"       -> (Events.evtSessionize _),
+    "evt_enrich"           -> (Events.evtEnrich _),
+  )
+
+  /** DuckDB-equivalent SQL per oracle-checkable query key. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_customers" ->
+      """SELECT c_custkey, c_name, revenue, n_orders
+        |FROM (SELECT o_custkey, round(sum(o_totalprice),2) AS revenue,
+        |             count(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey) j
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        | row_number() OVER w AS rn,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+        | round(lag(o_totalprice,1) OVER w,2) AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice),2) AS total, count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+    "q_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "evt_produce" ->
+      """SELECT 'event-stream' AS topic,
+        | CAST(event_id % 8 AS INT) AS "partition",
+        | CAST(row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id)
+        |      - 1 AS BIGINT) AS "offset",
+        | event_id AS key, '#' || event_id AS payload
+        |FROM events""".stripMargin,
+    "evt_offsets" ->
+      """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id)
+        |        - 1 AS BIGINT) AS "offset"
+        |  FROM events)
+        |SELECT 'event-stream' AS topic, "partition",
+        | max("offset") AS committed_offset, count(*) AS n_messages
+        |FROM p GROUP BY 1,2""".stripMargin,
+    "evt_consume_batches" ->
+      """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id)
+        |        - 1 AS BIGINT) AS "offset",
+        |   '#' || event_id AS payload
+        |  FROM events)
+        |SELECT "partition", "offset"//10 AS batch_id, count(*) AS n_messages,
+        | min(payload) AS first_payload, max(payload) AS last_payload
+        |FROM p GROUP BY 1,2""".stripMargin,
+    "evt_windowed" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "evt_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        | round(sum(value),2) AS session_value
+        |FROM z GROUP BY 1,2""".stripMargin,
+    "evt_enrich" ->
+      """SELECT n_name, event_type, count(*) AS n_events,
+        | round(sum(value),2) AS total_value
+        |FROM events JOIN customer ON user_id=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY 1,2""".stripMargin,
+  )
 }

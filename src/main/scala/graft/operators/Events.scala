@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Batch re-expression of the reference's Kafka event-stream surface
+  * (joshlong-attic/spring-and-kafka, `jc/DemoApplication.java`):
+  * keyed production with partition assignment and per-partition
+  * offsets, consumer-group offset bookkeeping, poll-style batch
+  * consumption, plus the windowing/sessionization/enrichment any
+  * stream consumer of these events would run.
+  *
+  * The live streaming versions (Structured Streaming with watermarks,
+  * `flatMapGroupsWithState`, checkpoint-backed offsets) live in
+  * `graft.streaming` and are covered by ScalaTest specs; these batch
+  * forms are semantically identical and DuckDB-oracle-checkable.
+  */
+object Events {
+
+  val NumPartitions = 8
+
+  /** Producer envelope, mirroring the reference producer
+    * (`jc/DemoApplication.java:100-125`): message key = sequence
+    * number, payload "#<seq>", partition chosen by key, offset =
+    * position within the partition log. Deterministic partitioner
+    * (key mod P) so the oracle can reproduce it.
+    * One shuffle-free pass + one window sort per partition — at scale
+    * the offset assignment is exactly Kafka's per-partition log append.
+    */
+  def evtProduce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"partition").orderBy($"key")
+    Tables.events(spark, sfDir)
+      .select($"event_id".as("key"))
+      .withColumn("topic", lit("event-stream"))
+      .withColumn("partition", ($"key" % NumPartitions).cast("int"))
+      .withColumn("payload", concat(lit("#"), $"key"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .select($"topic", $"partition", $"offset", $"key", $"payload")
+  }
+
+  /** Consumer-group offset bookkeeping: committed (= max) offset and
+    * message count per partition, as the reference consumer's
+    * `auto.commit.interval.ms` bookkeeping would materialize it.
+    */
+  def evtOffsets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    evtProduce(spark, sfDir)
+      .groupBy($"topic", $"partition")
+      .agg(max($"offset").as("committed_offset"),
+           count(lit(1)).as("n_messages"))
+  }
+
+  /** Poll-style micro-batch consumption: the reference consumer polls
+    * at most 10 messages per poll (`maxMessages(10)`) and hands the
+    * handler a map of payload batches. Batch id = offset / 10 within
+    * each partition; per batch we surface count and payload range.
+    */
+  def evtConsumeBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    evtProduce(spark, sfDir)
+      .withColumn("batch_id", ($"offset" / 10).cast("long"))
+      .groupBy($"partition", $"batch_id")
+      .agg(count(lit(1)).as("n_messages"),
+           min($"payload").as("first_payload"),
+           max($"payload").as("last_payload"))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type. */
+  def evtWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 2).as("total_value"))
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * conditional sum. Batch equivalent of the
+    * `flatMapGroupsWithState` sessionizer in `graft.streaming`
+    * (asserted equal in StatefulSpec). One shuffle on user_id.
+    */
+  def evtSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapSec = 30 * 60
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+             unix_timestamp($"ts") - unix_timestamp($"prev_ts") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           date_trunc("second", min($"ts")).as("session_start"),
+           round(sum($"value"), 2).as("session_value"))
+  }
+
+  /** Stream-table enrichment: events joined to broadcast customer and
+    * nation dims, aggregated per nation × event type. The 100 TB shape:
+    * fact scan stays partition-local (both dims broadcast), single
+    * shuffle for the final aggregation.
+    */
+  def evtEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    Tables.events(spark, sfDir)
+      .join(broadcast(c), $"user_id" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 2).as("total_value"))
+  }
+}

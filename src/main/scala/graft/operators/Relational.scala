@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational query-engine core: aggregations, joins, windows,
+  * grouping sets, semi/anti joins, as-of join.
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame
+  * plan — Catalyst pushes filters/projections into the parquet scan,
+  * dimension tables are broadcast explicitly, fact-side aggregation is
+  * partial (map-side combine) before the single shuffle on the group
+  * keys. No driver-side iteration anywhere.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: filter → partial agg → final agg.
+    * One shuffle on (l_returnflag, l_linestatus); filter + column
+    * pruning reach the parquet scan.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Top-10 customers by total order value: broadcast-joined dim,
+    * aggregate on the fact side, global top-k (k rows to driver only).
+    */
+  def q2TopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"n_orders")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q3-shaped shipping priority: 3-way join with per-table
+    * filters pushed below the joins, then top-k on revenue.
+    */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter($"o_orderdate" < lit("1998-01-01"))
+    val l = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > lit("1997-01-01"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped 6-way star join (region→nation→customer→orders→
+    * lineitem→supplier with customer/supplier co-nation constraint).
+    * All dims broadcast; only orders⋈lineitem shuffles.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01"))
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(s),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
+
+  /** Window functions over orders: row_number / running sum / lag,
+    * deterministically ordered by (o_orderdate, o_orderkey).
+    * Single shuffle on o_custkey; sort within partitions.
+    */
+  def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("prev_price", round(lag($"o_totalprice", 1).over(w), 2))
+      .select($"o_orderkey", $"o_custkey", $"rn", $"running_spend", $"prev_price")
+  }
+
+  /** ROLLUP over (l_returnflag, l_linestatus). */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** CUBE over (o_orderstatus, o_orderpriority). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("total"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  /** EXISTS: customers that placed at least one urgent order.
+    * Left-semi join — dims stream past a broadcast hash set.
+    */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  /** NOT EXISTS: customers with no orders at all (left-anti). */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir).select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** Exact distinct counts per group (two-phase distinct aggregation). */
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  /** HLL approximate distinct (algorithm differs from DuckDB's →
+    * rows-only check; exactness asserted against qDistinct in spec).
+    */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_customers"))
+  }
+
+  /** As-of join: for every event, the customer's most recent order on
+    * or before the event timestamp.
+    *
+    * Spark lacks a native as-of join; the scalable pattern is the
+    * union-sort trick: union the two sides tagged by origin, sort each
+    * key partition by (time, tag), and carry the last non-null order
+    * key forward. One shuffle on the join key, one sort — the same
+    * cost shape as a sort-merge join, and it never builds per-key
+    * arrays, so it survives arbitrarily many events per key.
+    * Orders are first reduced to max(o_orderkey) per (custkey, date)
+    * so ties are deterministic.
+    */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+              lit(0).as("tag"), $"o_orderkey", lit(null).cast("long").as("event_id"))
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id".as("k"), $"ts".as("t"),
+              lit(1).as("tag"), lit(null).cast("long").as("o_orderkey"), $"event_id")
+    val w = Window.partitionBy($"k").orderBy($"t", $"tag")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.unionByName(e)
+      .withColumn("matched", last($"o_orderkey", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"k".as("user_id"), $"matched".as("o_orderkey"))
+  }
+}

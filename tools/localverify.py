@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/localverify.py [sfDir] [verifyOut]
+Reads each <verifyOut>/<name> parquet (Spark result), runs the matching
+oracle_sql.json query in DuckDB over the sfDir tables, sorts columns by
+name, sorts rows, and compares cell values exactly (with a float
+near-miss report to distinguish rounding jitter from real bugs).
+"""
+import sys, json, glob, os, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM parquet_scan('{spark_dir}/*.parquet')").df()
+        want = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
+        fails += 1; continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+    key = list(got.columns)
+    g = got.sort_values(key, na_position="last").reset_index(drop=True)
+    w = want.sort_values(key, na_position="last").reset_index(drop=True)
+    bad = 0; near = 0; example = None
+    for c in key:
+        gv, wv = g[c], w[c]
+        for i in range(len(gv)):
+            a, b = gv.iloc[i], wv.iloc[i]
+            if a is None or (isinstance(a, float) and math.isnan(a)):
+                ok = b is None or (isinstance(b, float) and math.isnan(b))
+            elif isinstance(a, float) and isinstance(b, float):
+                ok = a == b
+                if not ok and abs(a - b) < 1e-6: near += 1
+            else:
+                ok = str(a) == str(b)
+            if not ok:
+                bad += 1
+                if example is None: example = (c, i, a, b)
+    if bad:
+        print(f"FAIL {name}: {bad} cell mismatches ({near} near) e.g. {example}")
+        fails += 1
+    else:
+        print(f"OK   {name}: {len(g)} rows")
+print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries match")
+sys.exit(1 if fails else 0)
