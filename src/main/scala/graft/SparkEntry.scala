@@ -37,6 +37,23 @@ object SparkEntry {
     "evt_windowed"         -> (Events.evtWindowed _),
     "evt_sessionize"       -> (Events.evtSessionize _),
     "evt_enrich"           -> (Events.evtEnrich _),
+    // text analysis
+    "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
+    "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
+    "txt_langid"           -> (graft.text.TextAnalysis.txtLangId _),
+    "txt_fingerprint"      -> (graft.text.TextAnalysis.txtFingerprint _),
+    // deduplication
+    "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
+    "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
+    "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
+    "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
+    "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
+    // similarity search
+    "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
+    "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
+    // multimodal
+    "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
+    "mm_frame_sample"      -> (graft.multimodal.Multimodal.mmFrameSample _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -162,5 +179,67 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
+    "txt_tokens" ->
+      """WITH d AS (SELECT lang, string_split_regex(trim(text), ' +') AS words,
+        |   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |     AS n_bpe
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(words)) AS BIGINT) AS total_tokens,
+        | round(avg(len(words)),4) AS avg_tokens,
+        | CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
+        |FROM d GROUP BY lang""".stripMargin,
+    "txt_quality" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |   string_split_regex(trim(text), ' +') AS words FROM documents)
+        |SELECT doc_id, source,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual,
+        | CAST(len(words) AS BIGINT) AS n_tokens,
+        | round(len(list_filter(words,
+        |   w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |   / len(words), 4) AS stopword_ratio,
+        | round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+        |   / length(text), 4) AS punct_ratio,
+        | round(len(list_distinct(words))::DOUBLE / len(words), 4)
+        |   AS type_token_ratio
+        |FROM d""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        | min(doc_id) AS keep_doc_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        | round(len(list_intersect(a.w, b.w))::DOUBLE
+        |   / len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE
+        |   / len(list_distinct(list_concat(a.w, b.w))) >= 0.9""".stripMargin,
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        | round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35""".stripMargin,
+    "sim_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
+        |  FROM q JOIN e ON q.query_id != e.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT source, count(*) AS n_blobs,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | count(DISTINCT md5(text)) AS n_checksums
+        |FROM documents GROUP BY source""".stripMargin,
   )
 }

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, and fingerprinting.
+  *
+  * Scale notes (100 TB): every operator here is a single narrow pass
+  * over the document scan — pure per-row expression chains built from
+  * `functions._` (codegen'd or JVM higher-order functions), no UDFs,
+  * no shuffle except the final small aggregation where one exists.
+  */
+object TextAnalysis {
+
+  /** Whitespace word array, deduped variant, and a BPE-ish regex token
+    * count (letters / digit runs / single punctuation, the shape of a
+    * byte-pair pre-tokenizer split).
+    */
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("n_tokens", expr("size(words)"))
+      .withColumn("n_bpe_tokens",
+        expr("cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint)"))
+
+  /** Per-language token statistics. */
+  def txtTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withTokens(Tables.documents(spark, sfDir))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").cast("long").as("total_tokens"),
+           round(avg($"n_tokens"), 4).as("avg_tokens"),
+           sum($"n_bpe_tokens").cast("long").as("total_bpe_tokens"))
+  }
+
+  /** Per-document quality scores: length, token counts, stopword
+    * ratio, punctuation ratio, type-token ratio.
+    */
+  def txtQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withTokens(Tables.documents(spark, sfDir))
+      .withColumn("n_stopwords",
+        expr("size(filter(words, w -> w IN ('the','a','of','and','to','in','is')))"))
+      .select(
+        $"doc_id", $"source",
+        length($"text").cast("long").as("n_chars_actual"),
+        $"n_tokens".cast("long").as("n_tokens"),
+        round($"n_stopwords".cast("double") / $"n_tokens", 4).as("stopword_ratio"),
+        round(expr("cast(regexp_count(text, '[^a-z0-9 ]') as double)") /
+              length($"text"), 4).as("punct_ratio"),
+        round(expr("cast(size(array_distinct(words)) as double)") /
+              $"n_tokens", 4).as("type_token_ratio"))
+  }
+
+  /** Marker-word language scorer: score = |words ∩ markers(lang)|,
+    * normalized by document length; argmax wins, ties broken by
+    * language code. A real n-gram model would learn the marker sets;
+    * the Spark shape (per-row argmax over K set intersections, one
+    * pass) is identical. Rows-only check: compared against the
+    * labeled `lang` column, accuracy surfaced per language.
+    */
+  def txtLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "zh" -> Seq("的", "是", "了", "在", "我"))
+    val df = withTokens(Tables.documents(spark, sfDir))
+    val scored = markers.foldLeft(df) { case (d, (lang, ws)) =>
+      d.withColumn(s"score_$lang",
+        expr(s"size(array_intersect(words, array(${ws.map("'" + _ + "'").mkString(",")})))"))
+    }
+    val best = markers.keys.toSeq.sorted
+      .map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+    scored
+      .withColumn("pred", sort_array(array(best: _*), asc = false)(0)("l"))
+      .select($"doc_id", $"lang", $"pred".as("predicted_lang"),
+              ($"pred" === $"lang").as("correct"))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 shape):
+    * hash every 4-word shingle, slide a window of 4 hashes, keep each
+    * window's min, dedupe. Output is a stable per-doc digest summary.
+    */
+  def txtFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("hashes",
+        expr("transform(sequence(0, greatest(size(words)-4, 0)), " +
+             "i -> xxhash64(concat_ws(' ', slice(words, i+1, 4))))"))
+      .withColumn("fps",
+        expr("array_distinct(transform(sequence(0, greatest(size(hashes)-4, 0)), " +
+             "j -> array_min(slice(hashes, j+1, 4))))"))
+      .select($"doc_id",
+              expr("size(fps)").as("n_fingerprints"),
+              expr("array_min(fps)").as("min_fp"),
+              expr("array_max(fps)").as("max_fp"))
+  }
+}
