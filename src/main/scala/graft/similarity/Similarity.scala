@@ -39,31 +39,42 @@ object Similarity {
               round($"cos", 4).as("cosine"))
   }
 
-  /** 12-bit random-hyperplane LSH signature. Hyperplane j's component
-    * for dimension i is a deterministic pseudo-random value in [-1, 1)
-    * derived from xxhash64(j, i) — reproducible with no stored model.
+  /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar
+    * shape): L independent tables of `bits` hyperplanes each. Table
+    * t's hyperplane j gets component i from xxhash64(t·2^16+j·64+i),
+    * scaled to [-1, 1) — deterministic, no stored model. Each row
+    * explodes to its L (table, bucket) keys.
     */
-  private def withBucket(df: DataFrame, bits: Int): DataFrame =
-    df.withColumn("bucket",
-      expr(s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc +
-              |  if(aggregate(sequence(0, 63), cast(0 as double), (s, i) -> s +
-              |       element_at(v, i + 1) *
-              |       (pmod(xxhash64(j * 64 + i), 100000) / 50000.0 - 1.0)) > 0d,
-              |     shiftleft(1L, j), 0L))""".stripMargin.replaceAll("\n", " ")))
+  private def withBuckets(df: DataFrame, tables: Int, bits: Int): DataFrame =
+    df.withColumn("buckets",
+      expr(s"""transform(sequence(0, ${tables - 1}), t ->
+              |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc +
+              |    if(aggregate(sequence(0, 63), cast(0 as double), (s, i) -> s +
+              |         element_at(v, i + 1) *
+              |         (pmod(xxhash64(t * 65536 + j * 64 + i), 100000) / 50000.0 - 1.0)) > 0d,
+              |       shiftleft(1L, j), 0L)))""".stripMargin.replaceAll("\n", " ")))
+      .select(df.columns.map(col) :+
+        posexplode(col("buckets")).as(Seq("table_id", "bucket")): _*)
 
-  /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates in
-    * their own bucket; top-5 by exact cosine within the bucket.
-    * Rows-only check; recall vs [[simBruteTopk]] asserted in spec.
+  /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates
+    * co-bucketed with them in at least one of the 8 tables (union of
+    * candidates, deduped), then exact-cosine top-5. Rows-only check;
+    * recall vs [[simBruteTopk]] asserted in SimilaritySpec.
+    * The 8×4-bit shape is tuned for this corpus's weak (cos≈0.5)
+    * neighbors; with true near-dup neighbors fewer, deeper tables
+    * prune far harder.
     */
   def simLshAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bits = 4 // 16 buckets — sized for the test SFs; raise at scale
-    val e = withBucket(vectors(spark, sfDir), bits)
+    val (tables, bits) = (8, 4)
+    val e = withBuckets(vectors(spark, sfDir), tables, bits)
+      .select($"table_id", $"bucket", $"vec_id", $"v")
     val q = e.filter($"vec_id" < 10)
-      .select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"))
+      .select($"table_id", $"bucket", $"vec_id".as("query_id"), $"v".as("qv"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    e.join(broadcast(q), Seq("bucket"))
+    e.join(broadcast(q), Seq("table_id", "bucket"))
       .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id", $"qv", $"v").distinct()
       .withColumn("cos", cosineSim($"qv", $"v"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful sessionization with `flatMapGroupsWithState` — the
+  * Structured Streaming twin of the batch `Events.evtSessionize`
+  * (same 30-minute gap rule; StatefulSpec asserts they agree).
+  *
+  * State per user is O(1) — only the open session's accumulator, never
+  * the event history — so state size at 100 TB is bounded by the
+  * number of live keys, not traffic.
+  */
+object Sessionize {
+
+  val GapSeconds: Long = 30 * 60
+
+  case class Evt(user_id: Long, ts_sec: Long, value: Double)
+  case class OpenSession(sessionId: Long, n: Long, value: Double, lastTs: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     session_value: Double, closed: Boolean)
+
+  /** Per-user state transition: events (sorted by time within the
+    * group) extend the open session or close it and start the next.
+    * Emits closed sessions plus a snapshot of the open one, so a
+    * bounded stream's final emission set equals the batch result.
+    */
+  def updateUser(userId: Long, events: Iterator[Evt],
+                 state: GroupState[OpenSession]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(_.ts_sec)
+    if (sorted.isEmpty) return Iterator.empty
+    var open = state.getOption.orNull
+    val out = Seq.newBuilder[Session]
+    for (e <- sorted) {
+      if (open == null) {
+        open = OpenSession(1L, 0L, 0d, e.ts_sec)
+      } else if (e.ts_sec - open.lastTs > GapSeconds) {
+        out += Session(userId, open.sessionId, open.n, open.value, closed = true)
+        open = OpenSession(open.sessionId + 1, 0L, 0d, e.ts_sec)
+      }
+      open = open.copy(n = open.n + 1,
+                       value = open.value + e.value, lastTs = e.ts_sec)
+    }
+    state.update(open)
+    out += Session(userId, open.sessionId, open.n, open.value, closed = false)
+    out.result().iterator
+  }
+
+  /** Wire the sessionizer onto a (possibly streaming) event Dataset. */
+  def sessionize(events: Dataset[Evt]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
+  }
+}

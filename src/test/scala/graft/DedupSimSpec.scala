@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("minhash candidates cover all exact near-dup pairs (j >= 0.9)") {
+    import spark.implicits._
+    val exact = Dedup.dedupNgram(spark, sf)
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.dedupMinhash(spark, sf)
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    val missed = exact -- mh
+    assert(missed.isEmpty, s"minhash missed ${missed.size} of ${exact.size}")
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    import spark.implicits._
+    val r = Dedup.dedupSimhash(spark, sf)
+    assert(r.filter($"doc_id_1" >= $"doc_id_2").count() == 0)
+    assert(r.filter($"hamming" > 3).count() == 0)
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    import spark.implicits._
+    val total = Dedup.dedupExact(spark, sf).agg(sum($"n_docs")).as[Long].head()
+    assert(total == graft.core.Tables.documents(spark, sf).count())
+  }
+
+  test("embed near-dups only pair within a label block") {
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label")
+    val r = Dedup.dedupEmbed(spark, sf)
+      .join(e.withColumnRenamed("vec_id", "vec_id_1")
+             .withColumnRenamed("label", "l1"), Seq("vec_id_1"))
+      .join(e.withColumnRenamed("vec_id", "vec_id_2")
+             .withColumnRenamed("label", "l2"), Seq("vec_id_2"))
+    assert(r.filter($"l1" =!= $"l2").count() == 0)
+  }
+
+  test("multi-table LSH ANN recall vs brute force >= 0.5") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.simLshAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"LSH ANN recall = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("brute-force top-k is ranked by descending cosine") {
+    import spark.implicits._
+    val bad = Similarity.simBruteTopk(spark, sf)
+      .withColumn("prev", lag($"cosine", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"rank")))
+      .filter($"prev".isNotNull && $"prev" < $"cosine")
+      .count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventLog
+import java.nio.file.Files
+
+/** The reference demo end-to-end on the Spark-native topic: produce
+  * 1000 keyed "#i" messages (`jc/DemoApplication.java:100-111`),
+  * consume them back, check partition/offset bookkeeping and replay.
+  */
+class EventLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("produce 1000 keyed messages, consume with contiguous offsets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-topic").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 8)
+    val msgs = spark.range(0, 1000)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+    log.produce(msgs)
+
+    val consumed = log.consume(spark)
+    assert(consumed.count() == 1000)
+    // offsets are contiguous 0..n-1 within every partition
+    val bad = consumed.groupBy($"partition")
+      .agg(min($"offset").as("lo"), max($"offset").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1)
+      .count()
+    assert(bad == 0)
+    // every message landed on the partition the keyed partitioner says
+    val misplaced = consumed
+      .filter(pmod(xxhash64($"key"), lit(8)).cast("int") =!= $"partition")
+      .count()
+    assert(misplaced == 0)
+  }
+
+  test("committed offsets: second produce appends, consumer resumes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-topic2").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    def batch(from: Int, until: Int) = spark.range(from, until)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+
+    log.produce(batch(0, 100))
+    val committed = log.highWaterMarks(spark)
+    log.produce(batch(100, 250))
+
+    val resumed = log.consume(spark, committed)
+    assert(resumed.count() == 150)
+    assert(log.consume(spark).count() == 250)
+    // replayed messages are exactly the second batch
+    val keys = resumed.select($"key".cast("long")).as[Long].collect().sorted
+    assert(keys.head == 100 && keys.last == 249 && keys.length == 150)
+  }
+
+  test("streaming consume sees produced messages") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-topic3").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 2)
+    log.produce(spark.range(0, 64)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    val q = log.readStream(spark)
+      .groupBy($"partition").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topic_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    val total = spark.table("topic_stream")
+      .agg(sum($"count")).as[Long].head()
+    assert(total == 64)
+  }
+}

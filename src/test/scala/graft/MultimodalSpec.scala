@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("frame sampling partitions every blob into full-coverage frames") {
+    import spark.implicits._
+    val frames = Multimodal.mmFrameSample(spark, sf)
+      .groupBy($"doc_id")
+      .agg(sum($"frame_bytes").as("covered"),
+           count(lit(1)).as("n_frames"),
+           max($"frame_idx").as("max_idx"))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").as("n_bytes"))
+    val joined = frames.join(docs, Seq("doc_id"))
+    assert(joined.filter($"covered" =!= $"n_bytes").count() == 0)
+    assert(joined.filter($"n_frames" =!= ceil($"n_bytes" / 64.0)).count() == 0)
+    assert(joined.filter($"max_idx" =!= $"n_frames" - 1).count() == 0)
+  }
+
+  test("binary metadata totals match raw text sizes") {
+    import spark.implicits._
+    val total = Multimodal.mmBinaryMeta(spark, sf)
+      .agg(sum($"total_bytes")).as[Long].head()
+    val want = graft.core.Tables.documents(spark, sf)
+      .agg(sum(length($"text"))).as[Long].head()
+    assert(total == want)
+  }
+}

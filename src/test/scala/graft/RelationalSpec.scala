@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and oracle keys are a subset") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(name)(assert(n >= 0))
+    }
+  }
+
+  test("q1 aggregates are internally consistent") {
+    import spark.implicits._
+    val r = Relational.q1PricingSummary(spark, sf)
+    val total = r.agg(sum($"count_order")).as[Long].head()
+    val rows = graft.core.Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" <= lit("1998-09-02")).count()
+    assert(total == rows)
+  }
+
+  test("approx distinct within 5% of exact") {
+    import spark.implicits._
+    val exact = Relational.qDistinct(spark, sf)
+      .select($"o_orderpriority", $"n_customers").as[(String, Long)].collect().toMap
+    val approx = Relational.qApproxDistinct(spark, sf)
+      .select($"o_orderpriority", $"approx_customers").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v).toDouble / v < 0.05, s"$k: $v vs ${approx(k)}")
+    }
+  }
+
+  test("asof join matches only orders at or before the event") {
+    import spark.implicits._
+    val bad = Relational.qAsofJoin(spark, sf)
+      .join(graft.core.Tables.orders(spark, sf), Seq("o_orderkey"))
+      .join(graft.core.Tables.events(spark, sf), Seq("event_id"))
+      .filter($"o_orderdate" > $"ts")
+      .count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Structured Streaming specs: file source → watermark → windowed agg
+  * → memory sink, asserted equal to the batch twin. Micro-batch
+  * consumption is the reference consumer's poll loop
+  * (`jc/DemoApplication.java:130-160`).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming windowed agg equals batch evt_windowed") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win_out")
+      .select($"window.start".as("window_start"), $"event_type",
+              $"n_events", $"total_value")
+    val want = graft.operators.Events.evtWindowed(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming query checkpoints and resumes (offset replay)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val outName = "resume_out"
+    val schema = spark.read.parquet(dir).schema
+
+    def run(): Long = {
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .groupBy().count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(outName).start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(outName).as[Long].head()
+    }
+    assert(run() == 1000)
+    // second run from the same checkpoint: no new files → no new data,
+    // the committed offsets (consumer position) carry over
+    val q2 = spark.readStream.schema(schema).parquet(dir)
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("resume_out2").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(q2.lastProgress == null ||
+           q2.lastProgress.numInputRows == 0)
+  }
+}
