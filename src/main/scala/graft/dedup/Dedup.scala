@@ -49,34 +49,40 @@ object Dedup {
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
   }
 
-  /** MinHash + LSH near-dup detection (Broder '97 / MMDS ch.3 shape):
-    * 64 hash functions, 16 bands × 4 rows. Candidates = pairs sharing
-    * any band hash; verified with exact Jaccard ≥ 0.8. At scale the
-    * band-hash shuffle is the only wide op and bucket sizes stay
-    * bounded because identical band hashes imply near-identical docs.
+  /** MinHash + LSH near-dup dedup (Broder '97 / MMDS ch.3 shape):
+    * 64 minhash slots from two base string hashes (h_i = h1 XOR
+    * rotl(h2, i) — each word is string-hashed twice, not 64 times;
+    * rotate-xor mixing stays inside 64 bits so ANSI arithmetic never
+    * overflows), banded 8×8 (LSH threshold (1/8)^(1/8) ≈ 0.77).
+    *
+    * Output is a keep-one *dedup decision* per document (cluster
+    * representative = min doc_id reachable through shared LSH
+    * buckets, two min-propagation hops), not the pairwise near-dup
+    * list: on a corpus with large near-identical clusters the pair
+    * set is quadratic in cluster size, while the decision output and
+    * every shuffle here stay linear — the shape that survives 100 TB.
+    * (The bounded pairwise variants live in [[dedupNgram]] /
+    * [[dedupSimhash]].)
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = withWordSet(Tables.documents(spark, sfDir))
-      // sig[i] = min over words of xxhash64(word, salt=i)
-      .withColumn("sig",
-        expr("transform(sequence(0, 63), i -> " +
-             "array_min(transform(wset, w -> xxhash64(w, i))))"))
-      // band hash over each run of 4 signature slots
-      .withColumn("bands",
-        expr("transform(sequence(0, 15), b -> " +
-             "xxhash64(concat_ws(',', slice(sig, b*4+1, 4))))"))
-      .select($"doc_id", $"wset", posexplode($"bands").as(Seq("band_idx", "band_hash")))
-    val a = d.select($"band_idx", $"band_hash", $"doc_id".as("doc_id_1"), $"wset".as("w1"))
-    val b = d.select($"band_idx", $"band_hash", $"doc_id".as("doc_id_2"), $"wset".as("w2"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter($"doc_id_1" < $"doc_id_2")
-      .select($"doc_id_1", $"doc_id_2", $"w1", $"w2").distinct()
-      .withColumn("jaccard",
-        expr("cast(size(array_intersect(w1, w2)) as double)") /
-        expr("size(array_distinct(concat(w1, w2)))"))
-      .filter($"jaccard" >= 0.8)
-      .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
+    val bands = withWordSet(Tables.documents(spark, sfDir))
+      .select($"doc_id",
+        posexplode(graft.functions.minhashBands($"wset", 8, 8))
+          .as(Seq("band_idx", "band_hash")))
+    // approximate connected components: propagate the min doc_id
+    // through shared buckets (doc → bucket → doc), twice
+    val rep0 = bands.select($"doc_id", $"doc_id".as("rep"))
+    val rep = (1 to 2).foldLeft(rep0.dropDuplicates("doc_id")) { case (r, _) =>
+      val bucketMin = bands.join(r, Seq("doc_id"))
+        .groupBy($"band_idx", $"band_hash")
+        .agg(min($"rep").as("bucket_rep"))
+      bands.join(bucketMin, Seq("band_idx", "band_hash"))
+        .groupBy($"doc_id")
+        .agg(min($"bucket_rep").as("rep"))
+    }
+    rep.select($"doc_id", $"rep".as("cluster_rep"),
+               ($"doc_id" =!= $"rep").as("is_dup"))
   }
 
   /** 64-bit SimHash (Charikar '02 / Manku et al. WWW'07 shape): each
@@ -89,11 +95,10 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = withWordSet(Tables.documents(spark, sfDir))
-      .withColumn("simhash",
-        expr("aggregate(sequence(0, 63), 0L, (acc, i) -> acc + " +
-             "if(aggregate(wset, 0L, (s, w) -> s + " +
-             "if(((xxhash64(w) >> i) & 1L) = 1L, 1L, -1L)) > 0L, " +
-             "shiftleft(1L, i), 0L))"))
+      // hash each word once; the 64 bit-votes fold in a native
+      // Catalyst expression (graft.functions.SimHash64)
+      .withColumn("wh", expr("transform(wset, w -> xxhash64(w))"))
+      .withColumn("simhash", graft.functions.simhash64(col("wh")))
       .withColumn("chunks",
         expr("transform(sequence(0, 3), c -> (simhash >> (c*16)) & 65535L)"))
       .select($"doc_id", $"simhash", posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))

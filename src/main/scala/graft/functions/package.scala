@@ -10,16 +10,28 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** Cosine similarity between two `array<double>` columns.
-    * Sequential left-to-right accumulation (zip_with + aggregate), so
-    * the result is bit-identical to a scalar loop over the elements.
+  import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64}
+
+  /** Cosine similarity between two `array<double>` columns — native
+    * codegen'd Catalyst expression ([[CosineSimilarity]]) with
+    * sequential accumulation, bit-identical to a scalar loop.
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na  = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb  = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** 64-bit SimHash over an `array<long>` of token hashes. */
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  /** MinHash LSH band hashes for an `array<string>` token set. */
+  def minhashBands(tokens: Column, numBands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinHashBands(Bridge.expression(tokens), numBands, rowsPerBand))
+
+  /** Multi-table random-hyperplane LSH bucket ids for an
+    * `array<double>` vector.
+    */
+  def hyperplaneBuckets(v: Column, tables: Int, bits: Int, dims: Int = 64): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(v), tables, bits, dims))
 
   /** Dot product of two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =

@@ -40,19 +40,14 @@ object Similarity {
   }
 
   /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar
-    * shape): L independent tables of `bits` hyperplanes each. Table
-    * t's hyperplane j gets component i from xxhash64(t·2^16+j·64+i),
-    * scaled to [-1, 1) — deterministic, no stored model. Each row
-    * explodes to its L (table, bucket) keys.
+    * shape): L independent tables of `bits` Gaussian hyperplanes,
+    * computed by the native `HyperplaneBuckets` Catalyst expression
+    * (fixed seed — deterministic, no stored model). Each row explodes
+    * to its L (table, bucket) keys.
     */
   private def withBuckets(df: DataFrame, tables: Int, bits: Int): DataFrame =
     df.withColumn("buckets",
-      expr(s"""transform(sequence(0, ${tables - 1}), t ->
-              |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc +
-              |    if(aggregate(sequence(0, 63), cast(0 as double), (s, i) -> s +
-              |         element_at(v, i + 1) *
-              |         (pmod(xxhash64(t * 65536 + j * 64 + i), 100000) / 50000.0 - 1.0)) > 0d,
-              |       shiftleft(1L, j), 0L)))""".stripMargin.replaceAll("\n", " ")))
+        graft.functions.hyperplaneBuckets(col("v"), tables, bits))
       .select(df.columns.map(col) :+
         posexplode(col("buckets")).as(Seq("table_id", "bucket")): _*)
 
@@ -67,14 +62,20 @@ object Similarity {
   def simLshAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (tables, bits) = (8, 4)
-    val e = withBuckets(vectors(spark, sfDir), tables, bits)
-      .select($"table_id", $"bucket", $"vec_id", $"v")
-    val q = e.filter($"vec_id" < 10)
-      .select($"table_id", $"bucket", $"vec_id".as("query_id"), $"v".as("qv"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    e.join(broadcast(q), Seq("table_id", "bucket"))
+    val vecs = vectors(spark, sfDir)
+    // bucket keys only — vector payloads rejoin after candidate dedup
+    val keys = withBuckets(vecs, tables, bits)
+      .select($"table_id", $"bucket", $"vec_id")
+    val qKeys = keys.filter($"vec_id" < 10)
+      .withColumnRenamed("vec_id", "query_id")
+    val candidates = keys.join(broadcast(qKeys), Seq("table_id", "bucket"))
       .filter($"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id", $"qv", $"v").distinct()
+      .select($"query_id", $"vec_id").distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    candidates
+      .join(vecs.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(vecs.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))), Seq("query_id"))
       .withColumn("cos", cosineSim($"qv", $"v"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)

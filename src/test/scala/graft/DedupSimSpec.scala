@@ -9,14 +9,20 @@ class DedupSimSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.Sf
 
-  test("minhash candidates cover all exact near-dup pairs (j >= 0.9)") {
+  test("minhash clustering co-clusters exact near-dup pairs (j >= 0.9)") {
     import spark.implicits._
     val exact = Dedup.dedupNgram(spark, sf)
-      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
-    val mh = Dedup.dedupMinhash(spark, sf)
-      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
-    val missed = exact -- mh
-    assert(missed.isEmpty, s"minhash missed ${missed.size} of ${exact.size}")
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect()
+    val rep = Dedup.dedupMinhash(spark, sf)
+      .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+    // MinHash is probabilistic (8×8 banding: ~1% bucket-miss at
+    // j=0.9) and min-propagation is two hops — allow 5% slack
+    val split = exact.count { case (a, b) => rep(a) != rep(b) }
+    assert(split <= math.max(1, exact.length / 20),
+      s"$split of ${exact.length} near-dup pairs ended in different clusters")
+    // every document got a decision, reps are self-consistent
+    assert(rep.size == graft.core.Tables.documents(spark, sf).count())
+    assert(rep.values.forall(r => rep(r) <= r))
   }
 
   test("simhash pairs are symmetric-free and within hamming bound") {
