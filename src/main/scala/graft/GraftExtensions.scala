@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64}
+
+/** SparkSessionExtensions installer: exposes graft's native Catalyst
+  * expressions to SQL. Register with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * SQL surface:
+  *   graft_cosine(array<double>, array<double>) → double
+  *   graft_simhash64(array<long>)               → bigint
+  *   graft_minhash_bands(array<string>, bands, rows) → array<bigint>
+  *   graft_hyperplane_buckets(array<double>, tables, bits) → array<bigint>
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (es: Seq[Expression]) => MinHashBands(es.head,
+        intArg(es(1), "numBands"), intArg(es(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      (es: Seq[Expression]) => HyperplaneBuckets(es.head,
+        intArg(es(1), "tables"), intArg(es(2), "bits"), 64)))
+  }
+}

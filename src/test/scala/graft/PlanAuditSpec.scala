@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Events, Relational}
+
+/** Plan-shape audits: the properties that matter at 100 TB — filter
+  * pushdown into the parquet scan, column pruning, broadcast of
+  * dimension sides, whole-stage codegen, and shuffle counts — locked
+  * in as assertions so a regression in plan quality fails CI, not a
+  * cluster bill.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def capture(df: org.apache.spark.sql.DataFrame, mode: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain(mode) }
+    out.toString
+  }
+
+  test("q1: filter pushed to parquet scan, columns pruned, codegen on") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    val fmt = capture(df, "formatted")
+    assert(fmt.contains("PushedFilters"), fmt)
+    assert(fmt.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    // pruned scan: none of the untouched columns appear anywhere
+    assert(!fmt.contains("l_orderkey"), "scan reads columns q1 never uses")
+    // AQE's pre-execution simple plan hides *(n) markers; codegen
+    // mode prints the generated subtrees directly
+    assert(capture(df, "codegen").contains("WholeStageCodegen subtree"),
+      "no whole-stage codegen spans")
+  }
+
+  test("q5: all five dimension joins broadcast") {
+    val p = capture(Relational.q5LocalSupplier(spark, sf), "simple")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("evt_enrich: dims broadcast, no sort-merge join") {
+    val p = capture(Events.evtEnrich(spark, sf), "simple")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("asof join: at most one hash shuffle (union-sort, no per-key blowup)") {
+    val p = capture(Relational.qAsofJoin(spark, sf), "simple")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"asof join shuffles too much ($exchanges)\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_exact: partial aggregation before the shuffle") {
+    val p = capture(graft.dedup.Dedup.dedupExact(spark, sf), "simple")
+    // partial + final pair means map-side combine happens pre-shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
