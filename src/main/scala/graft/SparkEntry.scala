@@ -30,6 +30,8 @@ object SparkEntry {
     "q_distinct"           -> (Relational.qDistinct _),
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_percentiles"        -> (Relational.qPercentiles _),
+    "q_setops"             -> (Relational.qSetOps _),
     // event-stream surface
     "evt_produce"          -> (Events.evtProduce _),
     "evt_offsets"          -> (Events.evtOffsets _),
@@ -37,6 +39,9 @@ object SparkEntry {
     "evt_windowed"         -> (Events.evtWindowed _),
     "evt_sessionize"       -> (Events.evtSessionize _),
     "evt_enrich"           -> (Events.evtEnrich _),
+    "evt_session_window"   -> (Events.evtSessionWindow _),
+    "evt_pivot"            -> (Events.evtPivot _),
+    "evt_json_extract"     -> (Events.evtJsonExtract _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -51,9 +56,11 @@ object SparkEntry {
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
+    "sim_ivf_ann"          -> (graft.similarity.Similarity.simIvfAnn _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
     "mm_frame_sample"      -> (graft.multimodal.Multimodal.mmFrameSample _),
+    "mm_decode_batch"      -> (graft.multimodal.Multimodal.mmDecodeBatch _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -179,6 +186,49 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus='F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus='O'""".stripMargin,
+    "evt_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM y)
+        |SELECT user_id,
+        | CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        | count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+    "evt_pivot" ->
+      """SELECT n_name,
+        | count(*) FILTER (WHERE event_type='click') AS click,
+        | count(*) FILTER (WHERE event_type='view') AS view,
+        | count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type='signup') AS signup,
+        | count(*) FILTER (WHERE event_type='error') AS error
+        |FROM events JOIN customer ON user_id=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "evt_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | count(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "txt_tokens" ->
       """WITH d AS (SELECT lang, string_split_regex(trim(text), ' +') AS words,
         |   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)

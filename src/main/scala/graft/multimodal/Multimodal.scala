@@ -31,6 +31,34 @@ object Multimodal {
            countDistinct(md5($"blob")).as("n_checksums"))
   }
 
+  /** Batch decode via `mapPartitions` — the Scala analog of a Pandas
+    * UDF over `mapInPandas`: the decoder sees an iterator of blobs
+    * per partition (so a real codec could amortize init/model load
+    * across the batch) and emits fixed-width feature vectors. The
+    * decode itself is a STUB — deterministic byte statistics per
+    * 64-byte frame standing in for pixel/audio features; the
+    * partition-local batching, schema, and typed-Dataset plumbing are
+    * the real contract.
+    */
+  def mmDecodeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { docs =>
+        // a real decoder would initialize its codec once, here
+        docs.map { case (docId, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val frames = bytes.grouped(64).toArray
+          val means = frames.map(f => f.map(_.toInt & 0xff).sum.toDouble / f.length)
+          (docId, frames.length,
+            math.round(means.sum / means.length * 10000.0) / 10000.0,
+            means.map(m => math.round(m * 100.0) / 100.0))
+        }
+      }
+      .toDF("doc_id", "n_frames", "mean_byte", "frame_means")
+  }
+
   /** Frame sampling: each blob splits into fixed 64-byte "frames"
     * (the batch shape a video decoder would emit), fanned out with
     * posexplode and fingerprinted. `frame_feature` is the STUBBED

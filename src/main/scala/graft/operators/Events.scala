@@ -100,6 +100,53 @@ object Events {
            round(sum($"value"), 2).as("session_value"))
   }
 
+  /** Sessionization via Spark's native `session_window` operator —
+    * same 30-minute-gap semantics as [[evtSessionize]], but the
+    * engine merges windows instead of a lag/cumsum pass. In
+    * Structured Streaming this same expression runs incrementally
+    * with watermark-driven state eviction.
+    */
+  def evtSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 2).as("session_value"))
+      .select($"user_id",
+              date_trunc("second", $"session_window.start").as("session_start"),
+              $"n_events", $"session_value")
+  }
+
+  /** Pivot: event counts per nation × event type, explicit value list
+    * so the output schema is static. Dims broadcast; one shuffle.
+    */
+  def evtPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    Tables.events(spark, sfDir)
+      .join(broadcast(c), $"user_id" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+  }
+
+  /** Semi-structured extraction: pull `$.k` out of the JSON `props`
+    * column and aggregate — a per-row expression, no shuffle until
+    * the final small agg.
+    */
+  def evtJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"),
+           round(avg($"k"), 4).as("avg_k"),
+           count($"k").as("n_with_k"))
+  }
+
   /** Stream-table enrichment: events joined to broadcast customer and
     * nation dims, aggregated per nation × event type. The 100 TB shape:
     * fact scan stays partition-local (both dims broadcast), single

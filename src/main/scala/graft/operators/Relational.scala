@@ -164,6 +164,32 @@ object Relational {
       .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_customers"))
   }
 
+  /** Exact interpolated percentiles (median / p90 / p99) per order
+    * status — Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the linear-interpolation definition.
+    */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Set operation: customers that placed both finished ('F') and
+    * open ('O') orders — INTERSECT distinct semantics.
+    */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    f.intersect(open).select($"o_custkey".as("c_custkey"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

@@ -51,6 +51,43 @@ object Similarity {
       .select(df.columns.map(col) :+
         posexplode(col("buckets")).as(Seq("table_id", "bucket")): _*)
 
+  /** IVF-style ANN (inverted-file, Jégou et al. shape): the `label`
+    * column acts as the coarse quantizer's cell id; cell centroids
+    * are the per-label mean vectors. A query probes its `nprobe`=5
+    * nearest centroids and scores only those cells' members — the
+    * classic 100 TB ANN path: the centroid table is tiny and
+    * broadcast, candidate work is corpus/cells × nprobe, and the only
+    * wide op is the equi-join on cell id.
+    */
+  def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, sfDir)
+    // per-cell centroid: explode dims → mean per (label, dim) → repack
+    val centroids = vecs
+      .select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pairs"))
+      .select($"label".as("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
+    // each query probes its nprobe nearest cells
+    val queries = vecs.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("ccos", cosineSim($"qv", $"cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")))
+      .filter($"crank" <= 5)
+      .select($"query_id", $"qv", $"cell")
+    // score only the probed cells' members
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    vecs.join(broadcast(probes), $"label" === $"cell" && $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+              round($"cos", 4).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates
     * co-bucketed with them in at least one of the 8 tables (union of
     * candidates, deduped), then exact-cosine top-5. Rows-only check;

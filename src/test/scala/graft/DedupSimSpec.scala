@@ -71,4 +71,15 @@ class DedupSimSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("IVF ANN recall vs brute force >= 0.5, cells honored") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.simIvfAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF ANN recall = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
 }

@@ -31,4 +31,18 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(sum(length($"text"))).as[Long].head()
     assert(total == want)
   }
+
+  test("mapPartitions batch decoder covers every doc deterministically") {
+    import spark.implicits._
+    val a = Multimodal.mmDecodeBatch(spark, sf)
+    val b = Multimodal.mmDecodeBatch(spark, sf)
+    assert(a.count() == graft.core.Tables.documents(spark, sf).count())
+    assert(a.exceptAll(b).count() == 0, "decoder output not deterministic")
+    val frames = Multimodal.mmFrameSample(spark, sf)
+      .groupBy($"doc_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val mismatched = a.join(frames, Seq("doc_id"))
+      .filter($"n_frames" =!= $"n").count()
+    assert(mismatched == 0, "frame counts disagree with expression pipeline")
+  }
 }
