@@ -32,6 +32,8 @@ object SparkEntry {
     "q_asof_join"          -> (Relational.qAsofJoin _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
+    "q_conditional_agg"    -> (Relational.qConditionalAgg _),
+    "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
     // event-stream surface
     "evt_produce"          -> (Events.evtProduce _),
     "evt_offsets"          -> (Events.evtOffsets _),
@@ -40,6 +42,7 @@ object SparkEntry {
     "evt_sessionize"       -> (Events.evtSessionize _),
     "evt_enrich"           -> (Events.evtEnrich _),
     "evt_session_window"   -> (Events.evtSessionWindow _),
+    "evt_sliding"          -> (Events.evtSliding _),
     "evt_pivot"            -> (Events.evtPivot _),
     "evt_json_extract"     -> (Events.evtJsonExtract _),
     // text analysis
@@ -197,6 +200,27 @@ object SparkEntry {
       """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus='F'
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus='O'""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+        | round(nation_avg, 2) AS nation_avg
+        |FROM (SELECT *, avg(c_acctbal) OVER (PARTITION BY c_nationkey)
+        |        AS nation_avg
+        |      FROM customer)
+        |WHERE c_acctbal > nation_avg""".stripMargin,
+    "evt_sliding" ->
+      """SELECT CAST(date_trunc('hour', ts) - i * INTERVAL '1 hour' AS TIMESTAMP)
+        |   AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
     "evt_session_window" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

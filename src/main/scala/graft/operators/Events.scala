@@ -117,6 +117,20 @@ object Events {
               $"n_events", $"session_value")
   }
 
+  /** Sliding (hopping) windows: 2-hour windows every hour — each
+    * event lands in two windows. The same expression runs
+    * incrementally under Structured Streaming.
+    */
+  def evtSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 2).as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+              $"n_events", $"total_value")
+  }
+
   /** Pivot: event counts per nation × event type, explicit value list
     * so the output schema is static. Dims broadcast; one shuffle.
     */

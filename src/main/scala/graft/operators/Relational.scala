@@ -164,6 +164,36 @@ object Relational {
       .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_customers"))
   }
 
+  /** Conditional aggregation (TPC-H Q12 shape): split order counts by
+    * priority class inside one aggregate pass.
+    */
+  def qConditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
+  /** Correlated-scalar-subquery semantics: customers whose balance
+    * beats their nation's average. Expressed as a window aggregate —
+    * one shuffle on nation, no per-row subquery re-execution.
+    */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+    Tables.customer(spark, sfDir)
+      .withColumn("nation_avg", avg($"c_acctbal").over(w))
+      .filter($"c_acctbal" > $"nation_avg")
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"),
+              round($"nation_avg", 2).as("nation_avg"))
+  }
+
   /** Exact interpolated percentiles (median / p90 / p99) per order
     * status — Spark's `percentile` and DuckDB's `quantile_cont` share
     * the linear-interpolation definition.

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Scale-technique specs: salted joins, bucketed co-located joins,
+  * and a file-sink streaming pipeline — the mechanisms SURVEY §5
+  * claims for the 100 TB story, each proven behaviorally.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+    val customer = graft.core.Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "user_id")
+    val plain = events.join(customer, Seq("user_id"))
+    val salted = Skew.saltedJoin(events, customer, "user_id", 7)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy($"user_id").count()
+    val b = plain.groupBy($"user_id").count()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.core.Tables.orders(spark, sf).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bkt")
+      graft.core.Tables.lineitem(spark, sf).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), $"l_orderkey" === $"o_orderkey")
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { joined.explain("simple") }
+      val plan = out.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        graft.core.Tables.lineitem(spark, sf).join(
+          graft.core.Tables.orders(spark, sf),
+          $"l_orderkey" === $"o_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
+  test("streaming pipeline writes a parquet sink with checkpointing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-topic").toString + "/t"
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    val log = new graft.streaming.EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 500)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    val q = log.readStream(spark)
+      .filter($"partition" =!= 0)
+      .select($"partition", $"offset", $"key", $"payload")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == log.consume(spark).filter($"partition" =!= 0).count())
+    assert(written.filter($"partition" === 0).count() == 0)
+  }
+}
