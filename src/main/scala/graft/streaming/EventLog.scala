@@ -80,4 +80,18 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
   }
+
+  /** Streaming produce: sink any streaming frame of (key, payload)
+    * into this topic — each micro-batch appends through [[produce]],
+    * so partitioning and offset assignment match the batch path (the
+    * reference's outbound channel adapter fed from a message
+    * channel). Caller starts/stops the returned query.
+    */
+  def writeStream(stream: DataFrame, checkpointDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        produce(batch.select("key", "payload"))
+      }
 }

@@ -70,4 +70,23 @@ class EventLogSpec extends AnyFunSuite {
       .agg(sum($"count")).as[Long].head()
     assert(total == 64)
   }
+
+  test("topic-to-topic streaming relay preserves messages and offsets") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-relay").toString
+    val src = new EventLog(base + "/src", numPartitions = 4)
+    val dst = new EventLog(base + "/dst", numPartitions = 4)
+    src.produce(spark.range(0, 300)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    val q = dst.writeStream(src.readStream(spark), base + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val relayed = dst.consume(spark)
+    assert(relayed.count() == 300)
+    val bad = relayed.groupBy($"partition")
+      .agg(min($"offset").as("lo"), max($"offset").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1).count()
+    assert(bad == 0, "relayed offsets not contiguous")
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks for the native Catalyst expressions, driven
+  * through the registered SQL surface so the whole analyze→eval path
+  * is exercised. (scalatest+scalacheck without the bridge artifact:
+  * generators sampled explicitly from a fixed seed.)
+  */
+class ExpressionPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    .suchThat(v => v.exists(_ != 0.0))
+
+  test("cosine similarity is symmetric and within [-1, 1]") {
+    val lit = (v: List[Double]) => v.map(x => s"${x}d").mkString("array(", ",", ")")
+    for (Seq(a, b) <- samples(vecGen, 40).grouped(2).toSeq if a != b) {
+      val r = spark.sql(
+        s"SELECT graft_cosine(${lit(a)}, ${lit(b)}) x, " +
+        s"graft_cosine(${lit(b)}, ${lit(a)}) y").head()
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= -1.0000001 && r.getDouble(0) <= 1.0000001)
+    }
+  }
+
+  test("simhash is order-invariant over token hashes") {
+    val lit = (v: List[Long]) => v.map(x => s"${x}L").mkString("array(", ",", ")")
+    val rnd = new scala.util.Random(7)
+    for (hs <- samples(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)), 20)) {
+      val r = spark.sql(
+        s"SELECT graft_simhash64(${lit(hs)}) a, " +
+        s"graft_simhash64(${lit(rnd.shuffle(hs))}) b").head()
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("minhash bands are set-deterministic: equal sets, equal bands") {
+    val lit = (v: List[String]) => v.map(x => s"'$x'").mkString("array(", ",", ")")
+    val rnd = new scala.util.Random(11)
+    val wordGen = Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))
+    for (ws <- samples(wordGen, 20)) {
+      val r = spark.sql(
+        s"SELECT graft_minhash_bands(${lit(ws)}, 4, 4) a, " +
+        s"graft_minhash_bands(${lit(rnd.shuffle(ws))}, 4, 4) b").head()
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+}
