@@ -12,6 +12,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // untimed warmup: JIT, codegen compiler, parquet reader, shuffle
+    // machinery — so per-query timings measure the queries
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -49,6 +49,7 @@ object SparkEntry {
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
     "txt_langid"           -> (graft.text.TextAnalysis.txtLangId _),
+    "txt_term_freq"        -> (graft.text.TextAnalysis.txtTermFreq _),
     "txt_fingerprint"      -> (graft.text.TextAnalysis.txtFingerprint _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
@@ -277,6 +278,13 @@ object SparkEntry {
         | round(len(list_distinct(words))::DOUBLE / len(words), 4)
         |   AS type_token_ratio
         |FROM d""".stripMargin,
+    "txt_term_freq" ->
+      """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), ' +'))
+        |   AS word FROM documents),
+        |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY n DESC, word) AS INT) AS rank FROM c)
+        |SELECT lang, word, n, rank FROM r WHERE rank <= 10""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,
         | min(doc_id) AS keep_doc_id, count(*) AS n_docs

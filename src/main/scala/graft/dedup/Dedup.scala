@@ -36,15 +36,14 @@ object Dedup {
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // sort once per doc so the pairwise step is a merge scan
     val d = withWordSet(Tables.documents(spark, sfDir))
-      .select($"doc_id", $"source", $"wset")
+      .select($"doc_id", $"source", array_sort($"wset").as("wset"))
     val a = d.select($"source", $"doc_id".as("doc_id_1"), $"wset".as("w1"))
     val b = d.select($"source", $"doc_id".as("doc_id_2"), $"wset".as("w2"))
     a.join(b, Seq("source"))
       .filter($"doc_id_1" < $"doc_id_2")
-      .withColumn("jaccard",
-        expr("cast(size(array_intersect(w1, w2)) as double)") /
-        expr("size(array_distinct(concat(w1, w2)))"))
+      .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
       .filter($"jaccard" >= 0.9)
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
   }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64}
+  import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -22,6 +22,10 @@ package object functions {
   /** 64-bit SimHash over an `array<long>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  /** Jaccard similarity of two sorted, deduplicated string arrays. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
 
   /** MinHash LSH band hashes for an `array<string>` token set. */
   def minhashBands(tokens: Column, numBands: Int, rowsPerBand: Int): Column =

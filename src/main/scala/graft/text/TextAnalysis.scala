@@ -82,6 +82,23 @@ object TextAnalysis {
               ($"pred" === $"lang").as("correct"))
   }
 
+  /** Term frequency: top-10 words per language by count (rank ties
+    * broken by word) — explode → count → windowed top-k, the standard
+    * vocabulary-building pass.
+    */
+  def txtTermFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"word")
+    Tables.documents(spark, sfDir)
+      .select($"lang", explode(expr("split(trim(text), ' +')")).as("word"))
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"lang", $"word", $"n", $"rank")
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 shape):
     * hash every 4-word shingle, slide a window of 4 hashes, keep each
     * window's min, dedupe. Output is a stable per-doc digest summary.
