@@ -33,6 +33,7 @@ object SparkEntry {
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
     "q_conditional_agg"    -> (Relational.qConditionalAgg _),
+    "q_outer_join"         -> (Relational.qOuterJoin _),
     "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
     // event-stream surface
     "evt_produce"          -> (Events.evtProduce _),
@@ -209,6 +210,13 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         |GROUP BY l_linestatus""".stripMargin,
+    "q_outer_join" ->
+      """SELECT n_name, count(c_custkey) AS n_customers,
+        | round(coalesce(sum(c_acctbal), 0.0), 2) AS total_balance
+        |FROM nation LEFT OUTER JOIN
+        | (SELECT * FROM customer WHERE c_mktsegment='MACHINERY') c
+        | ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
         | round(nation_avg, 2) AS nation_avg

@@ -164,6 +164,21 @@ object Relational {
       .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_customers"))
   }
 
+  /** Outer join with null-group semantics: every nation (including
+    * those with no customers in the segment) and its filtered
+    * customer count / balance total.
+    */
+  def qOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "MACHINERY")
+    Tables.nation(spark, sfDir)
+      .join(c, $"n_nationkey" === $"c_nationkey", "left_outer")
+      .groupBy($"n_name")
+      .agg(count($"c_custkey").as("n_customers"),
+           round(coalesce(sum($"c_acctbal"), lit(0.0)), 2).as("total_balance"))
+  }
+
   /** Conditional aggregation (TPC-H Q12 shape): split order counts by
     * priority class inside one aggregate pass.
     */

@@ -72,4 +72,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(q2.lastProgress == null ||
            q2.lastProgress.numInputRows == 0)
   }
+
+  test("at-least-once topic delivery dedupes to exactly-once downstream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup-topic").toString + "/t"
+    val log = new graft.streaming.EventLog(dir, numPartitions = 4)
+    def batch() = spark.range(0, 200)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+    log.produce(batch())
+    log.produce(batch())   // duplicate delivery (at-least-once producer retry)
+    assert(log.consume(spark).count() == 400)
+    // streaming consumer dedupes on the message key
+    val q = log.readStream(spark)
+      .dropDuplicates("key")
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_out").as[Long].head() == 200)
+  }
 }
