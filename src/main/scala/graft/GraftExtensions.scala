@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64, SortedJaccard}
 
 /** SparkSessionExtensions installer: exposes graft's native Catalyst
   * expressions to SQL. Register with
@@ -14,6 +14,7 @@ import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneBuckets, MinHashB
   *   graft_cosine(array<double>, array<double>) → double
   *   graft_simhash64(array<long>)               → bigint
   *   graft_minhash_bands(array<string>, bands, rows) → array<bigint>
+  *   graft_sorted_jaccard(array<string>, array<string>) → double
   *   graft_hyperplane_buckets(array<double>, tables, bits) → array<bigint>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -35,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       (es: Seq[Expression]) => MinHashBands(es.head,
         intArg(es(1), "numBands"), intArg(es(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "graft_sorted_jaccard"),
+      (es: Seq[Expression]) => SortedJaccard(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (es: Seq[Expression]) => HyperplaneBuckets(es.head,

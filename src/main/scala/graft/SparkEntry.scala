@@ -30,6 +30,7 @@ object SparkEntry {
     "q_distinct"           -> (Relational.qDistinct _),
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_approx_percentile"  -> (Relational.qApproxPercentile _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
     "q_conditional_agg"    -> (Relational.qConditionalAgg _),

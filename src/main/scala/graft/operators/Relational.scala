@@ -235,6 +235,20 @@ object Relational {
     f.intersect(open).select($"o_custkey".as("c_custkey"))
   }
 
+  /** Sketch-based percentiles: `approx_percentile` (Greenwald-Khanna)
+    * — the mergeable-summary path that replaces exact percentiles at
+    * 100 TB. Algorithm differs from DuckDB's sampling → rows-only;
+    * RelationalSpec bounds the error against [[qPercentiles]].
+    */
+  def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("ap50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("ap90"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

@@ -49,4 +49,19 @@ class RelationalSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("approx percentiles within 5% of exact") {
+    import spark.implicits._
+    val exact = Relational.qPercentiles(spark, sf)
+      .select($"o_orderstatus", $"p50", $"p90")
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    Relational.qApproxPercentile(spark, sf)
+      .select($"o_orderstatus", $"ap50", $"ap90")
+      .as[(String, Double, Double)].collect().foreach { case (k, a50, a90) =>
+        val (e50, e90) = exact(k)
+        assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50: $a50 vs $e50")
+        assert(math.abs(a90 - e90) / e90 < 0.05, s"$k p90: $a90 vs $e90")
+      }
+  }
 }
