@@ -219,8 +219,7 @@ object SparkEntry {
         | ON n_nationkey = c_nationkey
         |GROUP BY n_name""".stripMargin,
     "q_scalar_subquery" ->
-      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
-        | round(nation_avg, 2) AS nation_avg
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         |FROM (SELECT *, avg(c_acctbal) OVER (PARTITION BY c_nationkey)
         |        AS nation_avg
         |      FROM customer)

@@ -205,8 +205,9 @@ object Relational {
     Tables.customer(spark, sfDir)
       .withColumn("nation_avg", avg($"c_acctbal").over(w))
       .filter($"c_acctbal" > $"nation_avg")
-      .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"),
-              round($"nation_avg", 2).as("nation_avg"))
+      // the avg itself stays internal: its last-ulp differs across
+      // engines and can straddle a rounding boundary (seen at sf0.001)
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"))
   }
 
   /** Exact interpolated percentiles (median / p90 / p99) per order

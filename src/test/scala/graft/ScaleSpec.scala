@@ -72,4 +72,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(written.count() == log.consume(spark).filter($"partition" =!= 0).count())
     assert(written.filter($"partition" === 0).count() == 0)
   }
+
+  test("date-partitioned writes prune partitions on read") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-partlake").toString
+    graft.core.Tables.events(spark, sf)
+      .withColumn("event_date", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter($"event_date" === "2024-01-05")
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap)) { pruned.explain("formatted") }
+    val plan = cap.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(!plan.contains("PartitionFilters: []"), "partition filter not applied")
+    val want = graft.core.Tables.events(spark, sf)
+      .filter(to_date($"ts") === "2024-01-05").count()
+    assert(pruned.count() == want)
+  }
 }
