@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Relational}
+import graft.operators.{Analytics, Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,10 @@ object SparkEntry {
     "q_conditional_agg"    -> (Relational.qConditionalAgg _),
     "q_outer_join"         -> (Relational.qOuterJoin _),
     "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
+    "q_stats"              -> (Analytics.qStats _),
+    "q_grouping_sets"      -> (Analytics.qGroupingSets _),
+    "q_unpivot"            -> (Analytics.qUnpivot _),
+    "q_date_dim"           -> (Analytics.qDateDim _),
     // event-stream surface
     "evt_produce"          -> (Events.evtProduce _),
     "evt_offsets"          -> (Events.evtOffsets _),
@@ -47,18 +51,21 @@ object SparkEntry {
     "evt_sliding"          -> (Events.evtSliding _),
     "evt_pivot"            -> (Events.evtPivot _),
     "evt_json_extract"     -> (Events.evtJsonExtract _),
+    "evt_value_buckets"    -> (Analytics.evtValueBuckets _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
     "txt_langid"           -> (graft.text.TextAnalysis.txtLangId _),
     "txt_term_freq"        -> (graft.text.TextAnalysis.txtTermFreq _),
     "txt_fingerprint"      -> (graft.text.TextAnalysis.txtFingerprint _),
+    "txt_bigrams"          -> (Analytics.txtBigrams _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
+    "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
@@ -326,6 +333,53 @@ object SparkEntry {
         |   round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
         |  FROM q JOIN e ON q.query_id != e.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        | round(avg(l_quantity), 4) AS qty_avg,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        | SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n_values, round(sum(value), 2) AS total,
+        | round(avg(value), 4) AS mean
+        |FROM m GROUP BY measure""".stripMargin,
+    "q_date_dim" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+        | CAST(month(o_orderdate) AS INT) AS o_month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "evt_value_buckets" ->
+      """SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bucket,
+        | count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH c AS (SELECT md5(lower(trim(text))) AS h,
+        |   count(*) AS cluster_size FROM documents GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        | cluster_size * count(*) AS n_docs_total
+        |FROM c GROUP BY cluster_size""".stripMargin,
+    "txt_bigrams" ->
+      """WITH w AS (SELECT lang, string_split_regex(trim(text), ' +') AS words
+        |  FROM documents),
+        |b AS (SELECT lang, unnest(list_transform(range(1, len(words)),
+        |   i -> words[i] || ' ' || words[i+1])) AS bigram FROM w),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY n DESC, bigram) AS INT) AS rank FROM c)
+        |SELECT lang, bigram, n, rank FROM r WHERE rank <= 10""".stripMargin,
     "mm_binary_meta" ->
       """SELECT source, count(*) AS n_blobs,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

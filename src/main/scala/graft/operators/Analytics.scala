@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Statistical / reshaping analytics beyond the TPC-H core: moment
+  * statistics, GROUPING SETS, unpivot (wide→long), date-dimension
+  * rollups, duplicate-cluster profiles, value histograms, bigram
+  * term statistics.
+  *
+  * Scale notes (100 TB): every operator is one narrow pass over the
+  * scan followed by a single partial-then-final aggregation shuffle
+  * on the group keys. Moment statistics (corr/covar/stddev) use
+  * Spark's one-pass co-moment aggregates — no second scan, no
+  * driver-side math. Unpivot is a per-row expression (no shuffle
+  * until the aggregate). Histograms bucket before counting, so
+  * cardinality after the shuffle is bounded by the bucket count,
+  * not the row count.
+  */
+object Analytics {
+
+  /** Per-group moment statistics: Pearson correlation, sample
+    * stddev/covariance of quantity vs. price. One-pass co-moment
+    * aggregation (map-side partial), one shuffle on the group key.
+    */
+  def qStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_corr"),
+        round(stddev_samp($"l_quantity"), 4).as("qty_stddev"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("qty_price_covar"),
+        round(avg($"l_quantity"), 4).as("qty_avg"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** GROUPING SETS: three independent grouping levels computed in a
+    * single expand+aggregate pass (Spark's Expand operator — one
+    * shuffle, not one scan per set).
+    */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Unpivot (wide→long): the four lineitem measures melt into
+    * (measure, value) rows — a per-row Expand, zero shuffle — then
+    * aggregate per measure.
+    */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .unpivot(
+        ids = Array($"l_returnflag"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy($"measure")
+      .agg(count(lit(1)).as("n_values"),
+           round(sum($"value"), 2).as("total"),
+           round(avg($"value"), 4).as("mean"))
+  }
+
+  /** Date-dimension rollup: calendar functions (year/quarter/month)
+    * derived per-row in the scan projection, then one aggregation
+    * shuffle. At 100 TB the input would be partitioned by date and
+    * this prunes to the requested range before the scan.
+    */
+  def qDateDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(year($"o_orderdate").as("o_year"),
+              quarter($"o_orderdate").as("o_quarter"),
+              month($"o_orderdate").as("o_month"),
+              $"o_totalprice")
+      .groupBy($"o_year", $"o_quarter", $"o_month")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
+  /** Histogram of event values: fixed-width bucketing per event type.
+    * Bucket id is computed per-row, so post-shuffle cardinality is
+    * #types × #buckets regardless of input size.
+    */
+  def evtValueBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("bucket", floor($"value" / 10.0).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"),
+           round(avg($"value"), 4).as("avg_value"))
+  }
+
+  /** Duplicate-cluster profile: distribution of exact-duplicate
+    * cluster sizes (from [[graft.dedup.Dedup.dedupExact]]). The
+    * second aggregation runs over one row per cluster — already tiny.
+    */
+  def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.dedup.Dedup.dedupExact(spark, sfDir)
+      .groupBy($"n_docs".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs_total", $"cluster_size" * $"n_clusters")
+  }
+
+  /** Per-language top-10 bigram counts: adjacent word pairs via
+    * slice+zip (no sequence() — its descending-on-empty behavior is
+    * a footgun), explode, count, windowed rank. Same shape as
+    * [[graft.text.TextAnalysis.txtTermFreq]].
+    */
+  def txtBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("bigram", explode(expr(
+        "zip_with(slice(words, 1, size(words)-1), slice(words, 2, size(words)-1), (a, b) -> concat(a, ' ', b))")))
+      .groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"lang", $"bigram", $"n", $"rank")
+  }
+}

@@ -73,6 +73,67 @@ class StreamingSpec extends AnyFunSuite {
            q2.lastProgress.numInputRows == 0)
   }
 
+  test("stream-stream join: clicks x purchases per user within 1h, equals batch twin") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    def streamEvents() = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = streamEvents().filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = streamEvents().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+              $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user_id" &&
+      $"purchase_ts" >= $"click_ts" &&
+      $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val bc = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val bp = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+              $"ts".as("purchase_ts"))
+    val want = bc.join(bp,
+      $"user_id" === $"p_user_id" &&
+      $"purchase_ts" >= $"click_ts" &&
+      $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"click_id", $"purchase_id")
+    val got = spark.table("ssj_out").select($"click_id", $"purchase_id")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes redelivered events in-stream") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    // redelivery: the same file lands twice (at-least-once source)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events_redelivered.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dir).schema
+    val n = spark.read.parquet(dir).count()
+    val distinctIds = spark.read.parquet(dir).select("event_id").distinct().count()
+    assert(n == 2 * distinctIds)
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ddww_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("ddww_out").as[Long].head() == distinctIds)
+  }
+
   test("at-least-once topic delivery dedupes to exactly-once downstream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dup-topic").toString + "/t"
