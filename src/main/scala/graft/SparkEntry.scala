@@ -36,6 +36,9 @@ object SparkEntry {
     "q_conditional_agg"    -> (Relational.qConditionalAgg _),
     "q_outer_join"         -> (Relational.qOuterJoin _),
     "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
+    "q_promo_effect"       -> (Relational.qPromoEffect _),
+    "q_having"             -> (Relational.qHaving _),
+    "q_except"             -> (Relational.qExcept _),
     "q_stats"              -> (Analytics.qStats _),
     "q_grouping_sets"      -> (Analytics.qGroupingSets _),
     "q_unpivot"            -> (Analytics.qUnpivot _),
@@ -70,6 +73,7 @@ object SparkEntry {
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
     "sim_ivf_ann"          -> (graft.similarity.Similarity.simIvfAnn _),
+    "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
     "mm_frame_sample"      -> (graft.multimodal.Multimodal.mmFrameSample _),
@@ -333,6 +337,29 @@ object SparkEntry {
         |   round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
         |  FROM q JOIN e ON q.query_id != e.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q_promo_effect" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |   / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 25""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus='F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus='O'""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim_idx,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+        | count(*) AS n_vectors
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |GROUP BY 1, 2""".stripMargin,
     "q_stats" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,

@@ -250,6 +250,50 @@ object Relational {
         round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("ap90"))
   }
 
+  /** TPC-H Q14-shaped promotion effect: lineitem ⋈ broadcast(part)
+    * with a date-range filter pushed to the fact scan, conditional
+    * revenue ratio in a single aggregation pass (no second scan for
+    * the denominator).
+    */
+  def qPromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1998-01-01"))
+    val p = Tables.part(spark, sfDir)
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        round(lit(100.0) * sum(when($"p_type" === "PROMO", rev).otherwise(0.0))
+          / sum(rev), 4).as("promo_revenue_pct"),
+        round(sum(rev), 2).as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** Aggregate + HAVING: repeat customers (≥ 25 orders). The HAVING
+    * predicate is a post-aggregation filter — it runs on the already-
+    * reduced groups, never on raw rows.
+    */
+  def qHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"))
+      .filter($"n_orders" >= 25)
+  }
+
+  /** Set operation: customers with finished ('F') orders but no open
+    * ('O') orders — EXCEPT distinct semantics (complements
+    * [[qSetOps]]'s INTERSECT).
+    */
+  def qExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    f.except(open).select($"o_custkey".as("c_custkey"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

@@ -88,6 +88,21 @@ object Similarity {
               round($"cos", 4).as("cosine"))
   }
 
+  /** Per-label centroid vectors in long form (label, dim_idx,
+    * centroid_val) — mean pooling, the coarse-quantizer training step
+    * of [[simIvfAnn]] surfaced as its own operator. posexplode keeps
+    * the aggregation a plain (label, dim) groupBy: output cardinality
+    * is #labels × dims regardless of corpus size.
+    */
+  def simCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    vectors(spark, sfDir)
+      .select($"label", posexplode($"v").as(Seq("dim_idx", "x")))
+      .groupBy($"label", $"dim_idx")
+      .agg(round(avg($"x"), 4).as("centroid_val"),
+           count(lit(1)).as("n_vectors"))
+  }
+
   /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates
     * co-bucketed with them in at least one of the 8 tables (union of
     * candidates, deduped), then exact-cosine top-5. Rows-only check;

@@ -134,6 +134,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ddww_out").as[Long].head() == distinctIds)
   }
 
+  test("stream-static enrichment join equals batch evt_enrich") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    // static dimension side: broadcast per micro-batch, no state store
+    val c = graft.core.Tables.customer(spark, sf)
+    val n = graft.core.Tables.nation(spark, sf)
+    val enriched = spark.readStream.schema(schema).parquet(dir)
+      .join(broadcast(c), $"user_id" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_out")
+    val want = graft.operators.Events.evtEnrich(spark, sf)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+  }
+
   test("at-least-once topic delivery dedupes to exactly-once downstream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dup-topic").toString + "/t"
