@@ -37,6 +37,9 @@ object Dedup {
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // sort once per doc so the pairwise step is a merge scan
+    // no persist: both self-join sides canonicalize to one exchange
+    // (ReusedExchange, asserted in PlanAuditSpec), so the word-set
+    // projection is computed once without pinning it to storage
     val d = withWordSet(Tables.documents(spark, sfDir))
       .select($"doc_id", $"source", array_sort($"wset").as("wset"))
     val a = d.select($"source", $"doc_id".as("doc_id_1"), $"wset".as("w1"))
@@ -65,10 +68,15 @@ object Dedup {
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the band relation feeds every min-propagation hop (5 subtree
+    // references) — persist it once instead of re-hashing the corpus
+    // per reference (the standard iterative-graph pattern: pin the
+    // edge set, iterate over it)
     val bands = withWordSet(Tables.documents(spark, sfDir))
       .select($"doc_id",
         posexplode(graft.functions.minhashBands($"wset", 8, 8))
           .as(Seq("band_idx", "band_hash")))
+      .persist()
     // approximate connected components: propagate the min doc_id
     // through shared buckets (doc → bucket → doc), twice
     val rep0 = bands.select($"doc_id", $"doc_id".as("rep"))

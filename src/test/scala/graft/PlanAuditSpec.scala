@@ -51,6 +51,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_ngram self-join at scale: one shuffle, ReusedExchange on the other side") {
+    // at 100 TB documents won't broadcast; the self-join must then
+    // canonicalize both sides to a single exchange (word sets are
+    // computed and shuffled once, not per side)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.dedup.Dedup.dedupNgram(spark, sf)
+      df.collect() // AQE finalizes the plan on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"self-join sides did not share the exchange\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("dedup_exact: partial aggregation before the shuffle") {
     val p = capture(graft.dedup.Dedup.dedupExact(spark, sf), "simple")
     // partial + final pair means map-side combine happens pre-shuffle
