@@ -81,6 +81,31 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Compact the topic: rewrite each partition's accumulated small
+    * append files (one per produce batch) into one file per
+    * partition, preserving every (partition, offset, key, payload)
+    * row. The 100 TB motivation: a long-lived topic accretes
+    * file-per-batch until scan planning and open() overhead dominate
+    * reads — the classic small-file problem. One shuffle on the
+    * partition column, offset-sorted within each file so consumers
+    * get sequential reads. Not safe under concurrent writers (same
+    * as Kafka log compaction: run it as the owner).
+    */
+  def compact(spark: SparkSession): Unit = {
+    val tmp = dir + ".compacting"
+    spark.read.parquet(dir)
+      .repartition(numPartitions, col("partition"))
+      .sortWithinPartitions("partition", "offset")
+      .write.mode("overwrite").partitionBy("partition").parquet(tmp)
+    val old = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir), old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+  }
+
   /** Streaming produce: sink any streaming frame of (key, payload)
     * into this topic — each micro-batch appends through [[produce]],
     * so partitioning and offset assignment match the batch path (the

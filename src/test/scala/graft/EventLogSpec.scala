@@ -71,6 +71,31 @@ class EventLogSpec extends AnyFunSuite {
     assert(total == 64)
   }
 
+  test("compact merges per-batch small files, preserves every message") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    def batch(from: Int, until: Int) = spark.range(from, until)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+    (0 until 5).foreach(i => log.produce(batch(i * 100, (i + 1) * 100)))
+
+    def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = log.consume(spark)
+      .select($"partition", $"offset", $"key", $"payload").collect().toSet
+    val filesBefore = dataFiles()
+    assert(filesBefore >= 20, s"expected >=5 files per partition, got $filesBefore")
+
+    log.compact(spark)
+    assert(dataFiles() <= 4, s"compaction left ${dataFiles()} files")
+    val after = log.consume(spark)
+      .select($"partition", $"offset", $"key", $"payload").collect().toSet
+    assert(after == before)
+    // offsets still contiguous → further produces continue correctly
+    log.produce(batch(500, 600))
+    assert(log.consume(spark).count() == 600)
+  }
+
   test("topic-to-topic streaming relay preserves messages and offsets") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-relay").toString
