@@ -55,6 +55,9 @@ object SparkEntry {
     "evt_pivot"            -> (Events.evtPivot _),
     "evt_json_extract"     -> (Events.evtJsonExtract _),
     "evt_value_buckets"    -> (Analytics.evtValueBuckets _),
+    "evt_funnel"           -> (Events.evtFunnel _),
+    "evt_retention"        -> (Events.evtRetention _),
+    "q_gap_fill"           -> (Analytics.qGapFill _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -388,6 +391,40 @@ object SparkEntry {
         | CAST(month(o_orderdate) AS INT) AS o_month,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "evt_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |   min(CASE WHEN event_type='view' THEN ts END) AS tv,
+        |   min(CASE WHEN event_type='click' THEN ts END) AS tc,
+        |   min(CASE WHEN event_type='purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY user_id)
+        |SELECT count(tv) AS n_view,
+        | count(CASE WHEN tc > tv THEN 1 END) AS n_view_then_click,
+        | count(CASE WHEN tc > tv AND tp > tc THEN 1 END) AS n_full_funnel
+        |FROM u""".stripMargin,
+    "evt_retention" ->
+      """WITH f AS (SELECT user_id,
+        |   CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort_day,
+        | CAST(date_diff('day', cohort_day,
+        |   CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS day_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH span AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |   date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+        |   AS month_start FROM span),
+        |statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |actual AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |   o_orderstatus AS s, count(*) AS n,
+        |   round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(month_start AS TIMESTAMP) AS month_start, o_orderstatus,
+        | coalesce(n, 0) AS n_orders, coalesce(rev, 0.0) AS revenue
+        |FROM months CROSS JOIN statuses
+        |LEFT JOIN actual ON m = month_start AND s = o_orderstatus""".stripMargin,
     "evt_value_buckets" ->
       """SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bucket,
         | count(*) AS n_events, round(avg(value), 4) AS avg_value

@@ -111,6 +111,32 @@ object Analytics {
       .withColumn("n_docs_total", $"cluster_size" * $"n_clusters")
   }
 
+  /** Gap-filled monthly time series: a month spine (derived from the
+    * data's own span — one-row aggregate, so the spine build is
+    * metadata-cheap) cross-joined with the status dimension, left
+    * join against the actual monthly aggregate, zeros filled. The
+    * dense-calendar reporting shape: output cardinality is
+    * #months × #statuses however large the input.
+    */
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val months = o
+      .agg(date_trunc("month", min($"o_orderdate")).as("lo"),
+           date_trunc("month", max($"o_orderdate")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month_start"))
+    val statuses = o.select($"o_orderstatus").distinct()
+    val actual = o
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"),
+               $"o_orderstatus".as("s"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+    months.crossJoin(statuses)
+      .join(actual, $"month_start" === $"m" && $"o_orderstatus" === $"s", "left")
+      .select($"month_start", $"o_orderstatus",
+              coalesce($"n", lit(0L)).as("n_orders"),
+              coalesce($"rev", lit(0.0)).as("revenue"))
+  }
+
   /** Per-language top-10 bigram counts: adjacent word pairs via
     * slice+zip (no sequence() — its descending-on-empty behavior is
     * a footgun), explode, count, windowed rank. Same shape as

@@ -177,4 +177,42 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
            round(sum($"value"), 2).as("total_value"))
   }
+
+  /** Funnel analysis (view → click → purchase): one grouped pass
+    * computes each user's first timestamp per funnel stage, then the
+    * strict-ordering predicate counts stage completions. Single
+    * shuffle on user_id; the per-user state is three timestamps, so
+    * the reduction is map-side-combinable and skew-immune.
+    */
+  def evtFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("tv"),
+        min(when($"event_type" === "click", $"ts")).as("tc"),
+        min(when($"event_type" === "purchase", $"ts")).as("tp"))
+      .agg(
+        count($"tv").as("n_view"),
+        count(when($"tc" > $"tv", 1)).as("n_view_then_click"),
+        count(when($"tc" > $"tv" && $"tp" > $"tc", 1)).as("n_full_funnel"))
+  }
+
+  /** Cohort retention: users are cohorted by first-event day; each
+    * event lands in (cohort_day, day_offset) and distinct users are
+    * counted per cell. Two shuffles (cohort build on user_id, then
+    * the cell aggregate) — the cohort table is one row per user and
+    * broadcast back against the event scan.
+    */
+  def evtRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cohorts = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("cohort_day"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(cohorts), Seq("user_id"))
+      .groupBy($"cohort_day",
+               datediff(to_date($"ts"), $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
 }
