@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
+    "pipeline_prep"        -> (Analytics.pipelinePrep _),
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
@@ -429,6 +430,20 @@ object SparkEntry {
       """SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bucket,
         | count(*) AS n_events, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "pipeline_prep" ->
+      """WITH h AS (SELECT *, md5(lower(trim(text))) AS content_hash
+        |  FROM documents),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+        |   ORDER BY doc_id) AS rn FROM h),
+        |d AS (SELECT source, n_chars,
+        |   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |     AS n_tokens, lang
+        |  FROM k WHERE rn = 1)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_chars), 2) AS avg_chars
+        |FROM d WHERE n_tokens >= 20 AND lang = 'en'
+        |GROUP BY source""".stripMargin,
     "dedup_cluster_stats" ->
       """WITH c AS (SELECT md5(lower(trim(text))) AS h,
         |   count(*) AS cluster_size FROM documents GROUP BY 1)

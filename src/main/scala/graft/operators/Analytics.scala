@@ -137,6 +137,29 @@ object Analytics {
               coalesce($"rev", lit(0.0)).as("revenue"))
   }
 
+  /** End-to-end training-data prep pipeline, composed as ONE
+    * declarative plan: exact dedup (keep lowest doc_id per content
+    * hash) → quality gate (≥ 20 tokens) → language filter (en) →
+    * per-source corpus stats. Catalyst fuses the per-row stages into
+    * the scan projection; the only shuffles are the dedup hash
+    * partition and the final small aggregate. This is the shape a
+    * 100 TB curation run takes: no materialization between stages.
+    */
+  def pipelinePrep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"content_hash").orderBy($"doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("content_hash", md5(lower(trim($"text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .withColumn("n_tokens", size(expr("split(trim(text), ' +')")))
+      .filter($"n_tokens" >= 20 && $"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("total_tokens"),
+           round(avg($"n_chars"), 2).as("avg_chars"))
+  }
+
   /** Per-language top-10 bigram counts: adjacent word pairs via
     * slice+zip (no sequence() — its descending-on-empty behavior is
     * a footgun), explode, count, windowed rank. Same shape as

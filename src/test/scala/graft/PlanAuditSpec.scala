@@ -66,6 +66,16 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("JaccardLengthPruning injects the size prefilter ahead of the merge scan") {
+    val df = graft.dedup.Dedup.dedupNgram(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("least(") && opt.contains("greatest(") && opt.contains("size("),
+      s"length prefilter not injected\n$opt")
+    // the original jaccard bound is still there (rule only adds an
+    // implied conjunct, never replaces the exact predicate)
+    assert(opt.toLowerCase.contains("sortedjaccard"), opt)
+  }
+
   test("dedup_exact: partial aggregation before the shuffle") {
     val p = capture(graft.dedup.Dedup.dedupExact(spark, sf), "simple")
     // partial + final pair means map-side combine happens pre-shuffle
