@@ -58,6 +58,10 @@ object SparkEntry {
     "evt_funnel"           -> (Events.evtFunnel _),
     "evt_retention"        -> (Events.evtRetention _),
     "q_gap_fill"           -> (Analytics.qGapFill _),
+    "q_multi_distinct"     -> (Analytics.qMultiDistinct _),
+    "q_string_funcs"       -> (Analytics.qStringFuncs _),
+    "q_range_join"         -> (Analytics.qRangeJoin _),
+    "evt_first_last"       -> (Events.evtFirstLast _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -392,6 +396,49 @@ object SparkEntry {
         | CAST(month(o_orderdate) AS INT) AS o_month,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        | count(DISTINCT o_orderpriority) AS n_priorities,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        | substring(c_name, 1, 8) AS name_prefix,
+        | replace(c_name, '#', '-') AS name_dashed,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        | c_mktsegment || '/' || c_name AS seg_name,
+        | CAST(length(c_name) AS INT) AS name_len,
+        | reverse(c_name) AS name_rev
+        |FROM customer""".stripMargin,
+    "q_range_join" ->
+      """SELECT tier, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN (VALUES
+        |  ('T1_budget',  0.0,      100000.0),
+        |  ('T2_mid',     100000.0, 200000.0),
+        |  ('T3_high',    200000.0, 300000.0),
+        |  ('T4_premium', 300000.0, 400000.0),
+        |  ('T5_top',     400000.0, 1e18)) t(tier, lo, hi)
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier""".stripMargin,
+    "evt_first_last" ->
+      """WITH x AS (SELECT user_id, event_type, value, ts, event_id,
+        |   first_value(event_type) OVER w AS first_type,
+        |   last_value(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |     AS last_type,
+        |   first_value(value) OVER w AS fv,
+        |   last_value(value) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |     AS lv,
+        |   row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, first_type, last_type,
+        | round(fv, 2) AS first_val, round(lv, 2) AS last_val
+        |FROM x WHERE rn = 1""".stripMargin,
     "evt_funnel" ->
       """WITH u AS (SELECT user_id,
         |   min(CASE WHEN event_type='view' THEN ts END) AS tv,

@@ -137,6 +137,61 @@ object Analytics {
               coalesce($"rev", lit(0.0)).as("revenue"))
   }
 
+  /** Several COUNT(DISTINCT) over different columns in one aggregate —
+    * Spark plans this with Expand (one row per distinct-column) so it
+    * stays a single scan + one shuffle, not one job per distinct.
+    */
+  def qMultiDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+           countDistinct($"o_orderpriority").as("n_priorities"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  /** Scalar string-function surface (upper/substring/replace/lpad/
+    * concat/length/reverse) — all codegen'd projection work fused
+    * into the scan, zero shuffles before the final small aggregate.
+    */
+  def qStringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("name_upper"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        regexp_replace($"c_name", "#", "-").as("name_dashed"),
+        lpad($"c_custkey".cast("string"), 8, "0").as("key_padded"),
+        concat($"c_mktsegment", lit("/"), $"c_name").as("seg_name"),
+        length($"c_name").cast("int").as("name_len"),
+        reverse($"c_name").as("name_rev"))
+  }
+
+  /** Range join: orders priced into a small tier table via a
+    * BETWEEN predicate. The tier side is tiny and broadcast, so the
+    * plan is a broadcast nested-loop whose inner side is ~5 rows —
+    * linear in the fact table at any scale. (A large×large range
+    * join would instead bin both sides to an equi-key first; the
+    * bin trick is what [[evtValueBuckets]] demonstrates.)
+    */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("T1_budget",    0.0,      100000.0),
+      ("T2_mid",       100000.0, 200000.0),
+      ("T3_high",      200000.0, 300000.0),
+      ("T4_premium",   300000.0, 400000.0),
+      ("T5_top",       400000.0, 1e18)
+    ).toDF("tier", "lo", "hi")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(tiers),
+            $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
   /** End-to-end training-data prep pipeline, composed as ONE
     * declarative plan: exact dedup (keep lowest doc_id per content
     * hash) → quality gate (≥ 20 tokens) → language filter (en) →

@@ -178,6 +178,26 @@ object Events {
            round(sum($"value"), 2).as("total_value"))
   }
 
+  /** First/last event per user via window frames (including the
+    * UNBOUNDED FOLLOWING frame for last_value) — one shuffle on
+    * user_id, one sort, both endpoints read in the same pass.
+    */
+  def evtFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .withColumn("first_type", first($"event_type").over(wAll))
+      .withColumn("last_type", last($"event_type").over(wAll))
+      .withColumn("first_val", first($"value").over(wAll))
+      .withColumn("last_val", last($"value").over(wAll))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"first_type", $"last_type",
+              round($"first_val", 2).as("first_val"),
+              round($"last_val", 2).as("last_val"))
+  }
+
   /** Funnel analysis (view → click → purchase): one grouped pass
     * computes each user's first timestamp per funnel stage, then the
     * strict-ordering predicate counts stage completions. Single
