@@ -76,6 +76,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(opt.toLowerCase.contains("sortedjaccard"), opt)
   }
 
+  test("JaccardLengthPruning is semantics-preserving (same rows with rule excluded)") {
+    val withRule = graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.JaccardLengthPruning")
+    try {
+      val withoutRule = graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
+      assert(withRule == withoutRule)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("q_promo_effect: part dim broadcast, date filter pushed to fact scan") {
+    val df = graft.operators.Relational.qPromoEffect(spark, sf)
+    val fmt = capture(df, "formatted")
+    assert(fmt.contains("BroadcastHashJoin"), fmt)
+    assert(fmt.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("pipeline_prep: whole pipeline in two shuffles") {
+    // lang/quality filters sit ABOVE the dedup window by design
+    // (filtering first would change which duplicate survives), so the
+    // plan-shape guarantee is the shuffle bound: dedup hash partition
+    // + final aggregate, nothing else
+    val p = capture(graft.operators.Analytics.pipelinePrep(spark, sf), "formatted")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"pipeline shuffles too much ($exchanges)\n$p")
+  }
+
   test("dedup_exact: partial aggregation before the shuffle") {
     val p = capture(graft.dedup.Dedup.dedupExact(spark, sf), "simple")
     // partial + final pair means map-side combine happens pre-shuffle
