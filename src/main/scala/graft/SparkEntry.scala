@@ -35,6 +35,7 @@ object SparkEntry {
     "q_setops"             -> (Relational.qSetOps _),
     "q_conditional_agg"    -> (Relational.qConditionalAgg _),
     "q_outer_join"         -> (Relational.qOuterJoin _),
+    "q_full_outer"         -> (Relational.qFullOuter _),
     "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
     "q_promo_effect"       -> (Relational.qPromoEffect _),
     "q_having"             -> (Relational.qHaving _),
@@ -237,6 +238,16 @@ object SparkEntry {
         | (SELECT * FROM customer WHERE c_mktsegment='MACHINERY') c
         | ON n_nationkey = c_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q_full_outer" ->
+      """WITH s AS (SELECT s_nationkey, count(*) AS n_suppliers
+        |  FROM supplier GROUP BY s_nationkey),
+        |c AS (SELECT c_nationkey, count(*) AS n_customers
+        |  FROM customer WHERE c_mktsegment='AUTOMOBILE'
+        |  GROUP BY c_nationkey)
+        |SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        | coalesce(n_suppliers, 0) AS n_suppliers,
+        | coalesce(n_customers, 0) AS n_customers
+        |FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         |FROM (SELECT *, avg(c_acctbal) OVER (PARTITION BY c_nationkey)

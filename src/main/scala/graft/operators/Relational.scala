@@ -294,6 +294,23 @@ object Relational {
     f.except(open).select($"o_custkey".as("c_custkey"))
   }
 
+  /** Full outer join: suppliers × customers per nation — rows survive
+    * from BOTH unmatched sides (nations with customers but no
+    * suppliers and vice versa), null-safe aggregated.
+    */
+  def qFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, sfDir)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "AUTOMOBILE")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    s.join(c, $"s_nationkey" === $"c_nationkey", "full_outer")
+      .select(coalesce($"s_nationkey", $"c_nationkey").as("nationkey"),
+              coalesce($"n_suppliers", lit(0L)).as("n_suppliers"),
+              coalesce($"n_customers", lit(0L)).as("n_customers"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

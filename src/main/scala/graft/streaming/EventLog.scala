@@ -81,6 +81,57 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Commit a consumer group's position (the reference consumer's
+    * `auto.commit` on group `myGroup`). Offsets are stored as one
+    * JSON line per commit under `<dir>.groups/<groupId>/` —
+    * metadata-sized, append-only, last write wins.
+    */
+  def commit(groupId: String, offsets: Map[Int, Long]): Unit = {
+    val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
+    java.nio.file.Files.createDirectories(d)
+    val line = offsets.toSeq.sorted
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(d.resolve(s"commit-${System.nanoTime()}.json"),
+      line.getBytes("UTF-8"))
+  }
+
+  /** The group's last committed offsets (empty map = never committed,
+    * i.e. `auto.offset.reset=smallest` → read from earliest).
+    */
+  def committed(groupId: String): Map[Int, Long] = {
+    val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
+    if (!java.nio.file.Files.isDirectory(d)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(d).iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".json")).sortBy(_.toString)
+      files.lastOption.map { f =>
+        val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        s.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
+          .map { kv =>
+            val Array(k, v) = kv.split(":")
+            k.replaceAll("\"", "").toInt -> v.toLong
+          }.toMap
+      }.getOrElse(Map.empty)
+    }
+  }
+
+  /** Poll as a consumer group: read everything past the group's last
+    * commit, hand the batch to `handler` (the reference's
+    * `MessageHandler` receiving the polled batch), then commit the
+    * new high-water-marks. At-least-once: a crash between handler
+    * and commit replays the batch on the next poll.
+    */
+  def poll(spark: SparkSession, groupId: String)
+          (handler: DataFrame => Unit): Long = {
+    val batch = consume(spark, committed(groupId))
+    val hwms = batch.groupBy("partition").agg(max("offset").as("hwm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = batch.count()
+    if (n > 0) { handler(batch); commit(groupId, committed(groupId) ++ hwms) }
+    n
+  }
+
   /** Compact the topic: rewrite each partition's accumulated small
     * append files (one per produce batch) into one file per
     * partition, preserving every (partition, offset, key, payload)

@@ -96,6 +96,31 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.consume(spark).count() == 600)
   }
 
+  test("consumer groups: independent committed positions, at-least-once poll") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-groups").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    def batch(from: Int, until: Int) = spark.range(from, until)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+
+    log.produce(batch(0, 100))
+    var seenA = 0L
+    assert(log.poll(spark, "groupA")(b => seenA = b.count()) == 100)
+    assert(seenA == 100)
+    // groupA is caught up; groupB starts from earliest independently
+    assert(log.poll(spark, "groupA")(_ => fail("empty poll ran handler")) == 0)
+    assert(log.poll(spark, "groupB")(_ => ()) == 100)
+
+    // new messages: each group sees exactly the delta
+    log.produce(batch(100, 150))
+    var deltaA = Set.empty[Long]
+    log.poll(spark, "groupA") { b =>
+      deltaA = b.select($"key".cast("long")).as[Long].collect().toSet
+    }
+    assert(deltaA == (100L until 150L).toSet)
+    assert(log.committed("groupA") == log.highWaterMarks(spark))
+  }
+
   test("topic-to-topic streaming relay preserves messages and offsets") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-relay").toString
