@@ -63,6 +63,7 @@ object SparkEntry {
     "q_string_funcs"       -> (Analytics.qStringFuncs _),
     "q_range_join"         -> (Analytics.qRangeJoin _),
     "evt_first_last"       -> (Events.evtFirstLast _),
+    "evt_anomaly"          -> (Events.evtAnomaly _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
+    "mm_chunk_dedup"       -> (graft.multimodal.Multimodal.mmChunkDedup _),
     "mm_frame_sample"      -> (graft.multimodal.Multimodal.mmFrameSample _),
     "mm_decode_batch"      -> (graft.multimodal.Multimodal.mmDecodeBatch _),
   )
@@ -517,6 +519,22 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
         |   ORDER BY n DESC, bigram) AS INT) AS rank FROM c)
         |SELECT lang, bigram, n, rank FROM r WHERE rank <= 10""".stripMargin,
+    "evt_anomaly" ->
+      """WITH s AS (SELECT event_type AS t, avg(value) AS mu,
+        |   stddev_samp(value) AS sigma FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events JOIN s ON event_type = t
+        |WHERE value > mu + 3 * sigma""".stripMargin,
+    "mm_chunk_dedup" ->
+      """WITH c AS (SELECT source, unnest(list_transform(
+        |   range(0, CAST(greatest(1, ceil(length(text)/64.0)) AS INT)),
+        |   i -> md5(substr(text, i*64 + 1, 64)))) AS chunk_hash
+        |  FROM documents)
+        |SELECT source, count(*) AS n_chunks,
+        | count(DISTINCT chunk_hash) AS n_distinct_chunks,
+        | round(count(DISTINCT chunk_hash)::DOUBLE / count(*), 4)
+        |   AS uniq_ratio
+        |FROM c GROUP BY source""".stripMargin,
     "mm_binary_meta" ->
       """SELECT source, count(*) AS n_blobs,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

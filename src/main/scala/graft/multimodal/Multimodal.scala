@@ -31,6 +31,29 @@ object Multimodal {
            countDistinct(md5($"blob")).as("n_checksums"))
   }
 
+  /** Chunk-level dedup over binary payloads (content-addressable
+    * storage shape, fixed 64-byte chunking): each blob splits into
+    * chunks, chunks hash, and the per-source distinct/total chunk
+    * ratio measures cross-blob redundancy. At 100 TB this is the
+    * dedup that runs BELOW document granularity — the chunk explode
+    * is per-row (no shuffle) and the aggregate is one partial-final
+    * pass on source.
+    */
+  def mmChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withBlob(Tables.documents(spark, sfDir))
+      .withColumn("n_chunks_doc",
+        greatest(lit(1L), ceil(length($"blob") / lit(64.0))))
+      .withColumn("chunk", explode(expr(
+        "transform(sequence(0, cast(n_chunks_doc as int) - 1)," +
+          " i -> substring(text, i*64 + 1, 64))")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(md5($"chunk")).as("n_distinct_chunks"),
+           round(countDistinct(md5($"chunk")) / count(lit(1)).cast("double"), 4)
+             .as("uniq_ratio"))
+  }
+
   /** Batch decode via `mapPartitions` — the Scala analog of a Pandas
     * UDF over `mapInPandas`: the decoder sees an iterator of blobs
     * per partition (so a real codec could amortize init/model load

@@ -178,6 +178,25 @@ object Events {
            round(sum($"value"), 2).as("total_value"))
   }
 
+  /** Outlier detection: events whose value exceeds their type's
+    * mean + 3σ. The per-type moments are a tiny aggregate broadcast
+    * back against the event scan — two passes, one shuffle, no
+    * window sort over the full stream.
+    */
+  def evtAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.events(spark, sfDir)
+      .groupBy($"event_type".as("t"))
+      .agg(avg($"value").as("mu"), stddev_samp($"value").as("sigma"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(stats), $"event_type" === $"t")
+      // threshold stays internal: its last-ulp differs across engines
+      // and rounding could straddle a boundary (the q_scalar_subquery
+      // lesson); the filter itself is safe (values sit far from it)
+      .filter($"value" > $"mu" + lit(3.0) * $"sigma")
+      .select($"event_id", $"event_type", round($"value", 2).as("value"))
+  }
+
   /** First/last event per user via window frames (including the
     * UNBOUNDED FOLLOWING frame for last_value) — one shuffle on
     * user_id, one sort, both endpoints read in the same pass.
