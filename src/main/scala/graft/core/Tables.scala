@@ -31,4 +31,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the whole surface is
+    * reachable from `spark.sql(...)` (plus the graft_* functions the
+    * extensions install) — the SQL-first entry point.
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(s, d) else load(s, d, name)
+      df.createOrReplaceTempView(name)
+    }
 }
