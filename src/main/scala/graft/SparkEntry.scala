@@ -488,7 +488,7 @@ object SparkEntry {
         |LEFT JOIN actual ON m = month_start AND s = o_orderstatus""".stripMargin,
     "evt_value_buckets" ->
       """SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bucket,
-        | count(*) AS n_events, round(avg(value), 4) AS avg_value
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "pipeline_prep" ->
       """WITH h AS (SELECT *, md5(lower(trim(text))) AS content_hash

@@ -95,8 +95,11 @@ object Analytics {
     Tables.events(spark, sfDir)
       .withColumn("bucket", floor($"value" / 10.0).cast("long"))
       .groupBy($"event_type", $"bucket")
+      // sum, not avg: a 4-decimal-rounded avg can land on a .00005
+      // boundary and flip on cross-engine last-ulp differences
+      // (seen at sf0.1); sums of 2-decimal values round stably
       .agg(count(lit(1)).as("n_events"),
-           round(avg($"value"), 4).as("avg_value"))
+           round(sum($"value"), 2).as("total_value"))
   }
 
   /** Duplicate-cluster profile: distribution of exact-duplicate
