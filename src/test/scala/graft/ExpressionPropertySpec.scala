@@ -40,6 +40,23 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("length-pruning implication: jaccard >= t forces min/max size ratio >= t") {
+    // the invariant graft.plans.JaccardLengthPruning relies on:
+    // |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
+    // j = |A∩B|/|A∪B| <= min/max — a pair the size test rejects can
+    // never reach the threshold
+    val lit = (v: List[String]) =>
+      v.distinct.sorted.map(x => s"'$x'").mkString("array(", ",", ")")
+    val wordGen = Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))
+    for (Seq(a, b) <- samples(Gen.zip(wordGen, wordGen), 30).map(p => Seq(p._1, p._2))) {
+      val r = spark.sql(
+        s"SELECT graft_sorted_jaccard(${lit(a)}, ${lit(b)}) j").head()
+      val (sa, sb) = (a.distinct.size.toDouble, b.distinct.size.toDouble)
+      assert(r.getDouble(0) <= math.min(sa, sb) / math.max(sa, sb) + 1e-12,
+        s"jaccard exceeded the size-ratio bound for |A|=$sa |B|=$sb")
+    }
+  }
+
   test("minhash bands are set-deterministic: equal sets, equal bands") {
     val lit = (v: List[String]) => v.map(x => s"'$x'").mkString("array(", ",", ")")
     val rnd = new scala.util.Random(11)
