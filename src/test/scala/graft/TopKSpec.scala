@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The bounded-heap top-k aggregate must reproduce the window-based
+  * (row_number) top-k exactly, while aggregating partially map-side
+  * instead of sorting every candidate.
+  */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("heap top-k equals window top-k on brute-force cosine search") {
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select($"vec_id", $"v")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = e.join(broadcast(q), $"query_id" =!= $"vec_id")
+      .withColumn("cos", graft.functions.cosineSim($"qv", $"v"))
+
+    val heap = scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+
+    val window = graft.similarity.Similarity.simBruteTopk(spark, sf)
+    assert(heap.count() == window.count() && heap.count() == 50)
+    assert(heap.exceptAll(window).count() == 0)
+    assert(window.exceptAll(heap).count() == 0)
+  }
+
+  test("top-k aggregation is partial (map-side) — no global sort of candidates") {
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select(($"id" % 7).as("g"), $"id".as("id"),
+              ($"id" % 131).cast("double").as("score"))
+      .groupBy($"g")
+      .agg(graft.functions.TopK.topK(3)($"id", $"score").as("top"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate appears twice (partial + final); no Sort
+    // node anywhere below the aggregate
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Sort "), s"top-k fell back to a sort\n$p")
+  }
+}
