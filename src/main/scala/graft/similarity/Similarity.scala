@@ -23,20 +23,25 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v"))
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10),
-    * ties broken by neighbor id.
+    * ties broken by neighbor id. Per-query top-k runs through the
+    * bounded-heap aggregate ([[graft.functions.TopK]]): each map
+    * partition reduces to ≤ k candidates before the shuffle, so no
+    * global sort of the candidate set ever happens — the window-sort
+    * equivalent is spec-asserted identical in TopKSpec.
     */
   def simBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     e.join(broadcast(q), $"query_id" =!= $"vec_id")
       .withColumn("cos", cosineSim($"qv", $"v"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
-              round($"cos", 4).as("cosine"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
   }
 
   /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar

@@ -18,17 +18,17 @@ class TopKSpec extends AnyFunSuite {
       .select($"vec_id", $"v")
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val scored = e.join(broadcast(q), $"query_id" =!= $"vec_id")
+    // the window-sort reference implementation, built inline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val window = e.join(broadcast(q), $"query_id" =!= $"vec_id")
       .withColumn("cos", graft.functions.cosineSim($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+              round($"cos", 4).as("cosine"))
 
-    val heap = scored.groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
-
-    val window = graft.similarity.Similarity.simBruteTopk(spark, sf)
+    val heap = graft.similarity.Similarity.simBruteTopk(spark, sf)
     assert(heap.count() == window.count() && heap.count() == 50)
     assert(heap.exceptAll(window).count() == 0)
     assert(window.exceptAll(heap).count() == 0)
