@@ -83,14 +83,16 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")))
       .filter($"crank" <= 5)
       .select($"query_id", $"qv", $"cell")
-    // score only the probed cells' members
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    // score only the probed cells' members; per-query top-k via the
+    // bounded-heap aggregate (no candidate sort)
     vecs.join(broadcast(probes), $"label" === $"cell" && $"vec_id" =!= $"query_id")
       .withColumn("cos", cosineSim($"qv", $"v"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
-              round($"cos", 4).as("cosine"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
   }
 
   /** Per-label centroid vectors in long form (label, dim_idx,
@@ -128,15 +130,16 @@ object Similarity {
     val candidates = keys.join(broadcast(qKeys), Seq("table_id", "bucket"))
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id").distinct()
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     candidates
       .join(vecs.select($"vec_id", $"v"), Seq("vec_id"))
       .join(broadcast(vecs.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"v".as("qv"))), Seq("query_id"))
       .withColumn("cos", cosineSim($"qv", $"v"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
-              round($"cos", 4).as("cosine"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
   }
 }
