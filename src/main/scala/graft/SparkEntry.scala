@@ -71,6 +71,7 @@ object SparkEntry {
     "txt_term_freq"        -> (graft.text.TextAnalysis.txtTermFreq _),
     "txt_fingerprint"      -> (graft.text.TextAnalysis.txtFingerprint _),
     "txt_bigrams"          -> (Analytics.txtBigrams _),
+    "txt_approx_topk"      -> (graft.text.TextAnalysis.txtApproxTopk _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),

@@ -99,6 +99,25 @@ object TextAnalysis {
       .select($"lang", $"word", $"n", $"rank")
   }
 
+  /** Sketch-based frequent terms (`approx_top_k`, DataSketches
+    * frequent-items): the 100 TB replacement for [[txtTermFreq]]'s
+    * exact group-count — the sketch is a fixed-size mergeable summary,
+    * so the shuffle carries one sketch per partition instead of one
+    * row per distinct term. Algorithm differs from any exact SQL →
+    * rows-only check; TextSpec asserts it matches the exact top-10
+    * on this corpus (sketch capacity ≫ vocabulary).
+    */
+  def txtApproxTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", explode(expr("split(trim(text), ' +')")).as("word"))
+      .groupBy($"lang")
+      .agg(expr("approx_top_k(word, 10, 10000)").as("top"))
+      .select($"lang", posexplode($"top").as(Seq("i", "p")))
+      .select($"lang", $"p.item".as("word"), $"p.count".as("n"),
+              ($"i" + 1).cast("int").as("rank"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 shape):
     * hash every 4-word shingle, slide a window of 4 hashes, keep each
     * window's min, dedupe. Output is a stable per-doc digest summary.
