@@ -64,6 +64,7 @@ object SparkEntry {
     "q_range_join"         -> (Analytics.qRangeJoin _),
     "evt_first_last"       -> (Events.evtFirstLast _),
     "evt_anomaly"          -> (Events.evtAnomaly _),
+    "evt_moving_agg"       -> (Events.evtMovingAgg _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -520,6 +521,13 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
         |   ORDER BY n DESC, bigram) AS INT) AS rank FROM c)
         |SELECT lang, bigram, n, rank FROM r WHERE rank <= 10""".stripMargin,
+    "evt_moving_agg" ->
+      """SELECT event_id, event_type,
+        | count(*) OVER w AS n_last_hour,
+        | round(sum(value) OVER w, 2) AS sum_last_hour
+        |FROM (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "evt_anomaly" ->
       """WITH s AS (SELECT event_type AS t, avg(value) AS mu,
         |   stddev_samp(value) AS sigma FROM events GROUP BY 1)

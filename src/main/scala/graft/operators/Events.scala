@@ -178,6 +178,22 @@ object Events {
            round(sum($"value"), 2).as("total_value"))
   }
 
+  /** Trailing-hour moving aggregate per event type: a time-RANGE
+    * window frame (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    * CURRENT ROW`) — the per-event rolling view a monitoring consumer
+    * keeps. One shuffle on event_type, one sort on ts; the frame is
+    * maintained incrementally, never re-scanned per row.
+    */
+  def evtMovingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("sum_last_hour", round(sum($"value").over(w), 2))
+      .select($"event_id", $"event_type", $"n_last_hour", $"sum_last_hour")
+  }
+
   /** Outlier detection: events whose value exceeds their type's
     * mean + 3σ. The per-type moments are a tiny aggregate broadcast
     * back against the event scan — two passes, one shuffle, no
