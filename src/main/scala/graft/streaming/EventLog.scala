@@ -57,12 +57,30 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  /** The topic's message schema (what [[produce]] writes). */
+  def schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("produced_at",
+        org.apache.spark.sql.types.TimestampType)))
+
   /** Batch consume: all messages with offset > the given committed
     * offset for their partition (absent partition = from earliest,
-    * i.e. `auto.offset.reset=smallest`).
+    * i.e. `auto.offset.reset=smallest`). A topic nobody has produced
+    * to yet consumes as empty, like a freshly created Kafka topic.
     */
   def consume(spark: SparkSession, committed: Map[Int, Long] = Map.empty): DataFrame = {
-    val base = spark.read.parquet(dir)
+    val base =
+      if (!new java.io.File(dir).exists())
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(dir)
     if (committed.isEmpty) base
     else {
       val pred = committed.foldLeft(lit(true)) { case (acc, (p, off)) =>
@@ -76,10 +94,8 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
     * topic directory — micro-batches are the poll loop, the query's
     * checkpoint is the consumer group's committed offsets.
     */
-  def readStream(spark: SparkSession): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+  def readStream(spark: SparkSession): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
-  }
 
   /** Commit a consumer group's position (the reference consumer's
     * `auto.commit` on group `myGroup`). Offsets are stored as one

@@ -103,6 +103,10 @@ class EventLogSpec extends AnyFunSuite {
     def batch(from: Int, until: Int) = spark.range(from, until)
       .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
 
+    // pre-produce: the topic consumes as empty instead of failing
+    assert(log.consume(spark).count() == 0)
+    assert(log.poll(spark, "groupA")(_ => fail("empty poll ran handler")) == 0)
+
     log.produce(batch(0, 100))
     var seenA = 0L
     assert(log.poll(spark, "groupA")(b => seenA = b.count()) == 100)
