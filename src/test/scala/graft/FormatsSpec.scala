@@ -25,6 +25,23 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.select(cols: _*).exceptAll(df.select(cols: _*)).count() == 0)
   }
 
+  test("parquet schema evolution: appended column readable via mergeSchema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-evolve").toString
+    val v1 = customers().select($"c_custkey", $"c_name")
+    v1.write.parquet(s"$base/t")
+    // later writer adds a column; old files stay untouched
+    val v2 = customers().select($"c_custkey", $"c_name",
+      lit("2024-01-01").as("ingest_date"))
+    v2.write.mode("append").parquet(s"$base/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    assert(merged.columns.toSet == Set("c_custkey", "c_name", "ingest_date"))
+    assert(merged.count() == 2 * v1.count())
+    // rows from the old layout surface the new column as null
+    assert(merged.filter($"ingest_date".isNull).count() == v1.count())
+  }
+
   test("csv round-trip with explicit schema (no inference scan)") {
     val base = Files.createTempDirectory("graft-fmt-csv").toString
     val df = customers()
