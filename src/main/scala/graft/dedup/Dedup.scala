@@ -113,10 +113,12 @@ object Dedup {
     val b = d.select($"chunk_idx", $"chunk_val", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter($"doc_id_1" < $"doc_id_2")
-      .select($"doc_id_1", $"doc_id_2", $"h1", $"h2").distinct()
+      // hamming BEFORE the pair-dedup: bit_count is per-row cheap,
+      // and filtering first shrinks the distinct's shuffle to only
+      // the (rare) near-dup pairs instead of every co-bucketed pair
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter($"hamming" <= 3)
-      .select($"doc_id_1", $"doc_id_2", $"hamming")
+      .select($"doc_id_1", $"doc_id_2", $"hamming").distinct()
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.35), blocked by the
