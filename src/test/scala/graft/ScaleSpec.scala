@@ -73,6 +73,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(written.filter($"partition" === 0).count() == 0)
   }
 
+  test("seeded sampling is deterministic; stratified sampleBy hits per-stratum fractions") {
+    import spark.implicits._
+    val o = graft.core.Tables.orders(spark, sf)
+    val n = o.count()
+    val s1 = o.sample(withReplacement = false, 0.1, seed = 42)
+    val s2 = o.sample(withReplacement = false, 0.1, seed = 42)
+    assert(s1.count() == s2.count())
+    assert(s1.exceptAll(s2).count() == 0, "same seed must give the same sample")
+    assert(math.abs(s1.count().toDouble / n - 0.1) < 0.05)
+    // stratified: downsample one status, keep another
+    val strat = o.stat.sampleBy("o_orderstatus",
+      Map[Any, Double]("F" -> 0.05, "O" -> 0.5, "P" -> 1.0), seed = 42)
+    val byStatus = strat.groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = o.groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("P", 0L) == full("P"), "fraction 1.0 keeps everything")
+    assert(byStatus.getOrElse("F", 0L) < full("F") / 5, "fraction .05 downsampled")
+  }
+
   test("date-partitioned writes prune partitions on read") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-partlake").toString
