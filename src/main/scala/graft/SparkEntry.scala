@@ -86,6 +86,7 @@ object SparkEntry {
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
     "sim_ivf_ann"          -> (graft.similarity.Similarity.simIvfAnn _),
     "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
+    "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
     "mm_chunk_dedup"       -> (graft.multimodal.Multimodal.mmChunkDedup _),

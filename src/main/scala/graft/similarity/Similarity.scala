@@ -110,6 +110,32 @@ object Similarity {
            count(lit(1)).as("n_vectors"))
   }
 
+  /** Approximate kNN graph over the WHOLE corpus (not just a query
+    * set): every vector's top-5 cosine neighbors within its coarse
+    * cell (`label`), the 1-probe IVF approximation used to build
+    * embedding kNN graphs for clustering/near-dup sweeps. Work is
+    * Σ|cell|² (never corpus²), the only wide op is the self-join's
+    * single canonicalized exchange on the cell id, and per-vector
+    * top-k runs through the bounded-heap aggregate — no sort of the
+    * candidate lists. Rows-only check; within-cell exactness vs the
+    * window path is spec-asserted in TopKSpec.
+    */
+  def simKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val a = e.select($"label", $"vec_id", $"v")
+    val b = e.select($"label", $"vec_id".as("nbr_id"), $"v".as("nv"))
+    a.join(b, Seq("label"))
+      .filter($"vec_id" =!= $"nbr_id")
+      .withColumn("cos", cosineSim($"v", $"nv"))
+      .groupBy($"vec_id")
+      .agg(graft.functions.TopK.topK(5)($"nbr_id", $"cos").as("top"))
+      .select($"vec_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"vec_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates
     * co-bucketed with them in at least one of the 8 tables (union of
     * candidates, deduped), then exact-cosine top-5. Rows-only check;

@@ -34,6 +34,27 @@ class TopKSpec extends AnyFunSuite {
     assert(window.exceptAll(heap).count() == 0)
   }
 
+  test("knn graph covers every vector and is exact within its cell") {
+    import spark.implicits._
+    val g = graft.similarity.Similarity.simKnnGraph(spark, sf)
+    val e = graft.core.Tables.embeddings(spark, sf)
+    assert(g.select($"vec_id").distinct().count() == e.count())
+    assert(g.groupBy($"vec_id").count().filter($"count" =!= 5).count() == 0)
+    // exactness within the cell, window-path reference, sample of vectors
+    val v = e.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select($"label", $"vec_id", $"v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")
+    val ref = v.join(v.select($"label", $"vec_id".as("nbr_id"), $"v".as("nv")), Seq("label"))
+      .filter($"vec_id" =!= $"nbr_id" && $"vec_id" < 30)
+      .withColumn("cos", graft.functions.cosineSim($"v", $"nv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"vec_id", $"nbr_id".as("neighbor_id"), $"rank",
+              round($"cos", 4).as("cosine"))
+    assert(g.filter($"vec_id" < 30).exceptAll(ref).count() == 0)
+  }
+
   test("top-k aggregation is partial (map-side) — no global sort of candidates") {
     import spark.implicits._
     val df = spark.range(0, 1000)
