@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64, SortedJaccard}
+import org.apache.spark.sql.graft.{CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, SimHash64, SortedJaccard}
 
 /** SparkSessionExtensions installer: exposes graft's native Catalyst
   * expressions to SQL. Register with
@@ -16,6 +16,8 @@ import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneBuckets, MinHashB
   *   graft_minhash_bands(array<string>, bands, rows) → array<bigint>
   *   graft_sorted_jaccard(array<string>, array<string>) → double
   *   graft_hyperplane_buckets(array<double>, tables, bits) → array<bigint>
+  *   graft_md5lower64(string)                   → bigint
+  *   graft_codepoint_sum(string)                → bigint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -44,5 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (es: Seq[Expression]) => HyperplaneBuckets(es.head,
         intArg(es(1), "tables"), intArg(es(2), "bits"), 64)))
+    ext.injectFunction((FunctionIdentifier("graft_md5lower64"),
+      new ExpressionInfo(classOf[Md5Lower64].getName, "graft_md5lower64"),
+      (es: Seq[Expression]) => Md5Lower64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_codepoint_sum"),
+      new ExpressionInfo(classOf[CodepointSum].getName, "graft_codepoint_sum"),
+      (es: Seq[Expression]) => CodepointSum(es.head)))
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, HyperplaneBuckets, MinHashBands, SimHash64, SortedJaccard}
+  import org.apache.spark.sql.graft.{Bridge, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, SimHash64, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -36,6 +36,16 @@ package object functions {
     */
   def hyperplaneBuckets(v: Column, tables: Int, bits: Int, dims: Int = 64): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(v), tables, bits, dims))
+
+  /** Lower 64 bits of md5 (little-endian bytes 8..16) as a signed
+    * long — same bit pattern as DuckDB's `md5_number_lower`.
+    */
+  def md5Lower64(s: Column): Column =
+    Bridge.column(Md5Lower64(Bridge.expression(s)))
+
+  /** Sum of Unicode code points of a string column. */
+  def codepointSum(s: Column): Column =
+    Bridge.column(CodepointSum(Bridge.expression(s)))
 
   /** Dot product of two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =

@@ -41,9 +41,13 @@ object Multimodal {
     */
   def mmChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // chunk count and chunk content both in the CHAR domain
+    // (length(text) + substring(text, ...)): on multibyte text a
+    // byte-derived count would overshoot the char-addressed substring
+    // and emit phantom empty chunks
     withBlob(Tables.documents(spark, sfDir))
       .withColumn("n_chunks_doc",
-        greatest(lit(1L), ceil(length($"blob") / lit(64.0))))
+        greatest(lit(1L), ceil(length($"text") / lit(64.0))))
       .withColumn("chunk", explode(expr(
         "transform(sequence(0, cast(n_chunks_doc as int) - 1)," +
           " i -> substring(text, i*64 + 1, 64))")))

@@ -20,11 +20,14 @@ import org.apache.spark.sql.types.DoubleType
   * rule them out — on a near-dup corpus, the vast majority.
   *
   * Semantics-preserving (the added conjunct is implied by the
-  * original). Skipped if the condition already mentions `size(...)`,
-  * which also makes the rule idempotent under the optimizer's
-  * fixed-point batch.
+  * original). Only TOP-LEVEL conjuncts are rewritten: a bound that
+  * sits under OR / NOT / CASE does not imply the size filter for the
+  * whole row (e.g. `jaccard >= 0.9 OR p` must keep rows satisfying
+  * only `p`), so such occurrences are left untouched. Skipped if the
+  * condition already mentions `size(...)`, which also makes the rule
+  * idempotent under the optimizer's fixed-point batch.
   */
-object JaccardLengthPruning extends Rule[LogicalPlan] {
+object JaccardLengthPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   private def bound(e: Expression): Option[(Expression, Expression, Double)] = e match {
     case GreaterThanOrEqual(SortedJaccard(a, b), Literal(t: Double, DoubleType)) =>
@@ -51,8 +54,9 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
   }
 
   private def rewrite(cond: Expression): Option[Expression] = {
-    val found = scala.collection.mutable.ArrayBuffer.empty[(Expression, Expression, Double)]
-    cond.foreach(e => bound(e).foreach(found += _))
+    // only bounds that are themselves top-level conjuncts imply the
+    // size prefilter for every surviving row
+    val found = splitConjunctivePredicates(cond).flatMap(bound)
     if (found.isEmpty) None
     else Some(found.foldLeft(cond) { case (c, (a, b, t)) => And(prefilter(a, b, t), c) })
   }

@@ -107,8 +107,28 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
     java.nio.file.Files.createDirectories(d)
     val line = offsets.toSeq.sorted
       .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
-    java.nio.file.Files.write(d.resolve(s"commit-${System.nanoTime()}.json"),
+    // persisted monotonic sequence (max existing + 1): survives JVM
+    // restarts, unlike nanoTime whose origin is arbitrary per JVM and
+    // could make a later commit sort before an earlier one
+    val next = commitFiles(d).lastOption.map(_._1 + 1).getOrElse(0L)
+    java.nio.file.Files.write(d.resolve(f"commit-$next%012d.json"),
       line.getBytes("UTF-8"))
+  }
+
+  /** Commit files of a group dir, sorted by NUMERIC sequence number
+    * (string sort would break if digit counts ever differed).
+    */
+  private def commitFiles(d: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    val re = "commit-(\\d+)\\.json".r
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else java.nio.file.Files.list(d).iterator().asScala.toSeq
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case re(n) => Some(n.toLong -> p)
+          case _ => None
+        }
+      }.sortBy(_._1)
   }
 
   /** The group's last committed offsets (empty map = never committed,
@@ -116,20 +136,14 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
     */
   def committed(groupId: String): Map[Int, Long] = {
     val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
-    if (!java.nio.file.Files.isDirectory(d)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val files = java.nio.file.Files.list(d).iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".json")).sortBy(_.toString)
-      files.lastOption.map { f =>
-        val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        s.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
-          .map { kv =>
-            val Array(k, v) = kv.split(":")
-            k.replaceAll("\"", "").toInt -> v.toLong
-          }.toMap
-      }.getOrElse(Map.empty)
-    }
+    commitFiles(d).lastOption.map { case (_, f) =>
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      s.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(":")
+          k.replaceAll("\"", "").toInt -> v.toLong
+        }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Poll as a consumer group: read everything past the group's last

@@ -20,9 +20,9 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  // default ExpectsInputTypes validation applies: SQL calls over
+  // non-double arrays fail analysis instead of misreading the buffer
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -128,12 +128,14 @@ case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dims: In
 
 /** MinHash LSH band hashes for an `array<string>` token set, in one
   * tight pass: each token is xxhash64'd twice (seeds 42/1), slot i's
-  * hash is h1 XOR rotr(h2, i) (Kirsch–Mitzenmacher-style derived
-  * family), and each band of `rowsPerBand` consecutive slot-minima
-  * folds into one hash via chained hashLong. Returns `array<long>`
-  * of length `numBands`. Replaces an interpreted HOF pipeline that
-  * cost ~30 s per evaluation at sf0.1 — cheap enough to recompute
-  * across iterative joins instead of caching.
+  * hash is h1 + i·h2 (the Kirsch–Mitzenmacher derived family — an
+  * APERIODIC schedule, unlike rotate-based mixing whose period-64
+  * cycle would silently reuse hash functions past 64 slots), and each
+  * band of `rowsPerBand` consecutive slot-minima folds into one hash
+  * via chained hashLong. Returns `array<long>` of length `numBands`.
+  * Replaces an interpreted HOF pipeline that cost ~30 s per
+  * evaluation at sf0.1 — cheap enough to recompute across iterative
+  * joins instead of caching.
   */
 case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -151,7 +153,9 @@ case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
       val h2 = XxHash64Function.hash(w, StringType, 1L)
       var i = 0
       while (i < slots) {
-        val c = h1 ^ java.lang.Long.rotateRight(h2, i)
+        // JVM long arithmetic wraps (this is Scala eval code, not an
+        // ANSI SQL expression) — deterministic on every executor
+        val c = h1 + i.toLong * h2
         if (c < sig(i)) sig(i) = c
         i += 1
       }
@@ -168,6 +172,54 @@ case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
       bands(b) = h; b += 1
     }
     new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Lower 64 bits of the MD5 digest of a string, read little-endian
+  * from digest bytes 8..16 — the exact bit pattern DuckDB's
+  * `md5_number_lower` returns (as UBIGINT; here reinterpreted as the
+  * signed long with the same bits). Gives dedup/fingerprint pipelines
+  * a 64-bit word hash that an external SQL oracle can reproduce,
+  * which xxhash64 (Spark-only) cannot.
+  */
+case class Md5Lower64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    var r = 0L; var i = 15
+    while (i >= 8) { r = (r << 8) | (d(i) & 0xffL); i -= 1 }
+    r
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sum of Unicode code points of a string — a deterministic scalar
+  * both Spark and an external oracle can compute over text chunks
+  * (DuckDB: `list_sum(list_transform(range(1, length(s)+1),
+  * j -> ord(substr(s, j, 1))))`). Used as the multimodal decode
+  * stub's "frame feature" so the envelope hash-verifies.
+  */
+case class CodepointSum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var r = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      r += cp; i += Character.charCount(cp)
+    }
+    r
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
