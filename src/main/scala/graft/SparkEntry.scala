@@ -550,5 +550,31 @@ object SparkEntry {
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | count(DISTINCT md5(text)) AS n_checksums
         |FROM documents GROUP BY source""".stripMargin,
+    "mm_decode_batch" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,
+        |   unnest(range(0, CAST(ceil(length(text)/64.0) AS INT))) AS fi,
+        |   text
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_frames, CAST(fi AS INT) AS frame_idx,
+        |   substr(text, CAST(fi*64 + 1 AS INT), 64) AS frame FROM f)
+        |SELECT doc_id, n_frames, frame_idx,
+        | CAST(length(frame) AS INT) AS frame_chars,
+        | CAST(list_sum(list_transform(range(1, length(frame)+1),
+        |   j -> ord(substr(frame, j, 1)))) AS BIGINT) AS frame_cpsum
+        |FROM c""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |   unnest(range(0, CAST(ceil(length(text)/64.0) AS INT))) AS fi,
+        |   text
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |   substr(text, CAST(fi*64 + 1 AS INT), 64) AS frame FROM f)
+        |SELECT doc_id, frame_idx,
+        | CAST(length(frame) AS INT) AS frame_chars,
+        | md5(frame) AS frame_md5,
+        | CAST(list_sum(list_transform(range(1, length(frame)+1),
+        |   j -> ord(substr(frame, j, 1)))) % 256 AS INT) AS feature_bucket
+        |FROM c""".stripMargin,
   )
 }

@@ -74,16 +74,19 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { docs =>
         // a real decoder would initialize its codec once, here
-        docs.map { case (docId, text) =>
-          val bytes = text.getBytes("UTF-8")
-          val frames = bytes.grouped(64).toArray
-          val means = frames.map(f => f.map(_.toInt & 0xff).sum.toDouble / f.length)
-          (docId, frames.length,
-            math.round(means.sum / means.length * 10000.0) / 10000.0,
-            means.map(m => math.round(m * 100.0) / 100.0))
+        docs.flatMap { case (docId, text) =>
+          // char (code point) domain, 64-codepoint frames — the same
+          // chunking an external char-addressed oracle computes; the
+          // "decoded feature" stub is the frame's code-point sum, an
+          // exact integer that hash-verifies across engines
+          val cps = text.codePoints().toArray
+          val frames = cps.grouped(64).toArray
+          frames.iterator.zipWithIndex.map { case (f, i) =>
+            (docId, frames.length, i, f.length, f.map(_.toLong).sum)
+          }
         }
       }
-      .toDF("doc_id", "n_frames", "mean_byte", "frame_means")
+      .toDF("doc_id", "n_frames", "frame_idx", "frame_chars", "frame_cpsum")
   }
 
   /** Frame sampling: each blob splits into fixed 64-byte "frames"
@@ -95,17 +98,25 @@ object Multimodal {
     */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    withBlob(Tables.documents(spark, sfDir))
+    // char-domain 64-codepoint frames (sequence() has no empty form —
+    // it DESCENDS when start > stop — so empty text maps to an empty
+    // frame array explicitly)
+    Tables.documents(spark, sfDir)
       .withColumn("frames",
-        expr("transform(sequence(0, cast(floor((length(blob)-1)/64) as int)), " +
-             "f -> substring(blob, f*64+1, 64))"))
+        when(length($"text") === 0, expr("cast(array() as array<string>)"))
+          .otherwise(expr(
+            "transform(sequence(0, cast(ceil(length(text)/64.0) as int) - 1), " +
+              "f -> substring(text, f*64+1, 64))")))
       .select($"doc_id", posexplode($"frames").as(Seq("frame_idx", "frame")))
       .select(
         $"doc_id", $"frame_idx",
-        length($"frame").as("frame_bytes"),
-        xxhash64($"frame").as("frame_hash"),
-        // STUB decoder: deterministic fake features, not real media
-        expr("transform(sequence(0, 3), k -> pmod(xxhash64(frame, k), 256) / 255.0)")
-          .as("frame_feature"))
+        length($"frame").cast("int").as("frame_chars"),
+        md5($"frame").as("frame_md5"),
+        // STUB decoder: a deterministic scalar derived from the frame
+        // content (code-point sum mod 256) standing in for real
+        // pixel/audio features — oracle-reproducible, unlike a raw
+        // array<double> feature vector
+        (graft.functions.codepointSum($"frame") % 256).cast("int")
+          .as("feature_bucket"))
   }
 }

@@ -12,14 +12,14 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val frames = Multimodal.mmFrameSample(spark, sf)
       .groupBy($"doc_id")
-      .agg(sum($"frame_bytes").as("covered"),
+      .agg(sum($"frame_chars").as("covered"),
            count(lit(1)).as("n_frames"),
            max($"frame_idx").as("max_idx"))
     val docs = graft.core.Tables.documents(spark, sf)
-      .select($"doc_id", length($"text").as("n_bytes"))
+      .select($"doc_id", length($"text").as("n_chars"))
     val joined = frames.join(docs, Seq("doc_id"))
-    assert(joined.filter($"covered" =!= $"n_bytes").count() == 0)
-    assert(joined.filter($"n_frames" =!= ceil($"n_bytes" / 64.0)).count() == 0)
+    assert(joined.filter($"covered" =!= $"n_chars").count() == 0)
+    assert(joined.filter($"n_frames" =!= ceil($"n_chars" / 64.0)).count() == 0)
     assert(joined.filter($"max_idx" =!= $"n_frames" - 1).count() == 0)
   }
 
@@ -36,13 +36,24 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val a = Multimodal.mmDecodeBatch(spark, sf)
     val b = Multimodal.mmDecodeBatch(spark, sf)
-    assert(a.count() == graft.core.Tables.documents(spark, sf).count())
+    assert(a.select($"doc_id").distinct().count() ==
+      graft.core.Tables.documents(spark, sf).count())
     assert(a.exceptAll(b).count() == 0, "decoder output not deterministic")
+    // typed mapPartitions decoder and expression pipeline agree frame
+    // by frame: same frame count per doc, same chunk boundaries
     val frames = Multimodal.mmFrameSample(spark, sf)
       .groupBy($"doc_id").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
-    val mismatched = a.join(frames, Seq("doc_id"))
+    val mismatched = a.groupBy($"doc_id", $"n_frames").count()
+      .join(frames, Seq("doc_id"))
       .filter($"n_frames" =!= $"n").count()
     assert(mismatched == 0, "frame counts disagree with expression pipeline")
+    val boundary = a.select($"doc_id", $"frame_idx",
+        $"frame_chars".as("decode_chars"))
+      .join(Multimodal.mmFrameSample(spark, sf)
+        .select($"doc_id", $"frame_idx", $"frame_chars"),
+        Seq("doc_id", "frame_idx"))
+      .filter($"decode_chars" =!= $"frame_chars")
+    assert(boundary.count() == 0, "chunk boundaries disagree")
   }
 }
