@@ -31,8 +31,20 @@ object Dedup {
     df.withColumn("wset", expr("array_distinct(split(trim(text), ' +'))"))
 
   /** Exact word-set Jaccard near-dup pairs (τ ≥ 0.9), blocked by
-    * `source`. The oracle-checkable exact variant; [[dedupMinhash]]
-    * is the scalable approximation of the same predicate.
+    * (`source`, word-set SIZE bucket). The oracle-checkable exact
+    * variant; [[dedupMinhash]] is the scalable approximation of the
+    * same predicate.
+    *
+    * The size bucket is the AllPairs/PPJoin-style second blocking
+    * key: j ≥ 0.9 implies min(|A|,|B|) ≥ 0.9·max(|A|,|B|), so both
+    * sets' sizes land in the same or adjacent buckets of the
+    * geometric grid g = ⌊log_{10/9}|set|⌋. Each doc is duplicated
+    * into buckets {g, g+1} on both sides and a matched pair is kept
+    * only at bucket max(g₁,g₂) — exactly-once, pure equi-join.
+    * Without this, `source` alone gives a handful of corpus-sized
+    * buckets and Σ|bucket|² ≈ corpus² pair work at 100 TB; with it,
+    * bucket population is bounded by docs-per-(source × ~11% size
+    * band) and the candidate join stays quadratic only within bands.
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -40,12 +52,19 @@ object Dedup {
     // no persist: both self-join sides canonicalize to one exchange
     // (ReusedExchange, asserted in PlanAuditSpec), so the word-set
     // projection is computed once without pinning it to storage
+    val logBase = math.log(10.0 / 9.0)
     val d = withWordSet(Tables.documents(spark, sfDir))
       .select($"doc_id", $"source", array_sort($"wset").as("wset"))
-    val a = d.select($"source", $"doc_id".as("doc_id_1"), $"wset".as("w1"))
-    val b = d.select($"source", $"doc_id".as("doc_id_2"), $"wset".as("w2"))
-    a.join(b, Seq("source"))
+      .withColumn("g", floor(log(size($"wset").cast("double")) / logBase))
+    val a = d.select($"source", $"doc_id".as("doc_id_1"), $"wset".as("w1"), $"g".as("g1"))
+      .withColumn("gb", explode(array($"g1", $"g1" + 1)))
+    val b = d.select($"source", $"doc_id".as("doc_id_2"), $"wset".as("w2"), $"g".as("g2"))
+      .withColumn("gb", explode(array($"g2", $"g2" + 1)))
+    a.join(b, Seq("source", "gb"))
       .filter($"doc_id_1" < $"doc_id_2")
+      // adjacent-bucket pairs match once, same-bucket pairs match at
+      // both {g, g+1} — keep only the max-bucket copy
+      .filter($"gb" === greatest($"g1", $"g2"))
       .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
       .filter($"jaccard" >= 0.9)
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))

@@ -179,18 +179,32 @@ object Events {
   }
 
   /** Trailing-hour moving aggregate per event type: a time-RANGE
-    * window frame (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
-    * CURRENT ROW`) — the per-event rolling view a monitoring consumer
-    * keeps. One shuffle on event_type, one sort on ts; the frame is
-    * maintained incrementally, never re-scanned per row.
+    * window frame (`RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` on
+    * epoch seconds) — the per-event rolling view a monitoring
+    * consumer keeps.
+    *
+    * Scale shape: partitioning the window by `event_type` alone would
+    * sort the whole corpus in ~#types tasks — a single-task sort at
+    * 100 TB. Instead the window partitions on the composite
+    * (event_type, hour bucket): every row is duplicated into its own
+    * bucket and the NEXT one (a trailing 1-hour frame never reaches
+    * further back than the previous bucket), the windowed aggregate
+    * runs per (type, bucket), and only each row's own-bucket copy is
+    * kept. 2× the shuffled rows, but partition count scales with the
+    * time span instead of the type cardinality.
     */
   def evtMovingAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy(col("ts").cast("long"))
+    val w = Window.partitionBy($"event_type", $"wb").orderBy($"ts_s")
       .rangeBetween(-3600L, 0L)
     Tables.events(spark, sfDir)
+      .withColumn("ts_s", $"ts".cast("long"))
+      .withColumn("own_bucket", floor($"ts_s" / 3600L))
+      // own copy + boundary-context copy for the next bucket's frames
+      .withColumn("wb", explode(array($"own_bucket", $"own_bucket" + 1)))
       .withColumn("n_last_hour", count(lit(1)).over(w))
       .withColumn("sum_last_hour", round(sum($"value").over(w), 2))
+      .filter($"wb" === $"own_bucket")
       .select($"event_id", $"event_type", $"n_last_hour", $"sum_last_hour")
   }
 
@@ -255,9 +269,13 @@ object Events {
 
   /** Cohort retention: users are cohorted by first-event day; each
     * event lands in (cohort_day, day_offset) and distinct users are
-    * counted per cell. Two shuffles (cohort build on user_id, then
-    * the cell aggregate) — the cohort table is one row per user and
-    * broadcast back against the event scan.
+    * counted per cell.
+    *
+    * No broadcast hint on the cohort side: it is one row PER USER —
+    * fact-derived, hundreds of millions of rows at 100 TB — so
+    * forcing a broadcast would OOM every executor. Left to AQE, the
+    * join plans as a shuffle join on user_id at scale (and may still
+    * broadcast at small SF where the cohort table is tiny).
     */
   def evtRetention(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -265,7 +283,7 @@ object Events {
       .groupBy($"user_id")
       .agg(to_date(min($"ts")).as("cohort_day"))
     Tables.events(spark, sfDir)
-      .join(broadcast(cohorts), Seq("user_id"))
+      .join(cohorts, Seq("user_id"))
       .groupBy($"cohort_day",
                datediff(to_date($"ts"), $"cohort_day").as("day_offset"))
       .agg(countDistinct($"user_id").as("n_users"))

@@ -108,4 +108,65 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial + final pair means map-side combine happens pre-shuffle
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("evt_retention: fact-derived cohort side is NOT broadcast at scale") {
+    // cohorts is one row per user — broadcasting it at 100 TB is an
+    // executor OOM. With the broadcast path closed off (threshold -1,
+    // the scale situation), the plan must not contain any broadcast.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Events.evtRetention(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"cohort join forces a broadcast despite threshold -1\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("evt_moving_agg: window partitions on composite key, not event_type alone") {
+    // event_type has ~5 values; a window partitioned on it alone is a
+    // ~5-task global sort at scale. The composite (event_type, hour
+    // bucket) key must appear in the Window operator's partition spec.
+    val df = Events.evtMovingAgg(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "no window operator in plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"window partitions on ${w.partitionSpec} — single low-cardinality key")
+    }
+  }
+
+  test("evt_moving_agg: bucketed window equals the single-partition formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val naive = Window.partitionBy($"event_type").orderBy($"ts".cast("long"))
+      .rangeBetween(-3600L, 0L)
+    val want = graft.core.Tables.events(spark, sf)
+      .withColumn("n_last_hour", count(lit(1)).over(naive))
+      .withColumn("sum_last_hour", round(sum($"value").over(naive), 2))
+      .select($"event_id", $"event_type", $"n_last_hour", $"sum_last_hour")
+      .collect().toSet
+    val got = Events.evtMovingAgg(spark, sf).collect().toSet
+    assert(got == want, "composite-bucket window diverges from naive window")
+  }
+
+  test("dedup_ngram: size bucketing splits source blocks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the second blocking key must actually split: far more distinct
+    // (source, size-bucket) keys than sources, or the candidate join
+    // still degenerates to a few corpus-sized buckets
+    val logBase = math.log(10.0 / 9.0)
+    val d = graft.core.Tables.documents(spark, sf)
+      .withColumn("wset", expr("array_distinct(split(trim(text), ' +'))"))
+      .withColumn("g", floor(log(size($"wset").cast("double")) / lit(logBase)))
+    val nSources = d.select($"source").distinct().count()
+    val nBlocks = d.select($"source", $"g").distinct().count()
+    assert(nBlocks >= nSources * 3,
+      s"size bucket barely splits: $nBlocks blocks over $nSources sources")
+  }
 }
