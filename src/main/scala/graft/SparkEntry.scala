@@ -550,6 +550,101 @@ object SparkEntry {
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | count(DISTINCT md5(text)) AS n_checksums
         |FROM documents GROUP BY source""".stripMargin,
+    "txt_langid" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(text), ' +') AS words FROM documents),
+        |s AS (
+        | SELECT doc_id, lang, 'en' AS cand,
+        |   len(list_intersect(words, ['the','a','of','and','is'])) AS score FROM d
+        | UNION ALL SELECT doc_id, lang, 'es',
+        |   len(list_intersect(words, ['el','la','de','que','y'])) FROM d
+        | UNION ALL SELECT doc_id, lang, 'de',
+        |   len(list_intersect(words, ['der','die','und','das','ist'])) FROM d
+        | UNION ALL SELECT doc_id, lang, 'fr',
+        |   len(list_intersect(words, ['le','la','et','les','des'])) FROM d
+        | UNION ALL SELECT doc_id, lang, 'zh',
+        |   len(list_intersect(words, ['的','是','了','在','我'])) FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, cand DESC) AS rn FROM s)
+        |SELECT doc_id, lang, cand AS predicted_lang, cand = lang AS correct
+        |FROM r WHERE rn = 1""".stripMargin,
+    "dedup_simhash" ->
+      """WITH d AS (SELECT doc_id,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents),
+        |hh AS (SELECT doc_id, list_transform(w, t -> md5_number_lower(t)) AS wh
+        |  FROM d),
+        |s AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   CASE WHEN list_sum(list_transform(wh,
+        |     h -> CAST((h >> i) & 1 AS INT) * 2 - 1)) > 0
+        |   THEN 1 ELSE 0 END) AS bits FROM hh),
+        |c AS (SELECT doc_id, list_transform(range(0, 4), k ->
+        |   CAST(list_sum(list_transform(range(0, 16), b ->
+        |     CAST(bits[CAST(k*16 + b + 1 AS INT)] AS BIGINT) << b)) AS BIGINT))
+        |   AS chunks FROM s),
+        |e AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |   chunks[CAST(i + 1 AS INT)] AS chunk_val
+        |  FROM c CROSS JOIN range(0, 4) t(i)),
+        |p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM e a JOIN e b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2, hamming FROM (
+        |  SELECT p.doc_id_1, p.doc_id_2,
+        |    CAST(bit_count(xor(ca.chunks[1], cb.chunks[1]))
+        |       + bit_count(xor(ca.chunks[2], cb.chunks[2]))
+        |       + bit_count(xor(ca.chunks[3], cb.chunks[3]))
+        |       + bit_count(xor(ca.chunks[4], cb.chunks[4])) AS INT) AS hamming
+        |  FROM p JOIN c ca ON ca.doc_id = p.doc_id_1
+        |         JOIN c cb ON cb.doc_id = p.doc_id_2)
+        |WHERE hamming <= 3""".stripMargin,
+    "txt_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |   list_transform(range(0, greatest(len(w) - 4, 0) + 1), i ->
+        |     CAST(md5_number_lower(array_to_string(
+        |       list_slice(w, CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' '))
+        |       & 9223372036854775807 AS BIGINT)) AS hs FROM d),
+        |f AS (SELECT doc_id, list_distinct(
+        |   list_transform(range(0, greatest(len(hs) - 4, 0) + 1), j ->
+        |     list_min(list_slice(hs, CAST(j + 1 AS INT), CAST(j + 4 AS INT)))))
+        |   AS fps FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+        | list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, neighbor_id, rank, cosine FROM (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "sim_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cd AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(m ORDER BY i) AS cv
+        |  FROM cd GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (SELECT query_id, qv, cell,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, qv, cell FROM pr WHERE crank <= 5)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT p.query_id, e.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY p.query_id
+        |     ORDER BY list_cosine_similarity(p.qv, e.v) DESC, e.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(p.qv, e.v), 4) AS cosine
+        |  FROM probes p JOIN e ON e.label = p.cell AND e.vec_id != p.query_id)
+        |WHERE rank <= 5""".stripMargin,
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

@@ -122,8 +122,11 @@ object Dedup {
     import spark.implicits._
     val d = withWordSet(Tables.documents(spark, sfDir))
       // hash each word once; the 64 bit-votes fold in a native
-      // Catalyst expression (graft.functions.SimHash64)
-      .withColumn("wh", expr("transform(wset, w -> xxhash64(w))"))
+      // Catalyst expression (graft.functions.SimHash64). The word
+      // hash is md5-lower-64 (not xxhash64) so an external SQL oracle
+      // can replay the full simhash → pigeonhole → hamming pipeline
+      .withColumn("wh",
+        transform($"wset", w => graft.functions.md5Lower64(w)))
       .withColumn("simhash", graft.functions.simhash64(col("wh")))
       .withColumn("chunks",
         expr("transform(sequence(0, 3), c -> (simhash >> (c*16)) & 65535L)"))

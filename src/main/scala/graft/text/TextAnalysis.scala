@@ -121,6 +121,9 @@ object TextAnalysis {
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 shape):
     * hash every 4-word shingle, slide a window of 4 hashes, keep each
     * window's min, dedupe. Output is a stable per-doc digest summary.
+    * Shingle hash = md5-lower-64 masked to 63 bits (non-negative, so
+    * signed-long min/max agree with an unsigned oracle), replayable
+    * by an external SQL engine — xxhash64 is Spark-only.
     */
   def txtFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -128,7 +131,8 @@ object TextAnalysis {
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("hashes",
         expr("transform(sequence(0, greatest(size(words)-4, 0)), " +
-             "i -> xxhash64(concat_ws(' ', slice(words, i+1, 4))))"))
+             "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 4))) " +
+             "& 9223372036854775807)"))
       .withColumn("fps",
         expr("array_distinct(transform(sequence(0, greatest(size(hashes)-4, 0)), " +
              "j -> array_min(slice(hashes, j+1, 4))))"))

@@ -184,6 +184,13 @@ case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
   * a 64-bit word hash that an external SQL oracle can reproduce,
   * which xxhash64 (Spark-only) cannot.
   */
+object Md5Lower64 {
+  // MessageDigest is not thread-safe and getInstance per row allocates;
+  // one digest per executor thread, reset between rows
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+}
+
 case class Md5Lower64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = LongType
@@ -191,7 +198,8 @@ case class Md5Lower64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Lower64.digests.get()
+    md.reset()
     val d = md.digest(bytes)
     var r = 0L; var i = 15
     while (i >= 8) { r = (r << 8) | (d(i) & 0xffL); i -= 1 }
