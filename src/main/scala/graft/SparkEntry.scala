@@ -156,7 +156,9 @@ object SparkEntry {
         |  WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT')""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')""".stripMargin,
     "q_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
         | count(*) AS n_orders

@@ -132,14 +132,16 @@ object Events {
   }
 
   /** Pivot: event counts per nation × event type, explicit value list
-    * so the output schema is static. Dims broadcast; one shuffle.
+    * so the output schema is static. Nation broadcast by hint;
+    * customer (the largest dim) is left to the threshold/AQE choice —
+    * a hard hint would force an executor-OOM broadcast at extreme SF.
     */
   def evtPivot(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
     val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
     Tables.events(spark, sfDir)
-      .join(broadcast(c), $"user_id" === $"c_custkey")
+      .join(c, $"user_id" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
@@ -161,17 +163,18 @@ object Events {
            count($"k").as("n_with_k"))
   }
 
-  /** Stream-table enrichment: events joined to broadcast customer and
-    * nation dims, aggregated per nation × event type. The 100 TB shape:
-    * fact scan stays partition-local (both dims broadcast), single
-    * shuffle for the final aggregation.
+  /** Stream-table enrichment: events joined to customer and nation
+    * dims, aggregated per nation × event type. Nation keeps its
+    * broadcast hint (25 rows at any SF); customer — the largest dim —
+    * is threshold/AQE-decided so the plan degrades gracefully to a
+    * shuffle join when customer outgrows executor memory.
     */
   def evtEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
     val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
     Tables.events(spark, sfDir)
-      .join(broadcast(c), $"user_id" === $"c_custkey")
+      .join(c, $"user_id" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"event_type")
       .agg(count(lit(1)).as("n_events"),

@@ -34,8 +34,11 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
-  /** Top-10 customers by total order value: broadcast-joined dim,
-    * aggregate on the fact side, global top-k (k rows to driver only).
+  /** Top-10 customers by total order value: aggregate on the fact
+    * side, join the customer dim, global top-k (k rows to driver only).
+    * No hard broadcast hint on customer — it is the largest dimension,
+    * so the broadcast-vs-shuffle choice is left to the size threshold
+    * and AQE (a forced hint would OOM executors at extreme SF).
     */
   def q2TopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -44,7 +47,7 @@ object Relational {
     o.groupBy($"o_custkey")
       .agg(round(sum($"o_totalprice"), 2).as("revenue"),
            count(lit(1)).as("n_orders"))
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .select($"c_custkey", $"c_name", $"revenue", $"n_orders")
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(10)
@@ -59,7 +62,8 @@ object Relational {
     val o = Tables.orders(spark, sfDir).filter($"o_orderdate" < lit("1998-01-01"))
     val l = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > lit("1997-01-01"))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      // customer-sized dims: threshold/AQE decides broadcast, no hint
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -80,7 +84,8 @@ object Relational {
       .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01"))
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      // customer: largest dim — no hard hint, threshold/AQE decides
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(s),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
@@ -136,10 +141,17 @@ object Relational {
       .select($"c_custkey", $"c_name", $"c_mktsegment")
   }
 
-  /** NOT EXISTS: customers with no orders at all (left-anti). */
+  /** NOT EXISTS: customers who placed no order in 1997 (left-anti).
+    * The predicate is date-bounded so the result is non-empty at every
+    * SF — an anti-join against all orders matches nothing on this data
+    * (every customer has some order), which would leave the operator
+    * effectively untested.
+    */
   def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val o = Tables.orders(spark, sfDir).select($"o_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1998-01-01"))
+      .select($"o_custkey")
     Tables.customer(spark, sfDir)
       .join(o, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name")
