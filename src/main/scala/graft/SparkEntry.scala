@@ -334,6 +334,39 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS content_hash,
         | min(doc_id) AS keep_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      """WITH d AS (SELECT doc_id,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   list_min(list_transform(w, t ->
+        |     CAST(xor(md5_number_lower(t),
+        |       CASE WHEN i = 0 THEN md5_number_upper(t)
+        |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
+        |              * CAST(power(2, i) AS HUGEINT))
+        |             % 18446744073709551616)
+        |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
+        |               AS HUGEINT) AS UBIGINT)
+        |       END) % 9223372036854775808 AS BIGINT))))
+        |   AS s
+        |  FROM d),
+        |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
+        |   md5_number_lower(array_to_string(
+        |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
+        |   AS bh
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |bm1 AS (SELECT band_idx, bh, min(doc_id) AS br
+        |  FROM bands GROUP BY 1, 2),
+        |r1 AS (SELECT b.doc_id, min(m.br) AS rep
+        |  FROM bands b JOIN bm1 m ON b.band_idx = m.band_idx AND b.bh = m.bh
+        |  GROUP BY b.doc_id),
+        |bm2 AS (SELECT b.band_idx, b.bh, min(r.rep) AS br
+        |  FROM bands b JOIN r1 r ON b.doc_id = r.doc_id GROUP BY 1, 2),
+        |r2 AS (SELECT b.doc_id, min(m.br) AS rep
+        |  FROM bands b JOIN bm2 m ON b.band_idx = m.band_idx AND b.bh = m.bh
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, rep AS cluster_rep, doc_id != rep AS is_dup
+        |FROM r2""".stripMargin,
     "dedup_ngram" ->
       """WITH d AS (SELECT doc_id, source,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w

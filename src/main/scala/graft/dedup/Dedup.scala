@@ -71,10 +71,15 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup dedup (Broder '97 / MMDS ch.3 shape):
-    * 64 minhash slots from two base string hashes (h_i = h1 XOR
-    * rotl(h2, i) — each word is string-hashed twice, not 64 times;
-    * rotate-xor mixing stays inside 64 bits so ANSI arithmetic never
-    * overflows), banded 8×8 (LSH threshold (1/8)^(1/8) ≈ 0.77).
+    * 64 minhash slots from the Kirsch–Mitzenmacher family h_i =
+    * (h1 + i·h2) mod 2⁶⁴ masked to 63 bits, where h1/h2 are the two
+    * md5 digest halves of the word (each word digested ONCE, not 64
+    * times) — the md5 base pair makes the full signature → band →
+    * bucket → min-propagation pipeline replayable by the DuckDB
+    * oracle (`md5_number_lower`/`_upper` + HUGEINT mod arithmetic),
+    * unlike xxhash64, which is Spark-only. Banded 8×8 (LSH threshold
+    * (1/8)^(1/8) ≈ 0.77); band key = md5-lower-64 of the joined
+    * 8-slot slice, so band buckets shuffle as longs, not strings.
     *
     * Output is a keep-one *dedup decision* per document (cluster
     * representative = min doc_id reachable through shared LSH
@@ -92,9 +97,12 @@ object Dedup {
     // per reference (the standard iterative-graph pattern: pin the
     // edge set, iterate over it)
     val bands = withWordSet(Tables.documents(spark, sfDir))
-      .select($"doc_id",
-        posexplode(graft.functions.minhashBands($"wset", 8, 8))
-          .as(Seq("band_idx", "band_hash")))
+      .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
+      .withColumn("bhs", expr(
+        "transform(sequence(0, 7), b -> graft_md5lower64(" +
+          "array_join(transform(slice(sig, cast(b*8+1 as int), 8), " +
+          "x -> cast(x as string)), ',')))"))
+      .select($"doc_id", posexplode($"bhs").as(Seq("band_idx", "band_hash")))
       .persist()
     // approximate connected components: propagate the min doc_id
     // through shared buckets (doc → bucket → doc), twice

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{Bridge, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, SimHash64, SortedJaccard}
+  import org.apache.spark.sql.graft.{Bridge, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -27,9 +27,18 @@ package object functions {
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
 
-  /** MinHash LSH band hashes for an `array<string>` token set. */
+  /** MinHash LSH band hashes for an `array<string>` token set
+    * (xxhash64 base pair — fastest, Spark-only bit pattern).
+    */
   def minhashBands(tokens: Column, numBands: Int, rowsPerBand: Int): Column =
     Bridge.column(MinHashBands(Bridge.expression(tokens), numBands, rowsPerBand))
+
+  /** MinHash signature (slot minima) with md5-derived base hashes —
+    * bit-reproducible by an external SQL oracle (DuckDB
+    * `md5_number_lower`/`md5_number_upper` + HUGEINT arithmetic).
+    */
+  def minhashSigMd5(tokens: Column, slots: Int): Column =
+    Bridge.column(MinHashSigMd5(Bridge.expression(tokens), slots))
 
   /** Multi-table random-hyperplane LSH bucket ids for an
     * `array<double>` vector.
