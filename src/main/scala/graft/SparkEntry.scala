@@ -48,6 +48,7 @@ object SparkEntry {
     "evt_produce"          -> (Events.evtProduce _),
     "evt_offsets"          -> (Events.evtOffsets _),
     "evt_consume_batches"  -> (Events.evtConsumeBatches _),
+    "evt_multi_topic"      -> (Events.evtMultiTopic _),
     "evt_windowed"         -> (Events.evtWindowed _),
     "evt_sessionize"       -> (Events.evtSessionize _),
     "evt_enrich"           -> (Events.evtEnrich _),
@@ -193,6 +194,15 @@ object SparkEntry {
         |SELECT "partition", "offset"//10 AS batch_id, count(*) AS n_messages,
         | min(payload) AS first_payload, max(payload) AS last_payload
         |FROM p GROUP BY 1,2""".stripMargin,
+    "evt_multi_topic" ->
+      """WITH p AS (SELECT 'evt-' || event_type AS topic,
+        |   CAST(user_id % 4 AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_type, user_id % 4
+        |        ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+        |  FROM events)
+        |SELECT topic, "partition", max("offset") AS committed_offset,
+        | count(*) AS n_messages
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "evt_windowed" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value),2) AS total_value
@@ -324,6 +334,13 @@ object SparkEntry {
         |   AS type_token_ratio
         |FROM d""".stripMargin,
     "txt_term_freq" ->
+      """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), ' +'))
+        |   AS word FROM documents),
+        |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY n DESC, word) AS INT) AS rank FROM c)
+        |SELECT lang, word, n, rank FROM r WHERE rank <= 10""".stripMargin,
+    "txt_approx_topk" ->
       """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), ' +'))
         |   AS word FROM documents),
         |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),

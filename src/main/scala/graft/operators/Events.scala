@@ -68,6 +68,28 @@ object Events {
            max($"payload").as("last_payload"))
   }
 
+  /** Multi-topic production + offset bookkeeping: events route to one
+    * topic per event type (the reference consumer subscribes to
+    * multiple topics and its handler receives `Map<topic,
+    * List<payload>>`, `jc/DemoApplication.java:150-155`). Partition =
+    * user_id mod 4 within each topic; per-(topic, partition) committed
+    * offset and message count — [[evtOffsets]] generalized across
+    * topics. The live consumer path is `EventLog.pollMany`
+    * (EventLogSpec); this batch form is the oracle-checkable twin.
+    */
+  def evtMultiTopic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"topic", $"partition").orderBy($"key")
+    Tables.events(spark, sfDir)
+      .select(concat(lit("evt-"), $"event_type").as("topic"),
+              ($"user_id" % 4).cast("int").as("partition"),
+              $"event_id".as("key"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .groupBy($"topic", $"partition")
+      .agg(max($"offset").as("committed_offset"),
+           count(lit(1)).as("n_messages"))
+  }
+
   /** Tumbling 1-hour windowed counts/sums per event type. */
   def evtWindowed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

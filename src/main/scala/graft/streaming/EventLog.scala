@@ -201,3 +201,39 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
         produce(batch.select("key", "payload"))
       }
 }
+
+object EventLog {
+
+  /** Multi-topic poll as one consumer group: the reference handler
+    * receives `Map<topic, List<payload>>`
+    * (`jc/DemoApplication.java:150-155`) — here the polled batch is
+    * ONE frame with a `topic` column (the Spark-native shape of that
+    * map: grouping by `topic` recovers it exactly, and the handler
+    * stays a distributed transform instead of a driver-side map).
+    * Each topic's new high-water-marks are committed after the
+    * handler runs — at-least-once, same contract as single-topic
+    * [[EventLog.poll]]. Returns the number of consumed messages.
+    */
+  def pollMany(spark: SparkSession, topics: Map[String, EventLog],
+               groupId: String)(handler: DataFrame => Unit): Long = {
+    val batches = topics.toSeq.sortBy(_._1).map { case (name, log) =>
+      log.consume(spark, log.committed(groupId)).withColumn("topic", lit(name))
+        .select("topic", "partition", "offset", "key", "payload", "produced_at")
+    }
+    val batch = batches.reduce(_.unionByName(_))
+    // per-(topic, partition) HWMs: metadata-sized (≤ topics × P rows)
+    val hwms = batch.groupBy("topic", "partition")
+      .agg(max("offset").as("hwm"), count(lit(1)).as("n"))
+      .collect()
+    val n = hwms.map(_.getLong(3)).sum
+    if (n > 0) {
+      handler(batch)
+      hwms.groupBy(_.getString(0)).foreach { case (name, rows) =>
+        val log = topics(name)
+        val newOffsets = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        log.commit(groupId, log.committed(groupId) ++ newOffsets)
+      }
+    }
+    n
+  }
+}

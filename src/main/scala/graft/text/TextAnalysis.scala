@@ -103,19 +103,29 @@ object TextAnalysis {
     * frequent-items): the 100 TB replacement for [[txtTermFreq]]'s
     * exact group-count — the sketch is a fixed-size mergeable summary,
     * so the shuffle carries one sketch per partition instead of one
-    * row per distinct term. Algorithm differs from any exact SQL →
-    * rows-only check; TextSpec asserts it matches the exact top-10
-    * on this corpus (sketch capacity ≫ vocabulary).
+    * row per distinct term.
+    *
+    * Oracle-checkable against the EXACT top-10 SQL: with capacity
+    * (10000) ≫ vocabulary every tracked count is exact, so the only
+    * divergence from exact SQL is tie ORDER inside the sketch's
+    * ranking. The sketch therefore over-fetches (top-30), and a
+    * deterministic re-rank by (n DESC, word) — over ≤ 30 rows per
+    * language, not the corpus — reproduces the oracle's order. The
+    * over-fetch margin only breaks if 20+ words tie exactly at the
+    * boundary count; spec + 3-SF oracle runs guard it.
     */
   def txtApproxTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"word")
     Tables.documents(spark, sfDir)
       .select($"lang", explode(expr("split(trim(text), ' +')")).as("word"))
       .groupBy($"lang")
-      .agg(expr("approx_top_k(word, 10, 10000)").as("top"))
-      .select($"lang", posexplode($"top").as(Seq("i", "p")))
-      .select($"lang", $"p.item".as("word"), $"p.count".as("n"),
-              ($"i" + 1).cast("int").as("rank"))
+      .agg(expr("approx_top_k(word, 30, 10000)").as("top"))
+      .select($"lang", explode($"top").as("p"))
+      .select($"lang", $"p.item".as("word"), $"p.count".as("n"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 10)
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 shape):

@@ -125,6 +125,46 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("groupA") == log.highWaterMarks(spark))
   }
 
+  test("pollMany: one batch spans topics with a topic column, per-topic commits") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-multi").toString
+    val logs = Map(
+      "alpha" -> new EventLog(base + "/alpha", numPartitions = 4),
+      "beta"  -> new EventLog(base + "/beta", numPartitions = 4))
+    logs("alpha").produce(spark.range(0, 100)
+      .select($"id".cast("string").as("key"), concat(lit("a#"), $"id").as("payload")))
+    logs("beta").produce(spark.range(0, 40)
+      .select($"id".cast("string").as("key"), concat(lit("b#"), $"id").as("payload")))
+
+    // the reference handler's Map<topic, List<payload>> shape: group
+    // the one polled frame by its topic column
+    var perTopic = Map.empty[String, Long]
+    val n = EventLog.pollMany(spark, logs, "g1") { batch =>
+      perTopic = batch.groupBy($"topic").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(n == 140)
+    assert(perTopic == Map("alpha" -> 100L, "beta" -> 40L))
+    // both topics' positions committed for the group
+    assert(logs("alpha").committed("g1") == logs("alpha").highWaterMarks(spark))
+    assert(logs("beta").committed("g1") == logs("beta").highWaterMarks(spark))
+
+    // nothing new → empty poll, handler not invoked
+    var called = false
+    val n2 = EventLog.pollMany(spark, logs, "g1") { _ => called = true }
+    assert(n2 == 0 && !called)
+
+    // produce into ONE topic only: the next poll sees just that delta
+    logs("beta").produce(spark.range(40, 60)
+      .select($"id".cast("string").as("key"), concat(lit("b#"), $"id").as("payload")))
+    var delta = Map.empty[String, Long]
+    val n3 = EventLog.pollMany(spark, logs, "g1") { batch =>
+      delta = batch.groupBy($"topic").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(n3 == 20 && delta == Map("beta" -> 20L))
+  }
+
   test("topic-to-topic streaming relay preserves messages and offsets") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-relay").toString
