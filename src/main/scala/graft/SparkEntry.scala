@@ -21,7 +21,9 @@ object SparkEntry {
     "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
     "q2_top_customers"     -> (Relational.q2TopCustomers _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q4_order_priority"    -> (Relational.q4OrderPriority _),
     "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
+    "q_lead_gap"           -> (Relational.qLeadGap _),
     "q_window_running"     -> (Relational.qWindowRunning _),
     "q_rollup"             -> (Relational.qRollup _),
     "q_cube"               -> (Relational.qCube _),
@@ -87,6 +89,7 @@ object SparkEntry {
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
     "sim_ivf_ann"          -> (graft.similarity.Similarity.simIvfAnn _),
     "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
+    "sim_pq_ann"           -> (graft.similarity.Similarity.simPqAnn _),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
@@ -134,6 +137,26 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_lead_gap" ->
+      """WITH x AS (SELECT o_custkey, o_orderdate,
+        |   lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS next_date
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        | CAST(max(date_diff('day', o_orderdate, next_date)) AS INT)
+        |   AS max_gap_days,
+        | CAST(min(date_diff('day', o_orderdate, next_date)) AS INT)
+        |   AS min_gap_days
+        |FROM x GROUP BY o_custkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,
         | row_number() OVER w AS rn,

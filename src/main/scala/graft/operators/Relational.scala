@@ -157,6 +157,44 @@ object Relational {
       .select($"c_custkey", $"c_name")
   }
 
+  /** TPC-H Q4-shaped order-priority check: orders placed in 1996 with
+    * at least one LATE lineitem (shipped > 90 days after the order
+    * date), counted per priority. The EXISTS is a left-semi join on
+    * the order key with the lateness predicate as a join-side filter
+    * — the fact-fact semi join shuffles once on the key and emits at
+    * most one row per order regardless of lineitem fan-out.
+    * (The canonical Q4 uses commit/receipt dates; this corpus carries
+    * ship dates only, so lateness is ship-vs-order-date.)
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+    val l = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+             $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Inter-order gap per customer: lead() over the per-customer order
+    * sequence gives the days until the next order; per-customer
+    * max/min gap + order count. Window partitions on o_custkey — a
+    * HIGH-cardinality key, so the sort parallelism scales with the
+    * customer count, not a handful of category values.
+    */
+  def qLeadGap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("next_date", lead($"o_orderdate", 1).over(w))
+      .withColumn("gap_days", datediff($"next_date", $"o_orderdate"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           max($"gap_days").as("max_gap_days"),
+           min($"gap_days").as("min_gap_days"))
+  }
+
   /** Exact distinct counts per group (two-phase distinct aggregation). */
   def qDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -136,6 +136,77 @@ object Similarity {
               round($"p._2", 4).as("cosine"))
   }
 
+  /** Product-quantization ANN (Jégou et al. TPAMI'11 shape): vectors
+    * are L2-normalized, split into M=8 subspaces of 8 dims, and each
+    * subvector quantizes to an 8-bit code — the classic 256-code PQ
+    * codebook size — via a STRUCTURED quantizer: the code is the
+    * subvector's sign pattern, and the codebook entry is the mean of
+    * the subvectors sharing that pattern. (A label-mean codebook was
+    * tried first and collapses to near-chance recall ≈ 5/|label|:
+    * every vector in a label gets identical codes, so ADC cannot rank
+    * within a label — codes must vary inside whatever partition the
+    * true neighbors share. The sign quantizer also makes encoding
+    * FREE: no nearest-centroid search pass, the code is a per-row
+    * expression, exactly like LSH bucket assignment.)
+    *
+    * Query scoring is cosine-ADC: the query's partial inner products
+    * against every sub-centroid form a small broadcast table; a
+    * vector's score is the sum of its M lookups divided by its
+    * reconstruction's norm (queries are unit vectors). Unnormalized
+    * inner product would rank by magnitude, not direction.
+    *
+    * The 100 TB story: after encoding, each vector is M bytes (a 32×
+    * compression of the 64-float vector), scoring never touches raw
+    * vectors (codes ⋈ broadcast ADC table, one partial-agg sum), and
+    * the bounded-heap top-k avoids any sort. Approximation quality
+    * rows-only; recall vs brute force is spec-asserted (DedupSimSpec).
+    */
+  def simPqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, sfDir)
+      .withColumn("v", expr(
+        "transform(v, x -> x / sqrt(aggregate(v, 0.0d, (a, y) -> a + y*y)))"))
+    val subs = vecs
+      .withColumn("subvs", expr("transform(sequence(0, 7), m -> slice(v, m*8+1, 8))"))
+      .select($"vec_id", posexplode($"subvs").as(Seq("m", "subv")))
+      // 8-bit sign-pattern code per subvector (free encode, no search)
+      .withColumn("code", expr(
+        "cast(aggregate(zip_with(subv, sequence(0, 7), " +
+          "(x, d) -> IF(x > 0d, cast(pow(2, d) as double), 0d)), " +
+          "0d, (a, b) -> a + b) as int)"))
+    // codebook: per (subspace, code) mean subvector — ≤ 256 entries
+    // per subspace regardless of corpus size, broadcast
+    val codebook = subs
+      .select($"m", $"code", posexplode($"subv").as(Seq("dim", "x")))
+      .groupBy($"m", $"code", $"dim").agg(avg($"x").as("c"))
+      .groupBy($"m", $"code")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"m", $"code", expr("transform(pairs, p -> p.c)").as("cv"))
+    val codes = subs.select($"vec_id", $"m", $"code")
+    // ADC lookup tables for the query set: partial inner product plus
+    // the sub-centroid's squared norm (for the reconstruction norm)
+    val adc = subs.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"m", $"subv".as("qsub"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("partial", expr(
+        "aggregate(zip_with(qsub, cv, (a, b) -> a*b), 0.0d, (acc, x) -> acc + x)"))
+      .withColumn("cnorm2", expr(
+        "aggregate(cv, 0.0d, (acc, x) -> acc + x*x)"))
+      .select($"query_id", $"m", $"code", $"partial", $"cnorm2")
+    codes.join(broadcast(adc), Seq("m", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      // queries are unit vectors, so partial-sum / recon-norm = cosine
+      // of the query with the vector's PQ reconstruction
+      .agg((sum($"partial") / sqrt(sum($"cnorm2"))).as("score"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"score").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("approx_score"))
+  }
+
   /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates
     * co-bucketed with them in at least one of the 8 tables (union of
     * candidates, deduped), then exact-cosine top-5. Rows-only check;

@@ -61,6 +61,25 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("PQ ANN: codes compress to M codes per vector, recall beats chance") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.simPqAnn(spark, sf)
+    // exactly 5 neighbors per query, none self
+    val perQuery = pq.groupBy($"query_id").count()
+      .filter($"count" =!= 5).count()
+    assert(perQuery == 0)
+    assert(pq.filter($"query_id" === $"neighbor_id").count() == 0)
+    val got = pq.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"PQ ANN recall = $recall")
+    // label-trained codebooks are a coarse quantizer: require well
+    // above chance (random-5-of-corpus recall ~ 5/N < 0.02), below
+    // the dedicated LSH/IVF paths
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+
   test("brute-force top-k is ranked by descending cosine") {
     import spark.implicits._
     val bad = Similarity.simBruteTopk(spark, sf)
