@@ -720,6 +720,38 @@ object SparkEntry {
         |   round(list_cosine_similarity(p.qv, e.v), 4) AS cosine
         |  FROM probes p JOIN e ON e.label = p.cell AND e.vec_id != p.query_id)
         |WHERE rank <= 5""".stripMargin,
+    "sim_lsh_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |pl AS (SELECT t, j,
+        |   list(((md5_number_lower('hp:'||t||':'||j||':'||i) >> 11)
+        |     / 4503599627370496.0) - 1.0 ORDER BY i) AS pv
+        |  FROM range(0, 8) a(t) CROSS JOIN range(0, 4) b(j)
+        |  CROSS JOIN range(0, 64) c(i)
+        |  GROUP BY t, j),
+        |dots AS (SELECT e.vec_id, p.t, p.j,
+        |   list_reduce(list_transform(range(1, 65),
+        |     k -> p.pv[CAST(k AS INT)] * e.v[CAST(k AS INT)]),
+        |     (x, y) -> x + y) AS dot
+        |  FROM e CROSS JOIN pl p),
+        |bk AS (SELECT vec_id, t,
+        |   CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT)
+        |     ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+        |  FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
+        |  WHERE q.vec_id < 10 AND b.vec_id != q.vec_id),
+        |scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+        |   list_cosine_similarity(eq.v, en.v) AS cos
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+        |  JOIN e en ON en.vec_id = c.vec_id)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT query_id, neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+        |   round(cos, 4) AS cosine
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

@@ -89,10 +89,16 @@ case class SimHash64(child: Expression)
 }
 
 /** Random-hyperplane LSH bucket ids for an `array<double>` vector:
-  * `tables` independent tables of `bits` Gaussian hyperplanes each,
-  * drawn once per JVM from a fixed seed (java.util.Random is
-  * spec-deterministic, so every executor sees the same planes).
-  * Returns `array<long>` of length `tables`.
+  * `tables` independent tables of `bits` hyperplanes each. Plane
+  * component (t, j, i) derives from md5 of the literal string
+  * "hp:t:j:i" — top 53 bits of the lower digest half mapped to
+  * [-1, 1) as (h >>> 11) / 2⁵² − 1, every step exactly representable
+  * in a double — so an external SQL oracle reproduces the planes,
+  * the dot products (sequential accumulation both sides), and hence
+  * the buckets bit-for-bit. (Uniform cube directions instead of
+  * Gaussian: sign-test LSH only needs symmetric directions, and the
+  * recall spec guards the quality.) Deterministic on every executor,
+  * no stored model. Returns `array<long>` of length `tables`.
   */
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dims: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -100,8 +106,17 @@ case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dims: In
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 
   @transient private lazy val planes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(42L)
-    Array.fill(tables * bits)(Array.fill(dims)(rnd.nextGaussian()))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables * bits) { tj =>
+      val t = tj / bits; val j = tj % bits
+      Array.tabulate(dims) { i =>
+        md.reset()
+        val d = md.digest(s"hp:$t:$j:$i".getBytes("UTF-8"))
+        var h = 0L; var b = 15
+        while (b >= 8) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
+        (h >>> 11).toDouble / 4503599627370496.0 - 1.0
+      }
+    }
   }
 
   override def nullSafeEval(input: Any): Any = {
