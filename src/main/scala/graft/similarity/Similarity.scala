@@ -137,23 +137,23 @@ object Similarity {
   }
 
   /** Product-quantization ANN (Jégou et al. TPAMI'11 shape): vectors
-    * are L2-normalized, split into M=8 subspaces of 8 dims, and each
-    * subvector quantizes to an 8-bit code — the classic 256-code PQ
-    * codebook size — via a STRUCTURED quantizer: the code is the
-    * subvector's sign pattern, and the codebook entry is the mean of
-    * the subvectors sharing that pattern. (A label-mean codebook was
-    * tried first and collapses to near-chance recall ≈ 5/|label|:
-    * every vector in a label gets identical codes, so ADC cannot rank
-    * within a label — codes must vary inside whatever partition the
-    * true neighbors share. The sign quantizer also makes encoding
-    * FREE: no nearest-centroid search pass, the code is a per-row
-    * expression, exactly like LSH bucket assignment.)
+    * split into M=8 subspaces of 8 dims, each subvector quantized to
+    * an 8-bit code — the classic 256-code PQ codebook size — via a
+    * STRUCTURED quantizer: the code is the subvector's sign pattern,
+    * and the codebook entry is the mean of the subvectors sharing
+    * that pattern. (A label-mean codebook was tried first and
+    * collapses to near-chance recall ≈ 5/|label|: every vector in a
+    * label gets identical codes, so ADC cannot rank within a label —
+    * codes must vary inside whatever partition the true neighbors
+    * share. The sign quantizer also makes encoding FREE: no
+    * nearest-centroid search pass, the code is a per-row expression,
+    * exactly like LSH bucket assignment.)
     *
     * Query scoring is cosine-ADC: the query's partial inner products
     * against every sub-centroid form a small broadcast table; a
-    * vector's score is the sum of its M lookups divided by its
-    * reconstruction's norm (queries are unit vectors). Unnormalized
-    * inner product would rank by magnitude, not direction.
+    * vector's score is its M summed lookups divided by the query and
+    * reconstruction norms. Raw inner product (no norm division) ranks
+    * by magnitude, not direction, and recall collapses toward chance.
     *
     * The 100 TB story: after encoding, each vector is M bytes (a 32×
     * compression of the 64-float vector), scoring never touches raw
@@ -163,17 +163,30 @@ object Similarity {
     */
   def simPqAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // No lambda HOFs anywhere in the corpus-wide path: transform /
+    // aggregate / zip_with lambdas run INTERPRETED per element (and
+    // project-collapse re-inlines hoisted subexpressions into them),
+    // which measured ~18 s at sf0.1. Everything per-row below is
+    // plain element_at arithmetic — codegen'd. Normalizing the corpus
+    // is unnecessary: positive scaling never flips a sign code, and
+    // the score already divides by the reconstruction's norm.
+    def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until 8).map(d => element_at(a, d + 1) * element_at(b, d + 1)).reduce(_ + _)
+    val signCode = (0 until 8)
+      .map(d => when(element_at($"subv", d + 1) > 0d, 1 << d).otherwise(0))
+      .reduce(_ + _).cast("int")
     val vecs = vectors(spark, sfDir)
-      .withColumn("v", expr(
-        "transform(v, x -> x / sqrt(aggregate(v, 0.0d, (a, y) -> a + y*y)))"))
+    // three consumers (codes, codebook, ADC tables) reference this
+    // subtree — persist once instead of re-slicing the corpus per
+    // reference (the same pin-the-edge-set pattern as minhash's band
+    // relation)
     val subs = vecs
-      .withColumn("subvs", expr("transform(sequence(0, 7), m -> slice(v, m*8+1, 8))"))
+      .withColumn("subvs",
+        array((0 until 8).map(m => slice($"v", m * 8 + 1, 8)): _*))
       .select($"vec_id", posexplode($"subvs").as(Seq("m", "subv")))
       // 8-bit sign-pattern code per subvector (free encode, no search)
-      .withColumn("code", expr(
-        "cast(aggregate(zip_with(subv, sequence(0, 7), " +
-          "(x, d) -> IF(x > 0d, cast(pow(2, d) as double), 0d)), " +
-          "0d, (a, b) -> a + b) as int)"))
+      .withColumn("code", signCode)
+      .persist()
     // codebook: per (subspace, code) mean subvector — ≤ 256 entries
     // per subspace regardless of corpus size, broadcast
     val codebook = subs
@@ -185,20 +198,23 @@ object Similarity {
     val codes = subs.select($"vec_id", $"m", $"code")
     // ADC lookup tables for the query set: partial inner product plus
     // the sub-centroid's squared norm (for the reconstruction norm)
+    // and the query subvector's squared norm (for the query norm) —
+    // the tiny query×codebook frame is the only place these evaluate
     val adc = subs.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"m", $"subv".as("qsub"))
       .join(broadcast(codebook), Seq("m"))
-      .withColumn("partial", expr(
-        "aggregate(zip_with(qsub, cv, (a, b) -> a*b), 0.0d, (acc, x) -> acc + x)"))
-      .withColumn("cnorm2", expr(
-        "aggregate(cv, 0.0d, (acc, x) -> acc + x*x)"))
-      .select($"query_id", $"m", $"code", $"partial", $"cnorm2")
+      .withColumn("partial", dot8($"qsub", $"cv"))
+      .withColumn("cnorm2", dot8($"cv", $"cv"))
+      .withColumn("qnorm2", dot8($"qsub", $"qsub"))
+      .select($"query_id", $"m", $"code", $"partial", $"cnorm2", $"qnorm2")
     codes.join(broadcast(adc), Seq("m", "code"))
       .filter($"vec_id" =!= $"query_id")
       .groupBy($"query_id", $"vec_id")
-      // queries are unit vectors, so partial-sum / recon-norm = cosine
-      // of the query with the vector's PQ reconstruction
-      .agg((sum($"partial") / sqrt(sum($"cnorm2"))).as("score"))
+      // Σpartial / (‖q‖·‖recon‖) = cosine of the query with the
+      // vector's PQ reconstruction (qnorm2 summed over the same M
+      // lookups reconstitutes ‖q‖²)
+      .agg((sum($"partial") / (sqrt(sum($"qnorm2")) * sqrt(sum($"cnorm2"))))
+        .as("score"))
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"score").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
