@@ -24,6 +24,8 @@ object SparkEntry {
     "q4_order_priority"    -> (Relational.q4OrderPriority _),
     "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
     "q_lead_gap"           -> (Relational.qLeadGap _),
+    "q8_market_share"      -> (Relational.q8MarketShare _),
+    "q_percent_rank"       -> (Relational.qPercentRank _),
     "q_window_running"     -> (Relational.qWindowRunning _),
     "q_rollup"             -> (Relational.qRollup _),
     "q_cube"               -> (Relational.qCube _),
@@ -67,6 +69,7 @@ object SparkEntry {
     "q_range_join"         -> (Analytics.qRangeJoin _),
     "evt_first_last"       -> (Events.evtFirstLast _),
     "evt_anomaly"          -> (Events.evtAnomaly _),
+    "evt_error_routing"    -> (Events.evtErrorRouting _),
     "evt_moving_agg"       -> (Events.evtMovingAgg _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
@@ -76,6 +79,7 @@ object SparkEntry {
     "txt_fingerprint"      -> (graft.text.TextAnalysis.txtFingerprint _),
     "txt_bigrams"          -> (Analytics.txtBigrams _),
     "txt_approx_topk"      -> (graft.text.TextAnalysis.txtApproxTopk _),
+    "txt_doc_freq"         -> (graft.text.TextAnalysis.txtDocFreq _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
@@ -157,6 +161,27 @@ object SparkEntry {
         | CAST(min(date_diff('day', o_orderdate, next_date)) AS INT)
         |   AS min_gap_days
         |FROM x GROUP BY o_custkey""".stripMargin,
+    "q8_market_share" ->
+      """WITH bn AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+        |   sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT o_year, n_name, round(rev, 2) AS revenue,
+        | round(100.0 * rev / sum(rev) OVER (PARTITION BY o_year), 4) AS share
+        |FROM bn""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,
         | row_number() OVER w AS rn,
@@ -370,6 +395,15 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
         |   ORDER BY n DESC, word) AS INT) AS rank FROM c)
         |SELECT lang, word, n, rank FROM r WHERE rank <= 10""".stripMargin,
+    "txt_doc_freq" ->
+      """WITH w AS (SELECT doc_id,
+        |   unnest(list_distinct(string_split_regex(trim(text), ' +')))
+        |     AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+        |r AS (SELECT word, df, CAST(row_number() OVER (
+        |   ORDER BY df DESC, word) AS INT) AS rank FROM c)
+        |SELECT word, df, rank FROM r WHERE rank <= 20""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,
         | min(doc_id) AS keep_doc_id, count(*) AS n_docs
@@ -604,6 +638,16 @@ object SparkEntry {
         |FROM (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events)
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "evt_error_routing" ->
+      """SELECT event_type,
+        | count(json_extract_string(props, '$.k')) AS n_ok,
+        | count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |   THEN 1 END) AS n_dead,
+        | min(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |   THEN event_id END) AS first_dead_id,
+        | max(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |   THEN event_id END) AS last_dead_id
+        |FROM events GROUP BY event_type""".stripMargin,
     "evt_anomaly" ->
       """WITH s AS (SELECT event_type AS t, avg(value) AS mu,
         |   stddev_samp(value) AS sigma FROM events GROUP BY 1)

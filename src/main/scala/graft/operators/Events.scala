@@ -233,6 +233,25 @@ object Events {
       .select($"event_id", $"event_type", $"n_last_hour", $"sum_last_hour")
   }
 
+  /** Dead-letter routing: the consumer-side error-handling path (the
+    * reference handler can throw on a malformed payload — here the
+    * "poison" condition is a props JSON without the expected `$.k`
+    * field). One pass tags each event ok/dead; the per-type summary
+    * carries both counts plus the dead events' id range for triage.
+    * At scale this is the filter-split that feeds a DLQ topic: no
+    * shuffle until the final small aggregate.
+    */
+  def evtErrorRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_ok"),
+           count(when($"k".isNull, 1)).as("n_dead"),
+           min(when($"k".isNull, $"event_id")).as("first_dead_id"),
+           max(when($"k".isNull, $"event_id")).as("last_dead_id"))
+  }
+
   /** Outlier detection: events whose value exceeds their type's
     * mean + 3σ. The per-type moments are a tiny aggregate broadcast
     * back against the event scan — two passes, one shuffle, no

@@ -195,6 +195,49 @@ object Relational {
            min($"gap_days").as("min_gap_days"))
   }
 
+  /** TPC-H Q8-shaped market share: each ASIA nation's share of the
+    * region's yearly revenue, 1996–1997. Share = nation revenue /
+    * year total via a window sum over the (year, nation) aggregate —
+    * the denominator never rescans the fact table. Rounded ratio of
+    * two sums, the [[qPromoEffect]] precedent (values sit far from
+    * rounding boundaries; verified at 3 SFs).
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01"))
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
+    val l = Tables.lineitem(spark, sfDir)
+    val byNation = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy(year($"o_orderdate").cast("int").as("o_year"), $"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    byNation
+      .withColumn("share",
+        round(lit(100.0) * $"rev" /
+          sum($"rev").over(Window.partitionBy($"o_year")), 4))
+      .select($"o_year", $"n_name", round($"rev", 2).as("revenue"), $"share")
+  }
+
+  /** percent_rank + cume_dist within each customer's order history by
+    * price — relative-standing window functions over HIGH-cardinality
+    * per-customer partitions (sort parallelism scales with customers,
+    * never a handful of category values).
+    */
+  def qPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey",
+              round($"o_totalprice", 2).as("price"),
+              round(percent_rank().over(w), 4).as("pct_rank"),
+              round(cume_dist().over(w), 4).as("cume"))
+  }
+
   /** Exact distinct counts per group (two-phase distinct aggregation). */
   def qDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

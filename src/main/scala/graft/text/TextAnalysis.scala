@@ -128,6 +128,29 @@ object TextAnalysis {
       .filter($"rank" <= 10)
   }
 
+  /** Document frequency: for the 20 words appearing in the most
+    * documents, the document count — the df half of tf-idf vocabulary
+    * statistics (the idf log stays out of the output: libm last-ulp
+    * differences across engines make a rounded transcendental
+    * hash-unstable; counts are exact). explode → per-doc distinct →
+    * count, one shuffle; the top-20 goes through orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject — a distributed per-partition
+    * top-k merge, never a global sort of the vocabulary (the rank
+    * window only runs over the 20 survivors).
+    */
+  def txtDocFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"df".desc, $"word")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(expr("array_distinct(split(trim(text), ' +'))")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"word")
+      .limit(20)
+      .withColumn("rank", row_number().over(w).cast("int"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 shape):
     * hash every 4-word shingle, slide a window of 4 hashes, keep each
     * window's min, dedupe. Output is a stable per-doc digest summary.

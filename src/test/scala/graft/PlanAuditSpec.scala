@@ -154,6 +154,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(got == want, "composite-bucket window diverges from naive window")
   }
 
+  test("q4: semi join with cross-table predicate, no cartesian, date filter pushed") {
+    val p = capture(Relational.q4OrderPriority(spark, sf), "simple")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val fmt = capture(Relational.q4OrderPriority(spark, sf), "formatted")
+    assert(fmt.contains("PushedFilters") &&
+      fmt.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date filter not pushed to the orders scan")
+  }
+
+  test("txt_doc_freq: top-k via TakeOrdered, vocabulary never globally sorted") {
+    val p = capture(graft.text.TextAnalysis.txtDocFreq(spark, sf), "simple")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit did not plan as distributed top-k\n$p")
+  }
+
+  test("sim_pq_ann: scoring joins broadcast, no sort-merge join") {
+    val p = capture(graft.similarity.Similarity.simPqAnn(spark, sf), "simple")
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ scoring fell back to a sort-merge join\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dedup_ngram: size bucketing splits source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
