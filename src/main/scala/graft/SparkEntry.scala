@@ -34,6 +34,7 @@ object SparkEntry {
     "q_distinct"           -> (Relational.qDistinct _),
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_skew_join"          -> (Relational.qSkewJoin _),
     "q_approx_percentile"  -> (Relational.qApproxPercentile _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
@@ -218,6 +219,11 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "evt_produce" ->
       """SELECT 'event-stream' AS topic,
         | CAST(event_id % 8 AS INT) AS "partition",

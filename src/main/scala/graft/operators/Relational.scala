@@ -404,6 +404,26 @@ object Relational {
               coalesce($"n_customers", lit(0L)).as("n_customers"))
   }
 
+  /** Salted skew join, oracle-verified: orders ⋈ customer through
+    * [[graft.operators.Skew.saltedJoin]] (fact rows scattered over 16
+    * sub-keys, dimension replicated 16×), aggregated per market
+    * segment. The salt is invisible to the result — it must equal the
+    * plain inner join, which is exactly what the DuckDB oracle runs.
+    * The hot-key story at 100 TB: one dominant customer's rows spread
+    * over 16 tasks instead of one.
+    */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("custkey"), $"o_totalprice")
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    Skew.saltedJoin(fact, dim, "custkey", 16)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

@@ -156,6 +156,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("multi-topic streaming union: one subscribed stream with a topic column") {
+    import spark.implicits._
+    import graft.streaming.EventLog
+    // the streaming twin of EventLog.pollMany: subscribe to N topics
+    // as ONE stream (what a Kafka `subscribe=a,b` source yields),
+    // distinguished by the topic column
+    val base = Files.createTempDirectory("graft-substream").toString
+    val a = new EventLog(base + "/a", numPartitions = 4)
+    val b = new EventLog(base + "/b", numPartitions = 4)
+    a.produce(spark.range(0, 120)
+      .select($"id".cast("string").as("key"), concat(lit("a#"), $"id").as("payload")))
+    b.produce(spark.range(0, 30)
+      .select($"id".cast("string").as("key"), concat(lit("b#"), $"id").as("payload")))
+    val stream = a.readStream(spark).withColumn("topic", lit("a"))
+      .unionByName(b.readStream(spark).withColumn("topic", lit("b")))
+    val q = stream.writeStream.format("memory").queryName("multi_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val counts = spark.table("multi_sink").groupBy($"topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 120L, "b" -> 30L))
+  }
+
   test("at-least-once topic delivery dedupes to exactly-once downstream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dup-topic").toString + "/t"
