@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SortedJaccard}
+import org.apache.spark.sql.graft.{CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
 /** SparkSessionExtensions installer: exposes graft's native Catalyst
   * expressions to SQL. Register with
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (es: Seq[Expression]) => HyperplaneBuckets(es.head,
         intArg(es(1), "tables"), intArg(es(2), "bits"), 64)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64_md5"),
+      new ExpressionInfo(classOf[SimHash64Md5].getName, "graft_simhash64_md5"),
+      (es: Seq[Expression]) => SimHash64Md5(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigMd5].getName, "graft_minhash_sig"),
       (es: Seq[Expression]) => MinHashSigMd5(es.head, intArg(es(1), "slots"))))

@@ -129,13 +129,12 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = withWordSet(Tables.documents(spark, sfDir))
-      // hash each word once; the 64 bit-votes fold in a native
-      // Catalyst expression (graft.functions.SimHash64). The word
-      // hash is md5-lower-64 (not xxhash64) so an external SQL oracle
-      // can replay the full simhash → pigeonhole → hamming pipeline
-      .withColumn("wh",
-        transform($"wset", w => graft.functions.md5Lower64(w)))
-      .withColumn("simhash", graft.functions.simhash64(col("wh")))
+      // digest + bit votes fused in ONE native expression: a lambda
+      // inside transform() is interpreted per element, so the
+      // two-step transform+SimHash64 formulation paid lambda dispatch
+      // per token. The word hash stays md5-lower-64 (not xxhash64) so
+      // an external SQL oracle replays simhash → pigeonhole → hamming
+      .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
       .withColumn("chunks",
         expr("transform(sequence(0, 3), c -> (simhash >> (c*16)) & 65535L)"))
       .select($"doc_id", $"simhash", posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))

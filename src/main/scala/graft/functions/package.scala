@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{Bridge, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SortedJaccard}
+  import org.apache.spark.sql.graft.{Bridge, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -22,6 +22,13 @@ package object functions {
   /** 64-bit SimHash over an `array<long>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  /** 64-bit SimHash straight from an `array<string>` token set —
+    * md5-lower-64 digest + bit votes fused in one native loop
+    * (oracle-replayable, no per-token lambda dispatch).
+    */
+  def simhash64Md5(tokens: Column): Column =
+    Bridge.column(SimHash64Md5(Bridge.expression(tokens)))
 
   /** Jaccard similarity of two sorted, deduplicated string arrays. */
   def sortedJaccard(a: Column, b: Column): Column =

@@ -257,6 +257,46 @@ case class CodepointSum(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash straight from an `array<string>` token set: md5
+  * digest (lower 64 bits little-endian — DuckDB's `md5_number_lower`)
+  * and the ±1 bit votes fused in one tight loop. Replaces the
+  * `transform(wset, w -> graft_md5lower64(w))` + [[SimHash64]] pair:
+  * a lambda inside `transform` is INTERPRETED per element, so the
+  * per-word hashing paid lambda dispatch on every token even though
+  * the hash itself was native. Output is bit-identical to the
+  * two-step formulation (same digest, same votes), so the SQL oracle
+  * replays it unchanged.
+  */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val md = Md5Lower64.digests.get()
+    var k = 0
+    while (k < arr.numElements()) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(k).getBytes)
+      var h = 0L; var b = 15
+      while (b >= 8) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
+      var i = 0
+      while (i < 64) {
+        if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      k += 1
+    }
+    var r = 0L; var i = 0
+    while (i < 64) { if (counts(i) > 0) r |= (1L << i); i += 1 }
+    r
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature (slot minima) for an `array<string>` token set,
   * built from ORACLE-REPLAYABLE base hashes: each token is md5-digested
   * once, h1/h2 = the lower/upper 64 digest bits little-endian (the

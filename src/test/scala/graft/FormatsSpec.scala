@@ -42,6 +42,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(merged.filter($"ingest_date".isNull).count() == v1.count())
   }
 
+  test("orc round-trip with partition keys and predicate pushdown") {
+    val base = Files.createTempDirectory("graft-orc").toString
+    val df = customers()
+    Formats.writeOrc(df, s"$base/c", partitionBy = Seq("c_mktsegment"))
+    val back = Formats.readOrc(spark, s"$base/c")
+    assert(back.count() == df.count())
+    assert(back.columns.toSet == df.columns.toSet)
+    val cols = df.columns.sorted.toSeq.map(org.apache.spark.sql.functions.col)
+    assert(back.select(cols: _*).exceptAll(df.select(cols: _*)).count() == 0)
+    // ORC scans take pushed filters like parquet — assert, not assume
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      back.filter(org.apache.spark.sql.functions.col("c_custkey") < 10)
+        .explain("formatted")
+    }
+    assert(out.toString.contains("PushedFilters"), out.toString)
+  }
+
   test("csv round-trip with explicit schema (no inference scan)") {
     val base = Files.createTempDirectory("graft-fmt-csv").toString
     val df = customers()
