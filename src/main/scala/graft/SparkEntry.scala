@@ -35,6 +35,7 @@ object SparkEntry {
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
     "q_skew_join"          -> (Relational.qSkewJoin _),
+    "q_upsert_latest"      -> (Relational.qUpsertLatest _),
     "q_approx_percentile"  -> (Relational.qApproxPercentile _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
@@ -219,6 +220,18 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_upsert_latest" ->
+      """WITH all_rows AS (
+        | SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        | FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0, 2
+        | FROM orders WHERE o_orderkey % 10 = 0),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |   ORDER BY version DESC) AS rn FROM all_rows)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM ranked WHERE rn = 1 GROUP BY o_orderstatus""".stripMargin,
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS revenue

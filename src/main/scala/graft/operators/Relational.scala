@@ -424,6 +424,34 @@ object Relational {
            round(sum($"o_totalprice"), 2).as("revenue"))
   }
 
+  /** Latest-wins upsert (the CDC/merge idiom in pure Spark): a batch
+    * of corrections (every 10th order gets +1000 on its price,
+    * version 2) merges into the base table by unioning both sides and
+    * keeping the highest version per key — one shuffle on the key,
+    * rank within the (tiny) per-key group. Per-status totals prove
+    * exactly the corrected rows changed. At 100 TB this is the
+    * periodic compaction pass of an append-only CDC log into a
+    * snapshot; the window partitions on the table key, so parallelism
+    * scales with row count.
+    */
+  def qUpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val base = o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+                        lit(1).as("version"))
+    val updates = o.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+              ($"o_totalprice" + 1000.0).as("o_totalprice"),
+              lit(2).as("version"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

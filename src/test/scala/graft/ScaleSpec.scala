@@ -93,6 +93,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(byStatus.getOrElse("F", 0L) < full("F") / 5, "fraction .05 downsampled")
   }
 
+  test("HLL sketches reaggregate: daily sketches union to monthly, within 5% of exact") {
+    import spark.implicits._
+    // THE mergeable-sketch pattern at 100 TB: per-day sketches are
+    // tiny fixed-size summaries that re-merge to any coarser grain
+    // without rescanning the events — distinct counts become an
+    // O(sketch) rollup instead of an O(corpus) re-shuffle
+    val e = graft.core.Tables.events(spark, sf)
+      .select(date_trunc("month", $"ts").as("month"),
+              to_date($"ts").as("day"), $"user_id")
+    val daily = e.groupBy($"month", $"day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val monthlyEst = daily.groupBy($"month")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = e.groupBy($"month")
+      .agg(countDistinct($"user_id").as("exact"))
+    val bad = monthlyEst.join(exact, "month")
+      .filter(abs($"est" - $"exact") > $"exact" * 0.05)
+      .count()
+    assert(bad == 0, "merged HLL estimate drifted >5% from exact")
+  }
+
   test("date-partitioned writes prune partitions on read") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-partlake").toString
