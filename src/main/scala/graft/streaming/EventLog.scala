@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   * data). Consumption is a partition-pruned scan with the offset
   * predicate pushed to parquet.
   */
-final class EventLog(val dir: String, val numPartitions: Int = 8) {
+final class EventLog(val dir: String, val numPartitions: Int = 8,
+                     val compression: String = "snappy") {
 
   /** Append keyed messages. `records` must have `key: string` and
     * `payload: string` columns. Partition = hash(key) mod P (the
     * Kafka default partitioner shape); offsets continue from the
-    * current high-water-mark.
+    * current high-water-mark. Batches compress with the topic's
+    * `compression` codec (snappy/zstd/gzip/none — the reference
+    * producer's compression knob, `producer context` in
+    * `resources/xml/outbound-kafka-integration.xml`, mapped onto the
+    * storage codec).
     */
   def produce(records: DataFrame): Unit = {
     val spark = records.sparkSession
@@ -46,7 +51,8 @@ final class EventLog(val dir: String, val numPartitions: Int = 8) {
         col("hwm") + row_number().over(w).cast("long"))
       .withColumn("produced_at", current_timestamp())
       .select("partition", "offset", "key", "payload", "produced_at")
-      .write.mode("append").partitionBy("partition").parquet(dir)
+      .write.mode("append").option("compression", compression)
+      .partitionBy("partition").parquet(dir)
   }
 
   /** Committed high-water-mark (max offset) per partition. */

@@ -125,6 +125,21 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("groupA") == log.highWaterMarks(spark))
   }
 
+  test("producer compression knob: zstd-coded batches read back intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4, compression = "zstd")
+    log.produce(spark.range(0, 200)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    // codec actually applied: parquet part files carry the zstd marker
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString)
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+      s"expected zstd part files, got ${files.take(3).mkString(",")}")
+    assert(log.consume(spark).count() == 200)
+  }
+
   test("pollMany: one batch spans topics with a topic column, per-topic commits") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-multi").toString

@@ -177,6 +177,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q8: region/nation broadcast, share denominator never rescans the fact") {
+    val p = capture(Relational.q8MarketShare(spark, sf), "simple")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"))
+    // one scan of lineitem: the window-sum denominator reuses the
+    // (year, nation) aggregate instead of re-reading the fact table
+    val factScans = "lineitem".r.findAllIn(p).size
+    assert(factScans <= 1, s"share denominator rescans lineitem\n$p")
+  }
+
+  test("q_upsert_latest: one shuffle on the table key resolves versions") {
+    val p = capture(Relational.qUpsertLatest(spark, sf), "simple")
+    val keyExchanges = "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size
+    assert(keyExchanges <= 1, s"upsert shuffles the key more than once\n$p")
+  }
+
   test("dedup_ngram: size bucketing splits source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

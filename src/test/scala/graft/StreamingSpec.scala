@@ -156,6 +156,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // run 1 sees 12:00 and 15:00 events and checkpoints a 14:00
+    // watermark; run 2 (same checkpoint, so the watermark RESTORES)
+    // receives a 12:30 straggler — beyond the 1-hour bound, so its
+    // 999 must never reach an emitted window total. File sink +
+    // checkpoint: exactly how a production backfill would resume.
+    val dir = Files.createTempDirectory("graft-late").toString
+    val data = Files.createDirectory(Paths.get(dir, "in")).toString
+    def write(name: String, ts: String, v: Long): Unit =
+      Seq((ts, v)).toDF("ts_s", "v")
+        .select(to_timestamp($"ts_s").as("ts"), $"v")
+        .coalesce(1).write.parquet(s"$data/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$data/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour")).agg(sum($"v").as("total"))
+        .select($"window.start".as("wstart"), $"total")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q.awaitTermination(120000)
+    }
+    write("b1", "2015-06-01 12:00:00", 1L)
+    write("b2", "2015-06-01 15:00:00", 100L)
+    run()
+    write("b3", "2015-06-01 12:30:00", 999L)
+    run()
+    val emitted = spark.read.parquet(s"$dir/out")
+      .select($"wstart".cast("string"), $"total")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!emitted.values.exists(_ >= 999L),
+      s"late event leaked into emitted windows: $emitted")
+    assert(emitted.values.exists(_ == 1L), s"on-time window missing: $emitted")
+  }
+
   test("multi-topic streaming union: one subscribed stream with a topic column") {
     import spark.implicits._
     import graft.streaming.EventLog
