@@ -40,6 +40,39 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5 family edges: null in → null out, empty set → identity signature") {
+    // null propagation through the whole analyze→eval path
+    val r = spark.sql(
+      "SELECT graft_md5lower64(cast(null as string)) a, " +
+      "graft_simhash64_md5(cast(null as array<string>)) b, " +
+      "graft_minhash_sig(cast(null as array<string>), 64) c").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // empty token set: simhash votes nothing (all bits 0), minhash
+    // slots stay at the Long.MaxValue identity — callers block on
+    // non-empty word sets, but the expressions must not crash
+    val e = spark.sql(
+      "SELECT graft_simhash64_md5(cast(array() as array<string>)) a, " +
+      "graft_minhash_sig(cast(array() as array<string>), 4) b").collect()(0)
+    assert(e.getLong(0) == 0L)
+    assert(e.getSeq[Long](1).forall(_ == Long.MaxValue))
+  }
+
+  test("minhash sig rejects > 64 slots (rotate-xor period)") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array('x'), 65)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("period") ||
+           err.getMessage.contains("64"), err.getMessage)
+  }
+
+  test("fused simhash equals the two-step transform + simhash64 formulation") {
+    val r = spark.sql(
+      "SELECT graft_simhash64_md5(array('spark','join','scan')) a, " +
+      "graft_simhash64(transform(array('spark','join','scan'), " +
+      "  w -> graft_md5lower64(w))) b").collect()(0)
+    assert(r.getLong(0) == r.getLong(1), "fusion changed the hash")
+  }
+
   test("length-pruning implication: jaccard >= t forces min/max size ratio >= t") {
     // the invariant graft.plans.JaccardLengthPruning relies on:
     // |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
