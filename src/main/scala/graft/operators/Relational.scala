@@ -289,14 +289,19 @@ object Relational {
   }
 
   /** Correlated-scalar-subquery semantics: customers whose balance
-    * beats their nation's average. Expressed as a window aggregate —
-    * one shuffle on nation, no per-row subquery re-execution.
+    * beats their nation's average. Expressed as a tiny per-nation
+    * aggregate broadcast back against the scan — NOT a window
+    * partitioned by nation: with ~25 nations a window funnels the
+    * whole (corpus-scale) customer table through 25 tasks, while the
+    * aggregate side here is ≤ #nations rows and the probe side never
+    * leaves its scan partitions.
     */
   def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"c_nationkey")
+    val nav = Tables.customer(spark, sfDir)
+      .groupBy($"c_nationkey").agg(avg($"c_acctbal").as("nation_avg"))
     Tables.customer(spark, sfDir)
-      .withColumn("nation_avg", avg($"c_acctbal").over(w))
+      .join(broadcast(nav), Seq("c_nationkey"))
       .filter($"c_acctbal" > $"nation_avg")
       // the avg itself stays internal: its last-ulp differs across
       // engines and can straddle a rounding boundary (seen at sf0.001)
