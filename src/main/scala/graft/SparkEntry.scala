@@ -96,12 +96,14 @@ object SparkEntry {
     "sim_ivf_ann"          -> (graft.similarity.Similarity.simIvfAnn _),
     "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
     "sim_pq_ann"           -> (graft.similarity.Similarity.simPqAnn _),
+    "sim_range_search"     -> (graft.similarity.Similarity.simRangeSearch _),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
     "mm_chunk_dedup"       -> (graft.multimodal.Multimodal.mmChunkDedup _),
     "mm_frame_sample"      -> (graft.multimodal.Multimodal.mmFrameSample _),
     "mm_decode_batch"      -> (graft.multimodal.Multimodal.mmDecodeBatch _),
+    "mm_phash"             -> (graft.multimodal.Multimodal.mmPerceptualHash _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -815,6 +817,32 @@ object SparkEntry {
         |   round(cos, 4) AS cosine
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT q.query_id, e.vec_id AS neighbor_id,
+        | round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
+        |FROM q JOIN e ON q.query_id != e.vec_id
+        |WHERE round(list_cosine_similarity(q.qv, e.v), 4) >= 0.3""".stripMargin,
+    "mm_phash" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   least(CAST(ceil(length(text)/64.0) AS INT), 63) AS nf
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, nf, CAST(fi AS INT) AS fi,
+        |   substr(text, CAST(fi*64 + 1 AS INT), 64) AS frame
+        |  FROM d CROSS JOIN range(0, 63) t(fi) WHERE fi < nf),
+        |cs AS (SELECT doc_id, nf, fi,
+        |   CAST(list_sum(list_transform(range(1, length(frame)+1),
+        |     j -> ord(substr(frame, CAST(j AS INT), 1)))) AS BIGINT) AS s
+        |  FROM f),
+        |tot AS (SELECT doc_id, sum(s) AS total FROM cs GROUP BY 1)
+        |SELECT cs.doc_id, cs.nf AS n_frames,
+        | CAST(sum(CASE WHEN cs.s * cs.nf > t.total
+        |   THEN CAST(power(2, cs.fi) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |   AS phash
+        |FROM cs JOIN tot t ON cs.doc_id = t.doc_id
+        |GROUP BY cs.doc_id, cs.nf""".stripMargin,
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

@@ -119,4 +119,33 @@ object Multimodal {
         (graft.functions.codepointSum($"frame") % 256).cast("int")
           .as("feature_bucket"))
   }
+
+  /** Perceptual hash (pHash shape): a blob's frames reduce to one
+    * compact similarity-preserving code — bit i is set when frame i's
+    * feature beats the blob-wide mean. The mean comparison is done in
+    * CROSS-MULTIPLIED INTEGERS (sum_i · n > total), never a float
+    * ratio, so the bit pattern is exact on any engine. 63 bits (bit
+    * 63 would overflow a signed long); frame feature is the stubbed
+    * code-point sum standing in for a DCT coefficient — the
+    * per-frame → threshold → pack structure is the real pHash
+    * contract. Near-dup search over these codes reuses the
+    * [[graft.dedup.Dedup.dedupSimhash]] pigeonhole machinery.
+    */
+  def mmPerceptualHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("nf",
+        least(ceil(length($"text") / 64.0).cast("int"), lit(63)))
+      .filter($"nf" > 0)
+      .withColumn("sums", expr(
+        "transform(sequence(0, nf - 1), " +
+          "f -> graft_codepoint_sum(substring(text, f*64+1, 64)))"))
+      .withColumn("total", expr(
+        "aggregate(sums, 0L, (acc, x) -> acc + x)"))
+      .withColumn("phash", expr(
+        "aggregate(zip_with(sums, sequence(0, nf - 1), " +
+          "(s, i) -> IF(s * cast(nf as bigint) > total, shiftleft(1L, cast(i as int)), 0L)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"nf".as("n_frames"), $"phash")
+  }
 }

@@ -223,6 +223,27 @@ object Similarity {
               round($"p._2", 4).as("approx_score"))
   }
 
+  /** Range search: every corpus vector within cosine ≥ 0.3 of each
+    * query vector (vec_id < 10) — threshold semantics, the complement
+    * of top-k. Queries broadcast against a single linear scan of the
+    * corpus: no shuffle at all until results surface, so throughput
+    * is scan-bound regardless of how many neighbors qualify (a top-k
+    * heap would cap them; a threshold must not).
+    */
+  def simRangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    e.join(broadcast(q), $"query_id" =!= $"vec_id")
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      // 0.3 keeps the result non-empty at every test SF (0.4 matches
+      // nothing at sf0.001 — a vacuously green row checks nothing)
+      .filter(round($"cos", 4) >= 0.3)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              round($"cos", 4).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: queries (vec_id < 10) score only candidates
     * co-bucketed with them in at least one of the 8 tables (union of
     * candidates, deduped), then exact-cosine top-5. Rows-only check;
