@@ -221,6 +221,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts == Map("a" -> 120L, "b" -> 30L))
   }
 
+  test("streaming dead-letter split: poison messages land in the DLQ topic") {
+    import spark.implicits._
+    import graft.streaming.EventLog
+    // the streaming form of evt_error_routing: one foreachBatch
+    // splits each micro-batch into the main sink and a DLQ topic —
+    // the reference handler's throw-on-malformed path, made durable
+    val base = Files.createTempDirectory("graft-dlq").toString
+    val src = new EventLog(base + "/src", numPartitions = 4)
+    val ok = new EventLog(base + "/ok", numPartitions = 4)
+    val dlq = new EventLog(base + "/dlq", numPartitions = 4)
+    // every 5th payload is malformed (no parseable number after '#')
+    src.produce(spark.range(0, 200)
+      .select($"id".cast("string").as("key"),
+        when($"id" % 5 === 0, lit("#corrupt"))
+          .otherwise(concat(lit("#"), $"id")).as("payload")))
+    val q = src.readStream(spark).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val tagged = batch.withColumn("parsed",
+          expr("try_cast(substring(payload, 2, 100) as bigint)"))
+        ok.produce(tagged.filter($"parsed".isNotNull).select("key", "payload"))
+        dlq.produce(tagged.filter($"parsed".isNull).select("key", "payload"))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(ok.consume(spark).count() == 160)
+    assert(dlq.consume(spark).count() == 40)
+    // nothing lost, nothing duplicated, and the DLQ holds only poison
+    assert(dlq.consume(spark).filter($"payload" =!= "#corrupt").count() == 0)
+  }
+
   test("at-least-once topic delivery dedupes to exactly-once downstream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dup-topic").toString + "/t"
