@@ -24,13 +24,13 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // millisecond precision keeps the whole line well under 2 KB so a
+    // centisecond precision keeps the whole line well under 2 KB so a
     // tail-window parser still sees the complete JSON object (noise at
     // sf0.1 is ±0.5 s — extra digits were false precision anyway)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
