@@ -826,23 +826,24 @@ object SparkEntry {
         |FROM q JOIN e ON q.query_id != e.vec_id
         |WHERE round(list_cosine_similarity(q.qv, e.v), 4) >= 0.3""".stripMargin,
     "mm_phash" ->
-      """WITH d AS (SELECT doc_id, text,
-        |   least(CAST(ceil(length(text)/64.0) AS INT), 63) AS nf
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
         |  FROM documents WHERE length(text) > 0),
-        |f AS (SELECT doc_id, nf, CAST(fi AS INT) AS fi,
-        |   substr(text, CAST(fi*64 + 1 AS INT), 64) AS frame
-        |  FROM d CROSS JOIN range(0, 63) t(fi) WHERE fi < nf),
-        |cs AS (SELECT doc_id, nf, fi,
-        |   CAST(list_sum(list_transform(range(1, length(frame)+1),
-        |     j -> ord(substr(frame, CAST(j AS INT), 1)))) AS BIGINT) AS s
-        |  FROM f),
+        |seg AS (SELECT doc_id, len, CAST(i AS INT) AS i,
+        |   ((i+1)*len)//63 - (i*len)//63 AS w,
+        |   substr(text, CAST((i*len)//63 AS INT) + 1,
+        |     CAST(((i+1)*len)//63 - (i*len)//63 AS INT)) AS frame
+        |  FROM d CROSS JOIN range(0, 63) t(i)),
+        |cs AS (SELECT doc_id, len, i, w,
+        |   CAST(coalesce(list_sum(list_transform(range(1, length(frame)+1),
+        |     j -> ord(substr(frame, CAST(j AS INT), 1)))), 0) AS BIGINT) AS s
+        |  FROM seg),
         |tot AS (SELECT doc_id, sum(s) AS total FROM cs GROUP BY 1)
-        |SELECT cs.doc_id, cs.nf AS n_frames,
-        | CAST(sum(CASE WHEN cs.s * cs.nf > t.total
-        |   THEN CAST(power(2, cs.fi) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |SELECT cs.doc_id, cs.len AS n_chars_used,
+        | CAST(sum(CASE WHEN cs.s * cs.len > t.total * cs.w
+        |   THEN CAST(power(2, cs.i) AS BIGINT) ELSE 0 END) AS BIGINT)
         |   AS phash
         |FROM cs JOIN tot t ON cs.doc_id = t.doc_id
-        |GROUP BY cs.doc_id, cs.nf""".stripMargin,
+        |GROUP BY cs.doc_id, cs.len""".stripMargin,
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

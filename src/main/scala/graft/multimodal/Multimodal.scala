@@ -120,32 +120,46 @@ object Multimodal {
           .as("feature_bucket"))
   }
 
-  /** Perceptual hash (pHash shape): a blob's frames reduce to one
-    * compact similarity-preserving code — bit i is set when frame i's
-    * feature beats the blob-wide mean. The mean comparison is done in
-    * CROSS-MULTIPLIED INTEGERS (sum_i · n > total), never a float
-    * ratio, so the bit pattern is exact on any engine. 63 bits (bit
-    * 63 would overflow a signed long); frame feature is the stubbed
-    * code-point sum standing in for a DCT coefficient — the
-    * per-frame → threshold → pack structure is the real pHash
-    * contract. Near-dup search over these codes reuses the
-    * [[graft.dedup.Dedup.dedupSimhash]] pigeonhole machinery.
+  /** Perceptual hash (pHash structure): the blob RESAMPLES to a fixed
+    * 63-segment grid — segment i covers code points [⌊i·len/63⌋,
+    * ⌊(i+1)·len/63⌋), the analog of pHash's resize-before-DCT, so
+    * every blob yields a full-width code no matter its length (a
+    * fixed-frame variant left high bits zero for short blobs, which
+    * degenerates the pair-search buckets below). Bit i is set when
+    * segment i's PER-CHARACTER mean beats the blob-wide one, compared
+    * as CROSS-MULTIPLIED INTEGERS (sum_i·len > total·width_i — never
+    * a float ratio), so the bit pattern is exact on any engine.
+    * 63 bits (bit 63 would overflow a signed long); the segment
+    * feature is the stubbed code-point sum standing in for a DCT
+    * coefficient — resample → feature → mean-threshold → pack is the
+    * real pHash contract.
+    *
+    * Deliberately NO hamming pair-search operator on top of these
+    * codes: on a TEXT corpus a one-word edit shifts every character
+    * segment after it, so near-dup documents do NOT have close codes
+    * (measured: 0 pairs at hamming ≤ 3 on two of three test SFs — a
+    * vacuously green operator). pHash pair search earns its keep on
+    * fixed-grid media (images/audio); the pigeonhole machinery it
+    * would use is exercised for real in
+    * [[graft.dedup.Dedup.dedupSimhash]], whose shingle hashes are
+    * edit-robust.
     */
   def mmPerceptualHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .withColumn("nf",
-        least(ceil(length($"text") / 64.0).cast("int"), lit(63)))
-      .filter($"nf" > 0)
+      .filter(length($"text") > 0)
+      .withColumn("len", length($"text").cast("long"))
       .withColumn("sums", expr(
-        "transform(sequence(0, nf - 1), " +
-          "f -> graft_codepoint_sum(substring(text, f*64+1, 64)))"))
-      .withColumn("total", expr(
-        "aggregate(sums, 0L, (acc, x) -> acc + x)"))
+        "transform(sequence(0, 62), i -> struct(" +
+          "((i+1)*len) div 63 - (i*len) div 63 as w, " +
+          "graft_codepoint_sum(substring(text, cast((i*len) div 63 as int) + 1, " +
+            "cast(((i+1)*len) div 63 - (i*len) div 63 as int))) as s))"))
+      .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x.s)"))
       .withColumn("phash", expr(
-        "aggregate(zip_with(sums, sequence(0, nf - 1), " +
-          "(s, i) -> IF(s * cast(nf as bigint) > total, shiftleft(1L, cast(i as int)), 0L)), " +
+        "aggregate(zip_with(sums, sequence(0, 62), " +
+          "(p, i) -> IF(p.s * len > total * p.w, shiftleft(1L, cast(i as int)), 0L)), " +
           "0L, (acc, x) -> acc + x)"))
-      .select($"doc_id", $"nf".as("n_frames"), $"phash")
+      .select($"doc_id", $"len".as("n_chars_used"), $"phash")
   }
+
 }
