@@ -47,4 +47,34 @@ object TopK {
     */
   def topK(k: Int)(id: Column, score: Column): Column =
     udaf(new TopKAgg(k)).apply(id, score)
+
+  type SPair = (String, Double)
+
+  final case class BufS(items: List[SPair])
+
+  private def truncateS(items: List[SPair], k: Int): List[SPair] =
+    items.sortBy { case (id, s) => (-s, id) }.take(k)
+
+  /** String-keyed twin of [[TopKAgg]] — same bounded-heap contract,
+    * ties broken by ascending (lexicographic) id, so it reproduces a
+    * `row_number() OVER (ORDER BY score DESC, id)` window exactly.
+    */
+  class TopKStrAgg(k: Int) extends Aggregator[SPair, BufS, Seq[SPair]] {
+    override def zero: BufS = BufS(Nil)
+    override def reduce(b: BufS, a: SPair): BufS = {
+      val items = a :: b.items
+      if (items.length > 2 * k) BufS(truncateS(items, k)) else BufS(items)
+    }
+    override def merge(x: BufS, y: BufS): BufS = BufS(truncateS(x.items ++ y.items, k))
+    override def finish(b: BufS): Seq[SPair] = truncateS(b.items, k)
+    override def bufferEncoder: Encoder[BufS] = Encoders.product[BufS]
+    override def outputEncoder: Encoder[Seq[SPair]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SPair]]()
+  }
+
+  /** `array<struct<_1: string, _2: double>>`, highest score first,
+    * ties by ascending id.
+    */
+  def topKStr(k: Int)(id: Column, score: Column): Column =
+    udaf(new TopKStrAgg(k)).apply(id, score)
 }

@@ -220,20 +220,24 @@ object Analytics {
 
   /** Per-language top-10 bigram counts: adjacent word pairs via
     * slice+zip (no sequence() — its descending-on-empty behavior is
-    * a footgun), explode, count, windowed rank. Same shape as
+    * a footgun), explode, count, bounded-heap top-k (the bigram
+    * vocabulary is far larger than the word vocabulary, so a
+    * per-language window sort is the first thing to fall over at
+    * corpus scale). Same shape as
     * [[graft.text.TextAnalysis.txtTermFreq]].
     */
   def txtBigrams(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
     Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("bigram", explode(expr(
         "zip_with(slice(words, 1, size(words)-1), slice(words, 2, size(words)-1), (a, b) -> concat(a, ' ', b))")))
       .groupBy($"lang", $"bigram")
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
-      .select($"lang", $"bigram", $"n", $"rank")
+      .groupBy($"lang")
+      .agg(graft.functions.TopK.topKStr(10)($"bigram", $"n".cast("double")).as("top"))
+      .select($"lang", posexplode($"top").as(Seq("i", "p")))
+      .select($"lang", $"p._1".as("bigram"), $"p._2".cast("long").as("n"),
+              ($"i" + 1).cast("int").as("rank"))
   }
 }

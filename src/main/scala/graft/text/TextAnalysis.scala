@@ -83,20 +83,25 @@ object TextAnalysis {
   }
 
   /** Term frequency: top-10 words per language by count (rank ties
-    * broken by word) — explode → count → windowed top-k, the standard
-    * vocabulary-building pass.
+    * broken by word) — explode → count → bounded-heap top-k. The heap
+    * aggregator reduces each map partition to ≤ k (word, n) pairs, so
+    * nothing ever sorts the vocabulary: per-language vocab is
+    * Heaps-law-sublinear but still millions of rows at corpus scale,
+    * and the window formulation funnels all of it through one task
+    * per language. Tie-break (count desc, word asc) matches the
+    * window/oracle ordering exactly.
     */
   def txtTermFreq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"n".desc, $"word")
     Tables.documents(spark, sfDir)
       .select($"lang", explode(expr("split(trim(text), ' +')")).as("word"))
       .groupBy($"lang", $"word")
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
-      .select($"lang", $"word", $"n", $"rank")
+      .groupBy($"lang")
+      .agg(graft.functions.TopK.topKStr(10)($"word", $"n".cast("double")).as("top"))
+      .select($"lang", posexplode($"top").as(Seq("i", "p")))
+      .select($"lang", $"p._1".as("word"), $"p._2".cast("long").as("n"),
+              ($"i" + 1).cast("int").as("rank"))
   }
 
   /** Sketch-based frequent terms (`approx_top_k`, DataSketches

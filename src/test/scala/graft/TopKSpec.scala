@@ -34,6 +34,22 @@ class TopKSpec extends AnyFunSuite {
     assert(window.exceptAll(heap).count() == 0)
   }
 
+  test("string-keyed heap top-k equals the window formulation on term frequency") {
+    import spark.implicits._
+    val counts = graft.core.Tables.documents(spark, sf)
+      .select($"lang", explode(expr("split(trim(text), ' +')")).as("word"))
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"word")
+    val window = counts.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"lang", $"word", $"n", $"rank")
+      .collect().toSet
+    val heap = graft.text.TextAnalysis.txtTermFreq(spark, sf).collect().toSet
+    assert(heap == window, "string heap top-k diverges from window rank")
+  }
+
   test("knn graph covers every vector and is exact within its cell") {
     import spark.implicits._
     val g = graft.similarity.Similarity.simKnnGraph(spark, sf)
