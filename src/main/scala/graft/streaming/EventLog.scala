@@ -44,8 +44,12 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("partition").orderBy("key")
     records
+      // null keys are legal in Kafka (the broker round-robins them);
+      // here they hash as the empty string — deterministic, so replay
+      // and the oracle agree — instead of propagating a null partition
+      // into a partition=null directory
       .withColumn("partition",
-        pmod(xxhash64(col("key")), lit(numPartitions)).cast("int"))
+        pmod(xxhash64(coalesce(col("key"), lit(""))), lit(numPartitions)).cast("int"))
       .join(broadcast(hwmDf), Seq("partition"))
       .withColumn("offset",
         col("hwm") + row_number().over(w).cast("long"))

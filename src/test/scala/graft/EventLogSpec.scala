@@ -125,6 +125,23 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("groupA") == log.highWaterMarks(spark))
   }
 
+  test("null keys produce to a real partition and survive the round trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullkey").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 60)
+      .select(when($"id" % 3 === 0, lit(null)).otherwise($"id".cast("string")).as("key"),
+              concat(lit("#"), $"id").as("payload")))
+    val consumed = log.consume(spark)
+    assert(consumed.count() == 60)
+    assert(consumed.filter($"partition".isNull || $"partition" < 0 ||
+                           $"partition" >= 4).count() == 0)
+    // all null-key messages landed on ONE deterministic partition
+    // (hash of the empty string), like a keyed message would
+    assert(consumed.filter($"key".isNull)
+      .select($"partition").distinct().count() == 1)
+  }
+
   test("producer compression knob: zstd-coded batches read back intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString + "/t"
