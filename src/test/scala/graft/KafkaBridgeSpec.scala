@@ -65,6 +65,18 @@ class KafkaBridgeSpec extends AnyFunSuite {
     assert(snk("topic") == "out")
   }
 
+  test("transport=kafka without brokers fails fast, before any source is built") {
+    val base = java.nio.file.Files.createTempDirectory("graft-nobroker").toString
+    val log = new EventLog(base + "/t", numPartitions = 2)
+    spark.conf.set("spark.graft.transport", "kafka")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        KafkaBridge.readStream(spark, "t", log)
+      }
+      assert(err.getMessage.contains("spark.graft.brokers"))
+    } finally spark.conf.unset("spark.graft.transport")
+  }
+
   test("transport=log streams through EventLog with the same envelope schema") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-bridge").toString
