@@ -117,8 +117,15 @@ object Similarity {
     * Σ|cell|² (never corpus²), the only wide op is the self-join's
     * single canonicalized exchange on the cell id, and per-vector
     * top-k runs through the bounded-heap aggregate — no sort of the
-    * candidate lists. Rows-only check; within-cell exactness vs the
-    * window path is spec-asserted in TopKSpec.
+    * candidate lists. Within-cell exactness vs the window path is
+    * spec-asserted in TopKSpec.
+    *
+    * The Σ|cell|² bound is only as good as the quantizer granularity:
+    * this corpus's `label` column has a fixed cell count, so at 100 TB
+    * the operator's contract is that the coarse quantizer is trained
+    * with k ∝ √N cells (standard IVF sizing — cells of ~√N vectors
+    * make Σ|cell|² ≈ N^1.5, not N²); the labels here stand in for
+    * that trained quantizer exactly as in [[simIvfAnn]].
     */
   def simKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
