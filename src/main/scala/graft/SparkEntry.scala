@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
+    "pipeline_pack"        -> (Analytics.pipelinePack _),
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
@@ -637,6 +638,20 @@ object SparkEntry {
         | round(avg(n_chars), 2) AS avg_chars
         |FROM d WHERE n_tokens >= 20 AND lang = 'en'
         |GROUP BY source""".stripMargin,
+    "pipeline_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |     AS n_tokens,
+        |   doc_id // 1000 AS shard
+        |  FROM documents),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        |   PARTITION BY source, shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cum_before FROM d)
+        |SELECT source, shard,
+        | CAST(cum_before // 512 AS BIGINT) AS context_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
     "dedup_cluster_stats" ->
       """WITH c AS (SELECT md5(lower(trim(text))) AS h,
         |   count(*) AS cluster_size FROM documents GROUP BY 1)

@@ -218,6 +218,33 @@ object Analytics {
            round(avg($"n_chars"), 2).as("avg_chars"))
   }
 
+  /** Sequence packing for training batches: the corpus concatenates
+    * (in deterministic doc_id order within each (source, shard)
+    * stream) and cuts every 512 tokens — each document is assigned to
+    * the packed context its FIRST token lands in, the standard
+    * concatenate-and-split packing an LLM data loader performs.
+    * The shard key (doc_id div 1000) keeps the running-sum window's
+    * partition count proportional to corpus size — packing streams
+    * are arbitrary, so a composite key costs nothing and a
+    * source-only window (a handful of giant partitions) would be the
+    * low-cardinality sort this engine bans. Output: docs and tokens
+    * per packed context.
+    */
+  def pipelinePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+              expr("cast(size(split(trim(text), ' +')) as bigint)").as("n_tokens"))
+      .withColumn("shard", expr("doc_id div 1000"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("context_id", expr("cum_before div 512"))
+      .groupBy($"source", $"shard", $"context_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("n_tokens"))
+  }
+
   /** Per-language top-10 bigram counts: adjacent word pairs via
     * slice+zip (no sequence() — its descending-on-empty behavior is
     * a footgun), explode, count, bounded-heap top-k (the bigram
