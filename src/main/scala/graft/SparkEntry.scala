@@ -46,6 +46,13 @@ object SparkEntry {
     "q_promo_effect"       -> (Relational.qPromoEffect _),
     "q_having"             -> (Relational.qHaving _),
     "q_except"             -> (Relational.qExcept _),
+    "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
+    "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
+    "q10_returned_items"   -> (Relational.q10ReturnedItems _),
+    "q13_cust_distribution" -> (Relational.q13CustDistribution _),
+    "q18_large_orders"     -> (Relational.q18LargeOrders _),
+    "q19_disjunctive"      -> (Relational.q19Disjunctive _),
+    "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
     "q_stats"              -> (Analytics.qStats _),
     "q_grouping_sets"      -> (Analytics.qGroupingSets _),
     "q_unpivot"            -> (Analytics.qUnpivot _),
@@ -73,6 +80,7 @@ object SparkEntry {
     "evt_anomaly"          -> (Events.evtAnomaly _),
     "evt_error_routing"    -> (Events.evtErrorRouting _),
     "evt_moving_agg"       -> (Events.evtMovingAgg _),
+    "evt_top_types"        -> (Events.evtTopTypes _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -82,6 +90,8 @@ object SparkEntry {
     "txt_bigrams"          -> (Analytics.txtBigrams _),
     "txt_approx_topk"      -> (graft.text.TextAnalysis.txtApproxTopk _),
     "txt_doc_freq"         -> (graft.text.TextAnalysis.txtDocFreq _),
+    "txt_contamination"    -> (graft.text.TextAnalysis.txtContamination _),
+    "txt_repetition"       -> (graft.text.TextAnalysis.txtRepetition _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
@@ -91,6 +101,7 @@ object SparkEntry {
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
     "pipeline_pack"        -> (Analytics.pipelinePack _),
+    "pipeline_sample"      -> (Analytics.pipelineSample _),
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
@@ -155,6 +166,73 @@ object SparkEntry {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | count(*) AS n_lineitems,
+        | round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000)
+        |   AS BIGINT)) AS DOUBLE)/10000, 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN nation n1 ON s_nationkey=n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey=n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  AND n1.n_name != n2.n_name
+        |GROUP BY 1,2,3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |WHERE l_returnflag='R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS n_customers
+        |FROM co GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        | round(o_totalprice, 2) AS price,
+        | round(sum(l_quantity), 2) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |GROUP BY 1,2,3,4,5 HAVING sum(l_quantity) > 300""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE (p_brand='Brand#2' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand='Brand#17' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand='Brand#4' AND p_size BETWEEN 5 AND 25
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH a AS (SELECT avg(c_acctbal) AS m FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_balance
+        |FROM customer, a WHERE c_acctbal > m
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_lead_gap" ->
       """WITH x AS (SELECT o_custkey, o_orderdate,
         |   lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
@@ -299,6 +377,19 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
+    "q_approx_percentile" ->
+      """WITH r AS (SELECT o_orderstatus, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY o_totalprice) AS rn,
+        |   count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        | round(max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+        |   THEN o_totalprice END), 2) AS ap50,
+        | round(max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT)
+        |   THEN o_totalprice END), 2) AS ap90,
+        | CAST(max(n) AS BIGINT) AS n_orders
+        |FROM r GROUP BY o_orderstatus""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
@@ -426,6 +517,64 @@ object SparkEntry {
         |r AS (SELECT word, df, CAST(row_number() OVER (
         |   ORDER BY df DESC, word) AS INT) AS rank FROM c)
         |SELECT word, df, rank FROM r WHERE rank <= 20""".stripMargin,
+    "txt_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),' +') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(0, greatest(len(w)-5,0)+1),
+        |   i -> CAST(md5_number_lower(array_to_string(
+        |     list_slice(w, CAST(i+1 AS INT), CAST(i+5 AS INT)),' '))
+        |     % 9223372036854775808 AS BIGINT)))) AS g FROM d),
+        |ev AS (SELECT doc_id, g FROM sh WHERE doc_id % 29 = 0),
+        |co AS (SELECT doc_id, g FROM sh WHERE doc_id % 29 != 0),
+        |hits AS (SELECT ev.doc_id, ev.g, count(DISTINCT co.doc_id) AS nd
+        |  FROM ev LEFT JOIN co ON ev.g = co.g GROUP BY 1,2)
+        |SELECT doc_id, count(*) AS n_shingles,
+        | count(CASE WHEN nd>0 THEN 1 END) AS n_contaminated,
+        | CAST(coalesce(sum(nd),0) AS BIGINT) AS n_corpus_matches
+        |FROM hits GROUP BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(text),' +') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |   CAST(greatest(len(w)-2, 0) AS BIGINT) AS n_trigrams,
+        |   CAST(len(list_distinct(list_transform(range(0, greatest(len(w)-2,0)),
+        |     i -> array_to_string(list_slice(w, CAST(i+1 AS INT),
+        |       CAST(i+3 AS INT)),' ')))) AS BIGINT) AS n_distinct_trigrams,
+        |   CAST(greatest(len(w)-1, 0) AS BIGINT) AS n_bigrams,
+        |   CAST(len(list_distinct(list_transform(range(0, greatest(len(w)-1,0)),
+        |     i -> array_to_string(list_slice(w, CAST(i+1 AS INT),
+        |       CAST(i+2 AS INT)),' ')))) AS BIGINT) AS n_distinct_bigrams
+        |  FROM d)
+        |SELECT doc_id, lang, n_trigrams, n_distinct_trigrams,
+        | n_bigrams, n_distinct_bigrams,
+        | round((n_trigrams - n_distinct_trigrams)
+        |   / greatest(n_trigrams, 1)::DOUBLE, 4) AS dup_trigram_frac
+        |FROM g""".stripMargin,
+    "pipeline_sample" ->
+      """WITH rates AS (SELECT * FROM (VALUES
+        |  ('src0', 10000), ('src1', 5000), ('src2', 2500),
+        |  ('src3', 1250), ('src4', 625)) t(source, keep_bp)),
+        |d AS (SELECT doc_id, documents.source,
+        |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens,
+        |   coalesce(keep_bp, 500) AS kb,
+        |   (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |     % 9223372036854775808) % 10000 AS h
+        |  FROM documents LEFT JOIN rates ON documents.source = rates.source)
+        |SELECT source, count(*) AS n_total,
+        | count(CASE WHEN h < kb THEN 1 END) AS n_sampled,
+        | CAST(coalesce(sum(CASE WHEN h < kb THEN n_tokens END),0) AS BIGINT)
+        |   AS sampled_tokens
+        |FROM d GROUP BY source""".stripMargin,
+    "evt_top_types" ->
+      """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+        |     AS window_start,
+        |   event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+        |   ORDER BY n_events DESC, event_type) AS INT) AS rank FROM h)
+        |SELECT window_start, event_type, n_events, total_value, rank
+        |FROM r WHERE rank <= 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,
         | min(doc_id) AS keep_doc_id, count(*) AS n_docs

@@ -267,4 +267,33 @@ object Analytics {
       .select($"lang", $"p._1".as("bigram"), $"p._2".cast("long").as("n"),
               ($"i" + 1).cast("int").as("rank"))
   }
+
+  /** Deterministic domain-mixture sampling: each source keeps a
+    * configured fraction of its documents, selected by a 63-bit md5
+    * hash of the doc id against a basis-point threshold — the
+    * training-mixture downsampling pass (e.g. "keep 6% of crawl,
+    * 100% of curated"). Hash-based selection beats `sample()` at
+    * 100 TB because it is REPRODUCIBLE across runs, engines, and
+    * partitionings (no RNG state per partition), stable under
+    * re-partitioning, and joins/filters push it into the scan. The
+    * rate table is a broadcast literal; the only shuffle is the final
+    * per-source rollup.
+    */
+  def pipelineSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = spark.createDataFrame(Seq(
+      ("src0", 10000L), ("src1", 5000L), ("src2", 2500L),
+      ("src3", 1250L), ("src4", 625L))).toDF("r_source", "keep_bp")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
+      .withColumn("h", expr(
+        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000"))
+      .join(broadcast(rates), $"source" === $"r_source", "left_outer")
+      .withColumn("kb", coalesce($"keep_bp", lit(500L)))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+           count(when($"h" < $"kb", 1)).as("n_sampled"),
+           coalesce(sum(when($"h" < $"kb", $"n_tokens")), lit(0L)).cast("long")
+             .as("sampled_tokens"))
+  }
 }

@@ -99,6 +99,25 @@ object Events {
            round(sum($"value"), 2).as("total_value"))
   }
 
+  /** Windowed top-k: the two busiest event types per hour. The
+    * per-(window, type) aggregate reduces the stream first (map-side
+    * partial), so the rank window runs over ≤ #types rows per hour —
+    * and it partitions on window_start, a HIGH-cardinality key that
+    * grows with the data, never a handful of category values. The
+    * streaming twin is this same aggregate under a watermark.
+    */
+  def evtTopTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"n_events".desc, $"event_type")
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 2).as("total_value"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 2)
+  }
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * conditional sum. Batch equivalent of the
     * `flatMapGroupsWithState` sessionizer in `graft.streaming`

@@ -336,16 +336,23 @@ object Relational {
 
   /** Sketch-based percentiles: `approx_percentile` (Greenwald-Khanna)
     * — the mergeable-summary path that replaces exact percentiles at
-    * 100 TB. Algorithm differs from DuckDB's sampling → rows-only;
-    * RelationalSpec bounds the error against [[qPercentiles]].
+    * 100 TB. At accuracy 10⁷ the summary's error band stays below one
+    * rank for any test-scale group (2·n/accuracy < 1 until n ≈ 5M),
+    * so the sketch answers EXACTLY the element at 1-based rank
+    * ⌈q·n⌉ — which is what the SQL oracle computes, making this
+    * hash-checked rather than rows-only. At 100 TB the same code is
+    * the honest sketch (mergeable partials, bounded memory), just with
+    * nonzero error. RelationalSpec additionally bounds the error
+    * against the interpolated [[qPercentiles]].
     */
   def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .groupBy($"o_orderstatus")
       .agg(
-        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("ap50"),
-        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("ap90"))
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000000)"), 2).as("ap50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000000)"), 2).as("ap90"),
+        count(lit(1)).as("n_orders"))
   }
 
   /** TPC-H Q14-shaped promotion effect: lineitem ⋈ broadcast(part)
@@ -455,6 +462,161 @@ object Relational {
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
            round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: the pure-pushdown query — all
+    * three predicates (date range, discount band, quantity cap) and
+    * the 3-column projection reach the parquet scan, then one global
+    * aggregate. At 100 TB this reads a fraction of the columns and
+    * row groups and shuffles ≤ #partitions partial rows.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1998-01-01") &&
+              $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("promo_revenue"),
+           count(lit(1)).as("n_lineitems"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: revenue between nation pairs by
+    * ship year. Supplier and customer each resolve their nation BEFORE
+    * touching the fact table — the 3-nation filter shrinks both sides
+    * first (supplier side broadcast; customer side left to AQE), so
+    * the only big shuffle is lineitem ⋈ orders. The pair-asymmetry
+    * predicate (supp ≠ cust nation) filters the joined row.
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val picks = Seq("NATION_1", "NATION_2", "NATION_3")
+    val n = Tables.nation(spark, sfDir)
+    val s2 = Tables.supplier(spark, sfDir)
+      .join(broadcast(n.filter($"n_name".isin(picks: _*))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val c2 = Tables.customer(spark, sfDir)
+      .join(broadcast(n.filter($"n_name".isin(picks: _*))),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(s2), $"l_suppkey" === $"s_suppkey")
+      .join(c2, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+               year($"l_shipdate").cast("int").as("l_year"))
+      // price and discount are exact 2-decimal values, so the per-row
+      // revenue is a true 4-decimal number: accumulate integer
+      // ten-thousandths (exact, order-insensitive long sum) and divide
+      // once — a float sum's last ulp flipped round(.,2) boundaries
+      // here at two SFs (the true group totals end in ...x50)
+      .agg(count(lit(1)).as("n_lineitems"),
+           round((sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+             .cast("long")) / 10000.0), 4).as("revenue"))
+  }
+
+  /** TPC-H Q10-shaped returned items: top-20 customers by revenue lost
+    * to returns in a half-year window. Date filter pushes to the
+    * orders scan, the return-flag filter to the lineitem scan; the
+    * top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    * heads merged on the driver, never a global sort).
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1997-07-01"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q13-shaped customer distribution: how many customers placed
+    * exactly k (non-'5-LOW') orders, including k = 0 via the left
+    * outer join. Two shuffles, each smaller than the last: per-customer
+    * count, then the ≤ max-k-row histogram.
+    */
+  def q13CustDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" =!= "5-LOW")
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(spark, sfDir)
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** TPC-H Q18-shaped large orders: orders whose total quantity tops
+    * 300. The lineitem aggregate runs FIRST (partial map-side combine,
+    * one shuffle on the order key) and the >300 filter reduces it to a
+    * handful of rows before any join — orders and customer then attach
+    * to a tiny left side (AQE picks broadcast). Joining before
+    * aggregating would drag full order/customer rows through the
+    * fact-sized shuffle.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 300)
+    big.join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+              round($"o_totalprice", 2).as("price"),
+              round($"qty", 2).as("total_qty"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive predicate pushdown: three
+    * (brand, size-band, quantity-band) OR-arms over lineitem ⋈
+    * broadcast(part). Catalyst extracts the common-column conjuncts it
+    * can push (quantity bounds to the fact scan, brand/size to the
+    * dim scan) and evaluates the residual OR on the joined row —
+    * the classic "OR of ANDs" shape hand-written engines special-case.
+    */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val arm1 = $"p_brand" === "Brand#2" && $"p_size".between(1, 15) &&
+      $"l_quantity".between(1, 20)
+    val arm2 = $"p_brand" === "Brand#17" && $"p_size".between(10, 30) &&
+      $"l_quantity".between(10, 30)
+    val arm3 = $"p_brand" === "Brand#4" && $"p_size".between(5, 25) &&
+      $"l_quantity".between(20, 40)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .filter(arm1 || arm2 || arm3)
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+  }
+
+  /** TPC-H Q22-shaped idle high-balance customers: balance above the
+    * global positive-balance average AND no order since 1999. The
+    * average is a 1-row aggregate broadcast back against the scan (a
+    * scalar subquery, never a window); the NOT EXISTS is a left-anti
+    * join against the date-filtered orders.
+    */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val cutoff = c.filter($"c_acctbal" > 0)
+      .agg(avg($"c_acctbal").as("global_avg"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1999-01-01"))
+      .select($"o_custkey")
+    c.crossJoin(broadcast(cutoff))
+      .filter($"c_acctbal" > $"global_avg")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum($"c_acctbal"), 2).as("total_balance"))
   }
 
   /** As-of join: for every event, the customer's most recent order on

@@ -179,4 +179,66 @@ object TextAnalysis {
               expr("array_min(fps)").as("min_fp"),
               expr("array_max(fps)").as("max_fp"))
   }
+
+  /** Benchmark decontamination: word-5-gram overlap between a held-out
+    * eval set (doc_id ≡ 0 mod 29, the stand-in for a benchmark
+    * corpus) and the rest of the training corpus. Each side reduces
+    * its shingles to 63-bit md5 hashes in the scan pass — at 100 TB
+    * the join carries 8-byte keys, never shingle strings, and the
+    * eval side is benchmark-sized (tiny), so the hash join broadcasts
+    * it; the corpus side streams past without a shuffle. Per eval doc:
+    * how many of its shingles appear anywhere in the corpus, and how
+    * many (evalShingle, corpusDoc) matches exist — the "remove or
+    * flag" signal a training pipeline acts on.
+    */
+  def txtContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shingled = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("g", explode(expr(
+        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
+          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
+          "& 9223372036854775807))")))
+      .select($"doc_id", $"g")
+    val eval   = shingled.filter($"doc_id" % 29 === 0)
+      .select($"doc_id", $"g")
+    val corpus = shingled.filter($"doc_id" % 29 =!= 0)
+      .select($"doc_id".as("corpus_doc"), $"g")
+    eval.join(corpus, Seq("g"), "left_outer")
+      .groupBy($"doc_id", $"g")
+      .agg(countDistinct($"corpus_doc").as("nd"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when($"nd" > 0, 1)).as("n_contaminated"),
+           coalesce(sum($"nd"), lit(0L)).cast("long").as("n_corpus_matches"))
+  }
+
+  /** Intra-document repetition profile (the Gopher/C4-style quality
+    * gate): duplicate word-trigram and -bigram fractions per document.
+    * A single narrow codegen pass — shingles are built, deduplicated,
+    * and counted inside per-row array expressions, so the operator
+    * never shuffles at any corpus size.
+    */
+  def txtRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      // sequence() DESCENDS when start > stop, so the degenerate
+      // short-doc cases map to an empty array explicitly
+      .withColumn("tri", expr(
+        "if(size(words) >= 3, transform(sequence(1, size(words)-2), " +
+          "i -> concat_ws(' ', slice(words, i, 3))), cast(array() as array<string>))"))
+      .withColumn("bi", expr(
+        "if(size(words) >= 2, transform(sequence(1, size(words)-1), " +
+          "i -> concat_ws(' ', slice(words, i, 2))), cast(array() as array<string>))"))
+      .select(
+        $"doc_id", $"lang",
+        expr("cast(size(tri) as bigint)").as("n_trigrams"),
+        expr("cast(size(array_distinct(tri)) as bigint)").as("n_distinct_trigrams"),
+        expr("cast(size(bi) as bigint)").as("n_bigrams"),
+        expr("cast(size(array_distinct(bi)) as bigint)").as("n_distinct_bigrams"))
+      .withColumn("dup_trigram_frac",
+        round(($"n_trigrams" - $"n_distinct_trigrams") /
+          greatest($"n_trigrams", lit(1L)).cast("double"), 4))
+  }
 }
