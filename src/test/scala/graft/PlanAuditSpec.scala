@@ -193,6 +193,66 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keyExchanges <= 1, s"upsert shuffles the key more than once\n$p")
   }
 
+  test("q6: every predicate and the 3-column projection reach the scan") {
+    val df = Relational.q6ForecastRevenue(spark, sf)
+    val fmt = capture(df, "formatted")
+    assert(fmt.contains("GreaterThanOrEqual(l_shipdate"), "shipdate not pushed")
+    assert(fmt.contains("GreaterThanOrEqual(l_discount"), "discount not pushed")
+    assert(fmt.contains("LessThan(l_quantity"), "quantity not pushed")
+    assert(!fmt.contains("l_orderkey"), "scan reads columns q6 never uses")
+  }
+
+  test("q18: quantity aggregate runs BELOW the joins (aggregate-then-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Relational.q18LargeOrders(spark, sf).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size >= 2, s"expected joins to orders and customer\n$plan")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "no aggregate in plan")
+    // the lineitem quantity aggregate must not contain a join beneath
+    // it — joining first would drag order/customer rows through the
+    // fact-sized shuffle
+    assert(aggs.exists(a => a.collect { case j: Join => j }.isEmpty),
+      s"aggregate sits above the joins\n$plan")
+  }
+
+  test("q22: anti join for NOT EXISTS, scalar average broadcast, no cartesian") {
+    val p = capture(Relational.q22IdleCustomers(spark, sf), "simple")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as anti join\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar-average cross join fell back to a cartesian product\n$p")
+  }
+
+  test("txt_repetition: zero shuffles — pure narrow pass over the scan") {
+    val p = capture(graft.text.TextAnalysis.txtRepetition(spark, sf), "formatted")
+    assert(!p.contains("Exchange"), s"repetition profile shuffles\n$p")
+  }
+
+  test("pipeline_sample: rate table broadcast, single rollup shuffle") {
+    val p = capture(graft.operators.Analytics.pipelineSample(spark, sf), "simple")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sampling pass shuffles more than the rollup\n$p")
+  }
+
+  test("txt_contamination: bounded shuffles, no cartesian") {
+    val p = capture(graft.text.TextAnalysis.txtContamination(spark, sf), "simple")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"contamination join shuffles too much ($exchanges)\n$p")
+  }
+
+  test("evt_top_types: rank window runs over the aggregate, not raw events") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Events.evtTopTypes(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "no window operator in plan")
+    windows.foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        s"rank window sees raw events instead of the per-window aggregate\n$plan")
+    }
+  }
+
   test("dedup_ngram: size bucketing splits source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
