@@ -105,16 +105,23 @@ object Dedup {
       .select($"doc_id", posexplode($"bhs").as(Seq("band_idx", "band_hash")))
       .persist()
     // approximate connected components: propagate the min doc_id
-    // through shared buckets (doc → bucket → doc), twice
-    val rep0 = bands.select($"doc_id", $"doc_id".as("rep"))
-    val rep = (1 to 2).foldLeft(rep0.dropDuplicates("doc_id")) { case (r, _) =>
-      val bucketMin = bands.join(r, Seq("doc_id"))
-        .groupBy($"band_idx", $"band_hash")
-        .agg(min($"rep").as("bucket_rep"))
-      bands.join(bucketMin, Seq("band_idx", "band_hash"))
-        .groupBy($"doc_id")
-        .agg(min($"bucket_rep").as("rep"))
-    }
+    // through shared buckets (doc → bucket → doc), twice. Hop 1 is
+    // unrolled: its rep map is the identity, so the bucket minimum is
+    // just min(doc_id) per bucket — aggregating the band relation
+    // directly saves the identity-join and the dropDuplicates shuffle
+    // a generic fold would pay
+    val bucketMin1 = bands
+      .groupBy($"band_idx", $"band_hash")
+      .agg(min($"doc_id").as("bucket_rep"))
+    val r1 = bands.join(bucketMin1, Seq("band_idx", "band_hash"))
+      .groupBy($"doc_id")
+      .agg(min($"bucket_rep").as("rep"))
+    val bucketMin2 = bands.join(r1, Seq("doc_id"))
+      .groupBy($"band_idx", $"band_hash")
+      .agg(min($"rep").as("bucket_rep"))
+    val rep = bands.join(bucketMin2, Seq("band_idx", "band_hash"))
+      .groupBy($"doc_id")
+      .agg(min($"bucket_rep").as("rep"))
     rep.select($"doc_id", $"rep".as("cluster_rep"),
                ($"doc_id" =!= $"rep").as("is_dup"))
   }
