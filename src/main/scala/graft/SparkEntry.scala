@@ -36,6 +36,7 @@ object SparkEntry {
     "q_asof_join"          -> (Relational.qAsofJoin _),
     "q_skew_join"          -> (Relational.qSkewJoin _),
     "q_upsert_latest"      -> (Relational.qUpsertLatest _),
+    "q_scd2_dim"           -> (Relational.qScd2Dim _),
     "q_approx_percentile"  -> (Relational.qApproxPercentile _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "txt_approx_topk"      -> (graft.text.TextAnalysis.txtApproxTopk _),
     "txt_doc_freq"         -> (graft.text.TextAnalysis.txtDocFreq _),
     "txt_contamination"    -> (graft.text.TextAnalysis.txtContamination _),
+    "txt_tfidf"            -> (graft.text.TextAnalysis.txtTfidf _),
     "txt_repetition"       -> (graft.text.TextAnalysis.txtRepetition _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
@@ -377,6 +379,28 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
+    "q_scd2_dim" ->
+      """SELECT o_custkey, CAST(row_number() OVER w AS INT) AS version_idx,
+        | o_orderdate AS valid_from,
+        | lead(o_orderdate) OVER w AS valid_to,
+        | o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "txt_tfidf" ->
+      """WITH tf AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+        |   CAST(row_number() OVER (PARTITION BY tfc.doc_id
+        |     ORDER BY tfc.tf DESC, dfc.df, tfc.term) AS INT) AS rank,
+        |   round(tfc.tf * ln(n.n_docs::DOUBLE / dfc.df), 4) AS tfidf
+        |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, rank, tfidf FROM r
+        |WHERE rank <= 3""".stripMargin,
     "q_approx_percentile" ->
       """WITH r AS (SELECT o_orderstatus, o_totalprice,
         |   row_number() OVER (PARTITION BY o_orderstatus

@@ -619,6 +619,29 @@ object Relational {
            round(sum($"c_acctbal"), 2).as("total_balance"))
   }
 
+  /** SCD-Type-2 dimension build: turn a change log (here: each order
+    * as a customer-state change) into validity ranges — valid_from =
+    * the change time, valid_to = the NEXT change time (null = current
+    * version), version_idx = change ordinal. One lead() window per
+    * customer — a HIGH-cardinality partition key, so sort parallelism
+    * scales with customers. This is the batch pattern that turns an
+    * append-only CDC feed into a time-travel-joinable dimension
+    * (pair it with [[qAsofJoin]] to resolve facts against the version
+    * valid at event time, and [[qUpsertLatest]] for latest-only).
+    */
+  def qScd2Dim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+              $"o_orderstatus", $"o_totalprice")
+      .withColumn("version_idx", row_number().over(w).cast("int"))
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey", $"version_idx",
+              $"o_orderdate".as("valid_from"), $"valid_to",
+              $"o_orderstatus", round($"o_totalprice", 2).as("price"))
+  }
+
   /** As-of join: for every event, the customer's most recent order on
     * or before the event timestamp.
     *

@@ -180,6 +180,38 @@ object TextAnalysis {
               expr("array_max(fps)").as("max_fp"))
   }
 
+  /** tf-idf distinctive terms: the top-3 terms per document ranked by
+    * (tf DESC, df ASC, term) — the integer-deterministic ordering of
+    * "frequent here, rare elsewhere" — with the classic tf·ln(N/df)
+    * score alongside. Two aggregates (per-(doc,term) tf; per-term df)
+    * and one join that AQE broadcasts (the df side is vocabulary-
+    * sized, tiny next to the corpus); the rank window partitions on
+    * doc_id, a key whose cardinality grows with the data. Ranking by
+    * the integer pair rather than the float score keeps tie order
+    * engine-independent (equal scores happen exactly on equal
+    * (tf, df), where a last-ulp ln() difference could otherwise swap
+    * rows).
+    */
+  def txtTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select($"doc_id", explode(expr("split(trim(text), ' +')")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"df", $"term")
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"rank",
+              round($"tf" * log($"n_docs".cast("double") / $"df"), 4)
+                .as("tfidf"))
+  }
+
   /** Benchmark decontamination: word-5-gram overlap between a held-out
     * eval set (doc_id ≡ 0 mod 29, the stand-in for a benchmark
     * corpus) and the rest of the training corpus. Each side reduces
