@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
+    "dedup_incremental"    -> (graft.dedup.Dedup.dedupIncremental _),
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
@@ -636,6 +637,45 @@ object SparkEntry {
         |  GROUP BY b.doc_id)
         |SELECT doc_id, rep AS cluster_rep, doc_id != rep AS is_dup
         |FROM r2""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   list_min(list_transform(w, t ->
+        |     CAST(xor(md5_number_lower(t),
+        |       CASE WHEN i = 0 THEN md5_number_upper(t)
+        |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
+        |              * CAST(power(2, i) AS HUGEINT))
+        |             % 18446744073709551616)
+        |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
+        |               AS HUGEINT) AS UBIGINT)
+        |       END) % 9223372036854775808 AS BIGINT))))
+        |   AS s
+        |  FROM d),
+        |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
+        |   md5_number_lower(array_to_string(
+        |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
+        |   AS bh
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |hs AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
+        |b AS (SELECT bands.doc_id, band_idx, bh, ch
+        |  FROM bands JOIN hs ON bands.doc_id = hs.doc_id
+        |  WHERE bands.doc_id % 4 = 0),
+        |c AS (SELECT bands.doc_id AS corpus_doc, band_idx, bh, ch AS cch
+        |  FROM bands JOIN hs ON bands.doc_id = hs.doc_id
+        |  WHERE bands.doc_id % 4 != 0),
+        |j AS (SELECT b.doc_id,
+        |   count(DISTINCT c.corpus_doc) AS n_corpus_matches,
+        |   coalesce(max(CASE WHEN c.cch = b.ch THEN 1 ELSE 0 END), 0) = 1
+        |     AS is_exact_dup
+        |  FROM b LEFT JOIN c ON b.band_idx = c.band_idx AND b.bh = c.bh
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_corpus_matches, is_exact_dup,
+        | CASE WHEN is_exact_dup THEN 'exact_dup'
+        |      WHEN n_corpus_matches > 0 THEN 'near_dup'
+        |      ELSE 'keep' END AS decision
+        |FROM j""".stripMargin,
     "dedup_ngram" ->
       """WITH d AS (SELECT doc_id, source,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w

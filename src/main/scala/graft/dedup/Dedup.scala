@@ -126,6 +126,47 @@ object Dedup {
                ($"doc_id" =!= $"rep").as("is_dup"))
   }
 
+  /** Incremental (cross-corpus) dedup: a NEW BATCH of documents
+    * (doc_id ≡ 0 mod 4, the stand-in for today's crawl) checked
+    * against the EXISTING corpus — the decision a continuously-
+    * ingesting training pipeline runs per increment, without ever
+    * re-pairing the corpus against itself. A batch doc is an exact
+    * dup if a corpus doc shares its content hash, a near dup if any
+    * corpus doc shares an LSH band bucket (identical docs share all
+    * 8 bands, so exact ⊂ near and one band join serves both).
+    * Output is linear in the batch: per doc, the count of corpus
+    * near-matches and a keep / near_dup / exact_dup decision.
+    * At 100 TB the corpus band index is precomputed and stored (it is
+    * exactly [[dedupMinhash]]'s band relation); the daily batch side
+    * is increment-sized, so the band join broadcasts it and the
+    * corpus streams past — no corpus-wide shuffle per increment.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = withWordSet(Tables.documents(spark, sfDir))
+      .withColumn("content_hash", md5(lower(trim($"text"))))
+      .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
+      .withColumn("bhs", expr(
+        "transform(sequence(0, 7), b -> graft_md5lower64(" +
+          "array_join(transform(slice(sig, cast(b*8+1 as int), 8), " +
+          "x -> cast(x as string)), ',')))"))
+      .select($"doc_id", $"content_hash",
+              posexplode($"bhs").as(Seq("band_idx", "band_hash")))
+    val batch = bands.filter($"doc_id" % 4 === 0)
+    val corpus = bands.filter($"doc_id" % 4 =!= 0)
+      .select($"band_idx", $"band_hash",
+              $"doc_id".as("corpus_doc"), $"content_hash".as("corpus_hash"))
+    batch.join(corpus, Seq("band_idx", "band_hash"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"corpus_doc").as("n_corpus_matches"),
+           (coalesce(max(when($"corpus_hash" === $"content_hash", 1)
+             .otherwise(0)), lit(0)) === 1).as("is_exact_dup"))
+      .withColumn("decision",
+        when($"is_exact_dup", "exact_dup")
+          .when($"n_corpus_matches" > 0, "near_dup")
+          .otherwise("keep"))
+  }
+
   /** 64-bit SimHash (Charikar '02 / Manku et al. WWW'07 shape): each
     * word votes ±1 per bit of its hash; the sign vector packs into a
     * long. Near-dups = hamming distance ≤ 3, found by the pigeonhole
