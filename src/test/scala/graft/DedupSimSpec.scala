@@ -25,6 +25,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(rep.values.forall(r => rep(r) <= r))
   }
 
+  test("incremental dedup: exact dups are near dups, decisions partition the batch") {
+    import spark.implicits._
+    val d = Dedup.dedupIncremental(spark, sf)
+    // every batch doc gets exactly one decision row
+    val batchDocs = graft.core.Tables.documents(spark, sf)
+      .filter($"doc_id" % 4 === 0).count()
+    assert(d.count() == batchDocs)
+    // exact ⊂ near: an identical corpus doc shares all 8 bands, so an
+    // exact dup must also have band matches
+    assert(d.filter($"is_exact_dup" && $"n_corpus_matches" === 0).count() == 0)
+    // decision is consistent with the counters
+    assert(d.filter($"decision" === "keep" && $"n_corpus_matches" > 0).count() == 0)
+    assert(d.filter($"decision" === "exact_dup" && !$"is_exact_dup").count() == 0)
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     import spark.implicits._
     val r = Dedup.dedupSimhash(spark, sf)

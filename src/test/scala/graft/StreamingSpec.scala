@@ -43,6 +43,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming windowed top-k: in-stream hourly agg + rank on the sink equals batch evt_top_types") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    // rank is not a streaming operator — the streamable part is the
+    // windowed aggregate; the top-k selection runs on the (already
+    // tiny, ≤ #types per window) sink table. Same split a production
+    // job makes: heavy reduction in-stream, cheap rank downstream.
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("toptypes_agg").start()
+    try q.processAllAvailable() finally q.stop()
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"n_events".desc, $"event_type")
+    val got = spark.table("toptypes_agg")
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 2)
+      .collect().toSet
+    val want = graft.operators.Events.evtTopTypes(spark, sf).collect().toSet
+    assert(got == want, "streaming top-k diverges from batch twin")
+  }
+
   test("streaming query checkpoints and resumes (offset replay)") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
