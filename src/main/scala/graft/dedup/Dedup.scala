@@ -186,6 +186,11 @@ object Dedup {
       .withColumn("chunks",
         expr("transform(sequence(0, 3), c -> (simhash >> (c*16)) & 65535L)"))
       .select($"doc_id", $"simhash", posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))
+      // persist the 4-rows-per-doc chunk relation: when the self-join
+      // broadcasts one side there is no ReusedExchange, so WITHOUT the
+      // pin each side re-runs the md5-per-word simhash over the whole
+      // corpus — the most expensive part of the query, paid twice
+      .persist()
     val a = d.select($"chunk_idx", $"chunk_val", $"doc_id".as("doc_id_1"), $"simhash".as("h1"))
     val b = d.select($"chunk_idx", $"chunk_val", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
