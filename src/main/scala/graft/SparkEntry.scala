@@ -37,6 +37,7 @@ object SparkEntry {
     "q_skew_join"          -> (Relational.qSkewJoin _),
     "q_upsert_latest"      -> (Relational.qUpsertLatest _),
     "q_scd2_dim"           -> (Relational.qScd2Dim _),
+    "q_quantile_buckets"   -> (Relational.qQuantileBuckets _),
     "q_approx_percentile"  -> (Relational.qApproxPercentile _),
     "q_percentiles"        -> (Relational.qPercentiles _),
     "q_setops"             -> (Relational.qSetOps _),
@@ -380,6 +381,19 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
+    "q_quantile_buckets" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |   quantile_cont(o_totalprice, 0.5) AS q2,
+        |   quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+        |SELECT CASE WHEN o_totalprice < q1 THEN 1
+        |            WHEN o_totalprice < q2 THEN 2
+        |            WHEN o_totalprice < q3 THEN 3
+        |            ELSE 4 END AS quartile,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders, b GROUP BY 1""".stripMargin,
     "q_scd2_dim" ->
       """SELECT o_custkey, CAST(row_number() OVER w AS INT) AS version_idx,
         | o_orderdate AS valid_from,

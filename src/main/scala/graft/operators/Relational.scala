@@ -619,6 +619,36 @@ object Relational {
            round(sum($"c_acctbal"), 2).as("total_balance"))
   }
 
+  /** Quantile bucketing without a global sort — the scale-safe NTILE:
+    * a global NTILE(4) window sorts the entire table in ONE task; here
+    * the quartile boundaries come from a single `percentile` aggregate
+    * (4 numbers, broadcast) and every row finds its bucket with three
+    * comparisons in the scan pass. Boundary membership is exact
+    * cross-engine: a data value can only collide with an interpolated
+    * boundary when the interpolation lands on a sample (f = 0), where
+    * both engines return that sample bit-for-bit. Per-quartile
+    * count / sum / min / max over order prices.
+    */
+  def qQuantileBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val bounds = o.agg(
+      expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
+      .select(element_at($"qs", 1).as("q1"), element_at($"qs", 2).as("q2"),
+              element_at($"qs", 3).as("q3"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("quartile",
+        when($"o_totalprice" < $"q1", 1)
+          .when($"o_totalprice" < $"q2", 2)
+          .when($"o_totalprice" < $"q3", 3)
+          .otherwise(4).cast("int"))
+      .groupBy($"quartile")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"),
+           round(min($"o_totalprice"), 2).as("min_price"),
+           round(max($"o_totalprice"), 2).as("max_price"))
+  }
+
   /** SCD-Type-2 dimension build: turn a change log (here: each order
     * as a customer-state change) into validity ranges — valid_from =
     * the change time, valid_to = the NEXT change time (null = current
