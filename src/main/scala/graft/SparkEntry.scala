@@ -54,6 +54,7 @@ object SparkEntry {
     "q13_cust_distribution" -> (Relational.q13CustDistribution _),
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
     "q19_disjunctive"      -> (Relational.q19Disjunctive _),
+    "q21_blame_supplier"   -> (Relational.q21BlameSupplier _),
     "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
     "q_stats"              -> (Analytics.qStats _),
     "q_grouping_sets"      -> (Analytics.qGroupingSets _),
@@ -229,6 +230,23 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand='Brand#4' AND p_size BETWEEN 5 AND 25
         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q21_blame_supplier" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |   CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per_supp AS (SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        |  FROM l GROUP BY 1, 2),
+        |per_order AS (SELECT l_orderkey,
+        |   count(*) AS n_suppliers, sum(supp_late) AS n_late_suppliers
+        |  FROM per_supp GROUP BY 1),
+        |blamed AS (SELECT ps.l_suppkey
+        |  FROM per_supp ps JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+        |  WHERE po.n_suppliers >= 2 AND po.n_late_suppliers = 1
+        |    AND ps.supp_late = 1)
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     "q22_idle_customers" ->
       """WITH a AS (SELECT avg(c_acctbal) AS m FROM customer WHERE c_acctbal > 0)
         |SELECT c_mktsegment, count(*) AS n_customers,

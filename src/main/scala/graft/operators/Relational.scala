@@ -619,6 +619,42 @@ object Relational {
            round(sum($"c_acctbal"), 2).as("total_balance"))
   }
 
+  /** TPC-H Q21-shaped blame analysis: suppliers who were the SOLE
+    * late shipper on a multi-supplier order. The canonical Q21 nests
+    * EXISTS/NOT-EXISTS self-joins on lineitem; the scalable
+    * re-expression is two aggregations — per (order, supplier)
+    * lateness, then per order supplier/late counts — followed by one
+    * filtered join back. Each step shrinks the data (fact → one row
+    * per order-supplier → one row per order), supplier/nation names
+    * attach to the ≤ |supplier| aggregate via broadcast, and the
+    * top-10 is TakeOrderedAndProject. (Lateness is ship > order date
+    * + 60 days — this corpus carries ship dates, not commit dates.)
+    */
+  def q21BlameSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate")
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).cast("int"))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("supp_late"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum($"supp_late").as("n_late_suppliers"))
+    perSupp.join(perOrder, Seq("l_orderkey"))
+      .filter($"n_suppliers" >= 2 && $"n_late_suppliers" === 1 &&
+              $"supp_late" === 1)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(10)
+  }
+
   /** Quantile bucketing without a global sort — the scale-safe NTILE:
     * a global NTILE(4) window sorts the entire table in ONE task; here
     * the quartile boundaries come from a single `percentile` aggregate
