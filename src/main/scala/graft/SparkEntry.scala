@@ -233,7 +233,8 @@ object SparkEntry {
     "q21_blame_supplier" ->
       """WITH l AS (SELECT l_orderkey, l_suppkey,
         |   CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS late
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
         |per_supp AS (SELECT l_orderkey, l_suppkey, max(late) AS supp_late
         |  FROM l GROUP BY 1, 2),
         |per_order AS (SELECT l_orderkey,
