@@ -107,6 +107,7 @@ object SparkEntry {
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
     "pipeline_pack"        -> (Analytics.pipelinePack _),
     "pipeline_sample"      -> (Analytics.pipelineSample _),
+    "pipeline_curate"      -> (Analytics.pipelineCurate _),
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
@@ -609,6 +610,42 @@ object SparkEntry {
         | round((n_trigrams - n_distinct_trigrams)
         |   / greatest(n_trigrams, 1)::DOUBLE, 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+    "pipeline_curate" ->
+      """WITH rates AS (SELECT * FROM (VALUES
+        |  ('src0', 10000), ('src1', 5000), ('src2', 2500),
+        |  ('src3', 1250), ('src4', 625)) t(source, keep_bp)),
+        |d AS (SELECT doc_id, documents.source,
+        |   string_split_regex(trim(text),' +') AS w,
+        |   md5(lower(trim(text))) AS content_hash,
+        |   (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |     % 9223372036854775808) % 10000 AS h,
+        |   coalesce(keep_bp, 500) AS kb
+        |  FROM documents LEFT JOIN rates ON documents.source = rates.source),
+        |g AS (SELECT doc_id, source, content_hash, h, kb,
+        |   CAST(len(w) AS BIGINT) AS n_tokens,
+        |   (greatest(len(w)-2, 0)
+        |     - len(list_distinct(list_transform(range(0, greatest(len(w)-2,0)),
+        |         i -> array_to_string(list_slice(w, CAST(i+1 AS INT),
+        |           CAST(i+3 AS INT)),' ')))))
+        |     / greatest(greatest(len(w)-2, 0), 1)::DOUBLE AS dup_tri,
+        |   row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM d),
+        |k AS (SELECT *, (rn = 1 AND n_tokens >= 20 AND dup_tri <= 0.2
+        |   AND h < kb) AS kept FROM g),
+        |p AS (SELECT *, doc_id // 1000 AS shard,
+        |   coalesce(sum(n_tokens) OVER (PARTITION BY source, doc_id // 1000
+        |     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |     0) // 512 AS context_id
+        |  FROM k WHERE kept),
+        |funnel AS (SELECT source, count(*) AS n_candidates,
+        |   count(CASE WHEN kept THEN 1 END) AS n_kept FROM k GROUP BY source),
+        |ctx AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |   count(DISTINCT (shard, context_id)) AS n_contexts
+        |  FROM p GROUP BY source)
+        |SELECT funnel.source, n_candidates, n_kept,
+        | coalesce(kept_tokens, 0) AS kept_tokens,
+        | coalesce(n_contexts, 0) AS n_contexts
+        |FROM funnel LEFT JOIN ctx ON funnel.source = ctx.source""".stripMargin,
     "pipeline_sample" ->
       """WITH rates AS (SELECT * FROM (VALUES
         |  ('src0', 10000), ('src1', 5000), ('src2', 2500),

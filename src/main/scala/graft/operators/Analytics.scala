@@ -268,6 +268,59 @@ object Analytics {
               ($"i" + 1).cast("int").as("rank"))
   }
 
+  /** End-to-end curation: the full training-data pass — exact dedup,
+    * length and repetition quality gates, deterministic mixture
+    * sampling, and 512-token sequence packing — as ONE declarative
+    * plan. Each stage is an operator proven separately
+    * ([[graft.dedup.Dedup.dedupExact]], `txt_repetition`,
+    * [[pipelineSample]], [[pipelinePack]]); composing them costs two
+    * key-partitioned windows (content hash; (source, shard) running
+    * sum) plus the final rollup — every other gate rides the scan
+    * pass. Output: per source, the funnel (candidates → kept), kept
+    * token mass, and how many packed training contexts result.
+    */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = spark.createDataFrame(Seq(
+      ("src0", 10000L), ("src1", 5000L), ("src2", 2500L),
+      ("src3", 1250L), ("src4", 625L))).toDF("r_source", "keep_bp")
+    val hashW = Window.partitionBy($"content_hash").orderBy($"doc_id")
+    val packW = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gated = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("n_tokens", expr("cast(size(words) as bigint)"))
+      .withColumn("tri", expr(
+        "if(size(words) >= 3, transform(sequence(1, size(words)-2), " +
+          "i -> concat_ws(' ', slice(words, i, 3))), cast(array() as array<string>))"))
+      .withColumn("dup_tri",
+        (expr("cast(size(tri) as bigint)") -
+          expr("cast(size(array_distinct(tri)) as bigint)")).cast("double") /
+          greatest(expr("cast(size(tri) as bigint)"), lit(1L)).cast("double"))
+      .withColumn("content_hash", md5(lower(trim($"text"))))
+      .withColumn("h", expr(
+        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000"))
+      .join(broadcast(rates), $"source" === $"r_source", "left_outer")
+      .withColumn("kb", coalesce($"keep_bp", lit(500L)))
+      .withColumn("rn", row_number().over(hashW))
+      .withColumn("kept",
+        $"rn" === 1 && $"n_tokens" >= 20 && $"dup_tri" <= 0.2 && $"h" < $"kb")
+    val packed = gated.filter($"kept")
+      .withColumn("shard", expr("doc_id div 1000"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(packW), lit(0L)))
+      .withColumn("context_id", expr("cum_before div 512"))
+    val funnel = gated.groupBy($"source")
+      .agg(count(lit(1)).as("n_candidates"),
+           count(when($"kept", 1)).as("n_kept"))
+    val contexts = packed.groupBy($"source")
+      .agg(sum($"n_tokens").as("kept_tokens"),
+           countDistinct($"shard", $"context_id").as("n_contexts"))
+    funnel.join(contexts, Seq("source"), "left_outer")
+      .select($"source", $"n_candidates", $"n_kept",
+              coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+              coalesce($"n_contexts", lit(0L)).as("n_contexts"))
+  }
+
   /** Deterministic domain-mixture sampling: each source keeps a
     * configured fraction of its documents, selected by a 63-bit md5
     * hash of the doc id against a basis-point threshold — the
