@@ -253,6 +253,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_curate: whole curation pass within the window+rollup shuffle budget") {
+    // two key-partitioned windows (content hash; source×shard packing)
+    // + the funnel/context rollups and their join — the quality gates
+    // and sampling must ride the scan pass, adding no exchanges
+    val p = capture(graft.operators.Analytics.pipelineCurate(spark, sf), "simple")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 6, s"curation pipeline shuffles too much ($exchanges)\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup_ngram: size bucketing splits source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
