@@ -121,8 +121,13 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     // restarts, unlike nanoTime whose origin is arbitrary per JVM and
     // could make a later commit sort before an earlier one
     val next = commitFiles(d).lastOption.map(_._1 + 1).getOrElse(0L)
-    java.nio.file.Files.write(d.resolve(f"commit-$next%012d.json"),
-      line.getBytes("UTF-8"))
+    // write-temp-then-rename: a crash mid-write must never leave a
+    // torn commit-N.json as the group's latest position — the .tmp
+    // name doesn't match the commit pattern, so readers ignore it
+    val tmp = d.resolve(f"commit-$next%012d.json.tmp")
+    java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, d.resolve(f"commit-$next%012d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Commit files of a group dir, sorted by NUMERIC sequence number

@@ -125,6 +125,24 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("groupA") == log.highWaterMarks(spark))
   }
 
+  test("a torn commit temp file never becomes the group's position") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-torn").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 2)
+    log.produce(spark.range(0, 10)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    log.commit("g", Map(0 -> 3L, 1 -> 4L))
+    // simulate a crash mid-write of the NEXT commit: a half-written
+    // .tmp file (even with garbage) must be invisible to readers and
+    // must not block subsequent commits
+    val groupDir = java.nio.file.Paths.get(s"$dir.groups/g")
+    java.nio.file.Files.write(groupDir.resolve("commit-000000000001.json.tmp"),
+      "{\"0\":99".getBytes("UTF-8"))
+    assert(log.committed("g") == Map(0 -> 3L, 1 -> 4L))
+    log.commit("g", Map(0 -> 7L, 1 -> 8L))
+    assert(log.committed("g") == Map(0 -> 7L, 1 -> 8L))
+  }
+
   test("null keys produce to a real partition and survive the round trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nullkey").toString + "/t"
