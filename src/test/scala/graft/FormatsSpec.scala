@@ -25,6 +25,47 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.select(cols: _*).exceptAll(df.select(cols: _*)).count() == 0)
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-dpo").toString
+    val df = customers().select($"c_custkey", $"c_mktsegment")
+    Formats.writeParquet(df, s"$base/c", partitionBy = Seq("c_mktsegment"))
+    val before = spark.read.parquet(s"$base/c")
+    val otherSegments = before.filter($"c_mktsegment" =!= "BUILDING").count()
+    // rewrite ONE partition with a single marker row; static overwrite
+    // would wipe every other partition, dynamic must keep them
+    val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      Seq((-1L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").partitionBy("c_mktsegment")
+        .parquet(s"$base/c")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    val after = spark.read.parquet(s"$base/c")
+    assert(after.filter($"c_mktsegment" === "BUILDING").count() == 1)
+    assert(after.filter($"c_mktsegment" =!= "BUILDING").count() == otherSegments,
+      "dynamic overwrite clobbered untouched partitions")
+  }
+
+  test("malformed CSV rows route to the corrupt-record column, clean rows survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/rows.csv"),
+      "1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, score DOUBLE, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$base/rows.csv")
+      .cache() // corrupt-record column requires the parsed row to be materialized
+    assert(df.count() == 3)
+    assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
+    assert(df.filter($"_corrupt_record".isNull).select(sum($"score")).as[Double].head() == 17.75)
+  }
+
   test("parquet schema evolution: appended column readable via mergeSchema") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
