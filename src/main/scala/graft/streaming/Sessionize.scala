@@ -53,4 +53,57 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
   }
+
+  /** Event-shape with a real timestamp column (watermark target). */
+  case class EvtT(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Per-user transition with EVENT-TIME TIMEOUT: identical session
+    * fold, but the open session registers a timeout at lastTs + gap —
+    * when the watermark passes it, the state entry emits as a closed
+    * session and is REMOVED. Without this, every user who stops
+    * sending events parks an open session in the state store forever;
+    * with it, state size is bounded by the ACTIVE key count, which is
+    * the property that keeps a 100 TB stream's state store finite.
+    * Emits closed sessions only (Append-mode compatible).
+    */
+  def updateUserTimeout(userId: Long, events: Iterator[EvtT],
+                        state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val open = state.get
+      state.remove()
+      return Iterator.single(
+        Session(userId, open.sessionId, open.n, open.value, closed = true))
+    }
+    val sorted = events.map(e => Evt(e.user_id, e.ts.getTime / 1000, e.value))
+      .toSeq.sortBy(_.ts_sec)
+    if (sorted.isEmpty) return Iterator.empty
+    var open = state.getOption.orNull
+    val out = Seq.newBuilder[Session]
+    for (e <- sorted) {
+      if (open == null) {
+        open = OpenSession(1L, 0L, 0d, e.ts_sec)
+      } else if (e.ts_sec - open.lastTs > GapSeconds) {
+        out += Session(userId, open.sessionId, open.n, open.value, closed = true)
+        open = OpenSession(open.sessionId + 1, 0L, 0d, e.ts_sec)
+      }
+      open = open.copy(n = open.n + 1,
+                       value = open.value + e.value, lastTs = e.ts_sec)
+    }
+    state.update(open)
+    state.setTimeoutTimestamp((open.lastTs + GapSeconds) * 1000)
+    out.result().iterator
+  }
+
+  /** Streaming sessionizer with idle-session expiry: watermark on the
+    * event time drives the timeouts that close and evict idle
+    * sessions from the state store.
+    */
+  def sessionizeWithTimeout(events: Dataset[EvtT]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateUserTimeout)
+  }
 }

@@ -23,4 +23,53 @@ class StatefulSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0)
   }
+
+  test("event-time timeout closes and evicts idle sessions as the watermark advances") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-timeout").toString
+    def writeBatch(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_sec", "value")
+        .select($"user_id", timestamp_seconds($"ts_sec").as("ts"), $"value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage-$name")
+        // file-source dirs must only gain files; stage then move one in
+    def promote(name: String): Unit = {
+      val src = Files.list(Paths.get(s"$dir/stage-$name")).iterator()
+      var i = 0
+      while (src.hasNext) {
+        val f = src.next()
+        if (f.toString.endsWith(".parquet")) {
+          Files.createDirectories(Paths.get(s"$dir/in"))
+          Files.move(f, Paths.get(s"$dir/in/$name-$i.parquet")); i += 1
+        }
+      }
+    }
+    val t0 = 1600000000L
+    writeBatch("one", Seq((1L, t0, 1.0), (1L, t0 + 60, 2.0))); promote("one")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .as[Sessionize.EvtT]
+    val q = Sessionize.sessionizeWithTimeout(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("timeout_sessions").start()
+    try {
+      q.processAllAvailable()
+      // watermark is only t0+60: user 1's session is open, nothing emitted
+      assert(spark.table("timeout_sessions").count() == 0)
+      // a much later event advances the watermark past t0 + gap…
+      writeBatch("two", Seq((2L, t0 + 4 * 3600, 5.0))); promote("two")
+      q.processAllAvailable()
+      // …and one more batch lets the post-advance timeout sweep run
+      writeBatch("three", Seq((2L, t0 + 4 * 3600 + 60, 6.0))); promote("three")
+      q.processAllAvailable()
+      val closed = spark.table("timeout_sessions")
+        .filter($"user_id" === 1 && $"closed")
+      assert(closed.count() == 1, "idle session was not closed by timeout")
+      val row = closed.collect().head
+      assert(row.getAs[Long]("n_events") == 2)
+      assert(row.getAs[Double]("session_value") == 3.0)
+    } finally q.stop()
+  }
 }
