@@ -402,9 +402,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
     "q_quantile_buckets" ->
-      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
-        |   quantile_cont(o_totalprice, 0.5) AS q2,
-        |   quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+      """WITH r AS (SELECT o_totalprice,
+        |   row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |   count(*) OVER () AS n FROM orders),
+        |b AS (SELECT
+        |   max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT)
+        |     THEN o_totalprice END) AS q1,
+        |   max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+        |     THEN o_totalprice END) AS q2,
+        |   max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT)
+        |     THEN o_totalprice END) AS q3 FROM r)
         |SELECT CASE WHEN o_totalprice < q1 THEN 1
         |            WHEN o_totalprice < q2 THEN 2
         |            WHEN o_totalprice < q3 THEN 3

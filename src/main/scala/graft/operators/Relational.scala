@@ -661,19 +661,22 @@ object Relational {
 
   /** Quantile bucketing without a global sort — the scale-safe NTILE:
     * a global NTILE(4) window sorts the entire table in ONE task; here
-    * the quartile boundaries come from a single `percentile` aggregate
-    * (4 numbers, broadcast) and every row finds its bucket with three
-    * comparisons in the scan pass. Boundary membership is exact
-    * cross-engine: a data value can only collide with an interpolated
-    * boundary when the interpolation lands on a sample (f = 0), where
-    * both engines return that sample bit-for-bit. Per-quartile
-    * count / sum / min / max over order prices.
+    * the quartile boundaries come from one `approx_percentile`
+    * aggregate (a MERGEABLE bounded-memory sketch — the exact
+    * `percentile` buffers every value and dies at corpus scale) and
+    * every row finds its bucket with three comparisons in the scan
+    * pass. At accuracy 10⁷ each boundary is exactly the ⌈q·n⌉-rank
+    * DATA ELEMENT (see [[qApproxPercentile]]), so bucket membership
+    * involves no interpolated values at all and both engines compare
+    * against bit-identical boundaries. Per-quartile count / sum /
+    * min / max over order prices.
     */
   def qQuantileBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
     val bounds = o.agg(
-      expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
+      expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000000)")
+        .as("qs"))
       .select(element_at($"qs", 1).as("q1"), element_at($"qs", 2).as("q2"),
               element_at($"qs", 3).as("q3"))
     o.crossJoin(broadcast(bounds))
