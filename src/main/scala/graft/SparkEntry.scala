@@ -78,6 +78,7 @@ object SparkEntry {
     "q_gap_fill"           -> (Analytics.qGapFill _),
     "q_multi_distinct"     -> (Analytics.qMultiDistinct _),
     "q_string_funcs"       -> (Analytics.qStringFuncs _),
+    "q_array_funcs"        -> (Analytics.qArrayFuncs _),
     "q_range_join"         -> (Analytics.qRangeJoin _),
     "evt_first_last"       -> (Events.evtFirstLast _),
     "evt_anomaly"          -> (Events.evtAnomaly _),
@@ -847,6 +848,19 @@ object SparkEntry {
         | CAST(length(c_name) AS INT) AS name_len,
         | reverse(c_name) AS name_rev
         |FROM customer""".stripMargin,
+    "q_array_funcs" ->
+      """WITH d AS (SELECT doc_id,
+        |   string_split_regex(trim(text), ' +') AS w FROM documents)
+        |SELECT doc_id,
+        | CAST(len(w) AS INT) AS n_words,
+        | CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        | array_to_string(list_slice(w, 1, 3), '|') AS first3,
+        | list_min(w) AS min_word,
+        | list_max(w) AS max_word,
+        | list_contains(w, 'the') AS has_the,
+        | CAST(coalesce(list_position(w, 'data'), 0) AS INT) AS pos_data,
+        | w[-1] AS last_word
+        |FROM d""".stripMargin,
     "q_range_join" ->
       """SELECT tier, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS revenue

@@ -268,6 +268,27 @@ object Analytics {
               ($"i" + 1).cast("int").as("rank"))
   }
 
+  /** Scalar array-function surface (the collection analog of
+    * `q_string_funcs`): slice / sort / distinct / contains / position
+    * / element access over each document's word array, one narrow
+    * codegen pass, no shuffle.
+    */
+  def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .select(
+        $"doc_id",
+        expr("cast(size(words) as int)").as("n_words"),
+        expr("cast(size(array_distinct(words)) as int)").as("n_distinct"),
+        expr("concat_ws('|', slice(words, 1, 3))").as("first3"),
+        expr("array_min(words)").as("min_word"),
+        expr("array_max(words)").as("max_word"),
+        expr("array_contains(words, 'the')").as("has_the"),
+        expr("cast(array_position(words, 'data') as int)").as("pos_data"),
+        expr("element_at(words, -1)").as("last_word"))
+  }
+
   /** End-to-end curation: the full training-data pass — exact dedup,
     * length and repetition quality gates, deterministic mixture
     * sampling, and 512-token sequence packing — as ONE declarative
