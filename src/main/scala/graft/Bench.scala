@@ -15,6 +15,17 @@ object Bench {
     // untimed warmup: JIT, codegen compiler, parquet reader, shuffle
     // machinery — so per-query timings measure the queries
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // also touch every bench-SF table once: file listing + parquet
+    // footer reads are one-time costs that otherwise land entirely on
+    // whichever query happens to scan that table first (measured:
+    // +1.5 s on the first documents-table query, 0.4 s after).
+    // events goes through Tables.events for the nanos conversion.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"))
+      try graft.core.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    try graft.core.Tables.events(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
