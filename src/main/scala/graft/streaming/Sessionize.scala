@@ -90,7 +90,14 @@ object Sessionize {
                        value = open.value + e.value, lastTs = e.ts_sec)
     }
     state.update(open)
-    state.setTimeoutTimestamp((open.lastTs + GapSeconds) * 1000)
+    // flatMapGroupsWithState does NOT drop late rows, so a group fed
+    // only data older than the watermark would compute a timeout in
+    // the past — which Spark rejects at runtime. Clamp to just above
+    // the current watermark: the session then expires at the next
+    // watermark advance, the correct semantics for an already-stale key.
+    state.setTimeoutTimestamp(
+      math.max((open.lastTs + GapSeconds) * 1000,
+               state.getCurrentWatermarkMs() + 1000))
     out.result().iterator
   }
 
