@@ -20,8 +20,7 @@ object Bench {
     // whichever query happens to scan that table first (measured:
     // +1.5 s on the first documents-table query, 0.4 s after).
     // events goes through Tables.events for the nanos conversion.
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
+    for (t <- graft.core.Tables.All if t != "events")
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     try graft.core.Tables.events(spark, sfDir).count()
@@ -33,15 +32,29 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1L
       }
+      // persisted intermediates (minhash/simhash band relations) would
+      // otherwise accumulate in executor storage across ~100 queries
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // centisecond precision keeps the whole line well under 2 KB so a
-    // tail-window parser still sees the complete JSON object (noise at
-    // sf0.1 is ±0.5 s — extra digits were false precision anyway)
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-query map for humans (stderr — not part of the contract)
+    System.err.println(results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f"$v%7.2f  $k" }.mkString("[bench]\n", "\n", ""))
+    // The driver keeps only the LAST 2000 CHARS of output and parses
+    // the JSON line out of that window; sbt appends "[success] Total
+    // time…" (~80 chars) after us. A 100-query map is ~2.4 KB and
+    // pushed its own head out of the window every round — so the line
+    // reports the total plus the SLOWEST queries that fit a ~1500-char
+    // budget (the fast tail adds no perf signal; full map above).
+    val budget = 1500
+    val slowest = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.2f""" }
+    val kept = slowest.foldLeft(List.empty[String]) { (acc, e) =>
+      if (acc.map(_.length + 1).sum + e.length <= budget) e :: acc else acc
+    }.reverse
+    val qs = kept.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"reported":${kept.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,6 +65,13 @@ object Sessionize {
     * with it, state size is bounded by the ACTIVE key count, which is
     * the property that keeps a 100 TB stream's state store finite.
     * Emits closed sessions only (Append-mode compatible).
+    *
+    * session_id here is the session's FIRST-EVENT timestamp, not a
+    * per-state counter: eviction erases a counter, so the next event
+    * would restart at 1 and collide with a (user, session) key already
+    * emitted downstream. The start timestamp survives eviction by
+    * construction — a new session after the gap necessarily starts at
+    * a later ts, so ids stay unique per user across evictions.
     */
   def updateUserTimeout(userId: Long, events: Iterator[EvtT],
                         state: GroupState[OpenSession]): Iterator[Session] = {
@@ -81,10 +88,10 @@ object Sessionize {
     val out = Seq.newBuilder[Session]
     for (e <- sorted) {
       if (open == null) {
-        open = OpenSession(1L, 0L, 0d, e.ts_sec)
+        open = OpenSession(e.ts_sec, 0L, 0d, e.ts_sec)
       } else if (e.ts_sec - open.lastTs > GapSeconds) {
         out += Session(userId, open.sessionId, open.n, open.value, closed = true)
-        open = OpenSession(open.sessionId + 1, 0L, 0d, e.ts_sec)
+        open = OpenSession(e.ts_sec, 0L, 0d, e.ts_sec)
       }
       open = open.copy(n = open.n + 1,
                        value = open.value + e.value, lastTs = e.ts_sec)

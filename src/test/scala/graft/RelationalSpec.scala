@@ -64,4 +64,19 @@ class RelationalSpec extends AnyFunSuite {
         assert(math.abs(a90 - e90) / e90 < 0.05, s"$k p90: $a90 vs $e90")
       }
   }
+
+  test("GK sketch groups stay inside the exact-rank bound the oracle assumes") {
+    // the hash-checked oracle for q_approx_percentile / the
+    // q_quantile_buckets boundaries is only valid while the sketch's
+    // error band is under one rank: 2n/accuracy < 1, i.e. n < 5M per
+    // group at accuracy 1e7. If a verification SF ever crosses this,
+    // the oracle must downgrade to the error-bounded check — this
+    // test is the tripwire.
+    import spark.implicits._
+    val maxGroup = Relational.qApproxPercentile(spark, sf)
+      .agg(max($"n_orders")).as[Long].head()
+    assert(maxGroup < 5000000L,
+      s"group of $maxGroup rows exceeds the GK exactness bound; " +
+      "the rank-window oracle is no longer valid at this SF")
+  }
 }

@@ -70,6 +70,19 @@ class StatefulSpec extends AnyFunSuite {
       val row = closed.collect().head
       assert(row.getAs[Long]("n_events") == 2)
       assert(row.getAs[Double]("session_value") == 3.0)
+      // user 1 returns AFTER eviction: the new session must not reuse
+      // the evicted session's id (ids are start timestamps, monotone)
+      writeBatch("four", Seq((1L, t0 + 5 * 3600, 9.0))); promote("four")
+      q.processAllAvailable()
+      writeBatch("five", Seq((2L, t0 + 9 * 3600, 1.0))); promote("five")
+      q.processAllAvailable()
+      writeBatch("six", Seq((2L, t0 + 9 * 3600 + 60, 1.0))); promote("six")
+      q.processAllAvailable()
+      val u1 = spark.table("timeout_sessions")
+        .filter($"user_id" === 1 && $"closed").collect()
+      assert(u1.length == 2, "post-eviction session did not close")
+      assert(u1.map(_.getAs[Long]("session_id")).distinct.length == 2,
+        "session_id collided across an eviction")
     } finally q.stop()
   }
 }
