@@ -56,6 +56,9 @@ object SparkEntry {
     "q19_disjunctive"      -> (Relational.q19Disjunctive _),
     "q21_blame_supplier"   -> (Relational.q21BlameSupplier _),
     "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
+    "q9_product_profit"    -> (Relational.q9ProductProfit _),
+    "q15_top_supplier"     -> (Relational.q15TopSupplier _),
+    "q17_small_quantity"   -> (Relational.q17SmallQuantity _),
     "q_stats"              -> (Analytics.qStats _),
     "q_grouping_sets"      -> (Analytics.qGroupingSets _),
     "q_unpivot"            -> (Analytics.qUnpivot _),
@@ -85,6 +88,8 @@ object SparkEntry {
     "evt_error_routing"    -> (Events.evtErrorRouting _),
     "evt_moving_agg"       -> (Events.evtMovingAgg _),
     "evt_top_types"        -> (Events.evtTopTypes _),
+    "evt_attribution"      -> (Events.evtAttribution _),
+    "evt_distinct_sliding" -> (Events.evtDistinctSliding _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -97,6 +102,7 @@ object SparkEntry {
     "txt_contamination"    -> (graft.text.TextAnalysis.txtContamination _),
     "txt_tfidf"            -> (graft.text.TextAnalysis.txtTfidf _),
     "txt_repetition"       -> (graft.text.TextAnalysis.txtRepetition _),
+    "txt_length_hist"      -> (Analytics.txtLengthHist _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
@@ -109,6 +115,8 @@ object SparkEntry {
     "pipeline_pack"        -> (Analytics.pipelinePack _),
     "pipeline_sample"      -> (Analytics.pipelineSample _),
     "pipeline_curate"      -> (Analytics.pipelineCurate _),
+    "pipeline_split"       -> (Analytics.pipelineSplit _),
+    "pipeline_shard"       -> (Analytics.pipelineShard _),
     // similarity search
     "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
     "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
@@ -258,6 +266,38 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        | count(*) AS n_lineitems,
+        | round(CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000)
+        |   AS BIGINT)) AS DOUBLE)/10000, 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1,2""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000)
+        |     AS BIGINT)) AS BIGINT) AS rev_l
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        | round(CAST(rev_l AS DOUBLE)/10000, 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_l = (SELECT max(rev_l) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH x AS (SELECT l_quantity, l_extendedprice,
+        |   avg(l_quantity) OVER (PARTITION BY l_partkey) AS aq
+        |  FROM lineitem JOIN part ON l_partkey=p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_size <= 10)
+        |SELECT count(*) AS n_lineitems,
+        | round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |   AS DOUBLE)/700.0, 2) AS avg_yearly
+        |FROM x WHERE l_quantity < 0.2 * aq""".stripMargin,
     "q_lead_gap" ->
       """WITH x AS (SELECT o_custkey, o_orderdate,
         |   lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
@@ -669,6 +709,35 @@ object SparkEntry {
         | CAST(coalesce(sum(CASE WHEN h < kb THEN n_tokens END),0) AS BIGINT)
         |   AS sampled_tokens
         |FROM d GROUP BY source""".stripMargin,
+    "pipeline_split" ->
+      """WITH d AS (SELECT source,
+        |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens,
+        |   (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |     % 9223372036854775808) % 10000 AS h
+        |  FROM documents)
+        |SELECT source,
+        | CASE WHEN h < 9000 THEN 'train'
+        |      WHEN h < 9500 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "pipeline_shard" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens,
+        |   (md5_number_lower('shard:' || CAST(doc_id AS VARCHAR))
+        |     % 9223372036854775808) % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM d GROUP BY 1""".stripMargin,
+    "txt_length_hist" ->
+      """WITH d AS (SELECT source,
+        |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source,
+        | CAST(least(n_tokens - (n_tokens % 64), 512) AS BIGINT) AS bucket_lo,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "evt_top_types" ->
       """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
         |     AS window_start,
@@ -678,6 +747,32 @@ object SparkEntry {
         |   ORDER BY n_events DESC, event_type) AS INT) AS rank FROM h)
         |SELECT window_start, event_type, n_events, total_value, rank
         |FROM r WHERE rank <= 2""".stripMargin,
+    "evt_attribution" ->
+      """WITH x AS (SELECT *,
+        |   last_value(CASE WHEN event_type IN ('view','click')
+        |       THEN event_type END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS touch_type,
+        |   last_value(CASE WHEN event_type IN ('view','click')
+        |       THEN epoch_us(ts) END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS touch_us
+        |  FROM events)
+        |SELECT CASE WHEN touch_us IS NOT NULL
+        |    AND epoch_us(ts) - touch_us <= 3600000000
+        |    THEN touch_type ELSE 'organic' END AS channel,
+        | count(*) AS n_purchases, round(sum(value),2) AS attributed_value,
+        | count(DISTINCT user_id) AS n_buyers
+        |FROM x WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "evt_distinct_sliding" ->
+      """SELECT CAST(date_trunc('hour', ts) - i * INTERVAL '1 hour' AS TIMESTAMP)
+        |   AS window_start,
+        | event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM events CROSS JOIN (VALUES (0), (1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,
         | min(doc_id) AS keep_doc_id, count(*) AS n_docs

@@ -370,4 +370,64 @@ object Analytics {
            coalesce(sum(when($"h" < $"kb", $"n_tokens")), lit(0L)).cast("long")
              .as("sampled_tokens"))
   }
+
+  /** Deterministic train/val/test split (90/5/5) keyed on
+    * md5(doc_id) basis points — the hash, not an RNG, decides
+    * membership, so the split is reproducible across runs, engines,
+    * and partitionings, and a re-run after appending new documents
+    * never reassigns an existing doc (the leakage-safety property an
+    * eval split must have). One narrow pass + one aggregation shuffle
+    * over (source, split).
+    */
+  def pipelineSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
+      .withColumn("h", expr(
+        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000"))
+      .withColumn("split",
+        when($"h" < 9000, "train").when($"h" < 9500, "val").otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").cast("long").as("n_tokens"))
+  }
+
+  /** Balanced output sharding: md5-assign every document to one of 16
+    * shards (salted differently from the split/sample hashes so the
+    * three decisions are independent) and profile each shard's doc
+    * and token load. At 100 TB this hash IS the repartition key for
+    * the final write — uniform by construction, no coordinator, and
+    * adding shards only moves ~1/n of keys. The profile's max/min
+    * spread is the skew check a writer would alert on.
+    */
+  def pipelineShard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
+      .withColumn("shard", expr(
+        "(graft_md5lower64(concat('shard:', cast(doc_id as string))) " +
+          "& 9223372036854775807) % 16"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").cast("long").as("n_tokens"),
+           min($"doc_id").as("min_doc_id"),
+           max($"doc_id").as("max_doc_id"))
+  }
+
+  /** Context-length histogram: documents bucketed by token count in
+    * 64-token steps (capped at 512+) per source — the profile that
+    * sizes packing efficiency and truncation loss before a training
+    * run. Buckets are computed per row before the aggregate, so the
+    * shuffle carries ≤ sources × 9 groups regardless of corpus size.
+    */
+  def txtLengthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
+      .withColumn("bucket_lo",
+        least($"n_tokens" - ($"n_tokens" % 64), lit(512L)).cast("long"))
+      .groupBy($"source", $"bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").cast("long").as("n_tokens"))
+  }
 }

@@ -351,4 +351,56 @@ object Events {
                datediff(to_date($"ts"), $"cohort_day").as("day_offset"))
       .agg(countDistinct($"user_id").as("n_users"))
   }
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent preceding view/click within an hour ("organic" if none).
+    * One window over (user_id) — high-cardinality partitions, sort
+    * parallelism ∝ users — carrying the last qualifying touch forward
+    * with an ignoreNulls last(); no self-join, no per-user arrays, so
+    * a user with millions of events costs one sorted scan.
+    * (event_id tiebreaks equal timestamps so the carry is
+    * deterministic across engines.)
+    */
+  def evtAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("touch_type",
+        last(when($"event_type".isin("view", "click"), $"event_type"),
+             ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when($"event_type".isin("view", "click"), $"ts"),
+             ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      // integer microseconds on both engines — DuckDB's epoch() is a
+      // fractional DOUBLE and Spark's unix_timestamp truncates, so a
+      // seconds-granularity comparison would disagree on sub-second ties
+      .withColumn("channel",
+        when($"touch_ts".isNotNull &&
+             unix_micros($"ts") - unix_micros($"touch_ts") <= 3600000000L,
+             $"touch_type").otherwise(lit("organic")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum($"value"), 2).as("attributed_value"),
+           countDistinct($"user_id").as("n_buyers"))
+  }
+
+  /** Exact distinct users per sliding (2h hop 1h) window × type. The
+    * hop replicates each row into its 2 windows BEFORE the aggregate
+    * (Expand), then one shuffle computes the distinct — the same
+    * plan Structured Streaming uses for windowed distincts; replica
+    * factor is windowLength/hop, a constant, so it scales linearly.
+    * (The approximate path at 100 TB is the mergeable HLL sketch —
+    * ScaleSpec covers daily→monthly sketch reaggregation.)
+    */
+  def evtDistinctSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"event_type",
+              $"n_users", $"n_events")
+  }
 }

@@ -744,4 +744,81 @@ object Relational {
       .filter($"tag" === 1)
       .select($"event_id", $"k".as("user_id"), $"matched".as("o_orderkey"))
   }
+
+  /** TPC-H Q9-shaped product profit: revenue from parts matching a
+    * name token, by supplier nation × order year. The part filter
+    * broadcasts (small after the predicate), supplier⋈nation resolves
+    * to a broadcast (suppkey → nation) map, and the only wide op is
+    * the lineitem⋈orders fact-fact shuffle on orderkey — the same
+    * plan a 1000-executor cluster wants. (The reference schema has no
+    * partsupp table, so supply cost is out of scope; the join/agg
+    * topology is Q9's.)
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_name".contains("red")).select($"p_partkey")
+    val sn = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"nation", year($"o_orderdate").cast("int").as("o_year"))
+      // exact integer ten-thousandths sum (order-insensitive) — see
+      // q7VolumeShipping for why a float sum flips round boundaries
+      .agg(count(lit(1)).as("n_lineitems"),
+           round((sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+             .cast("long")) / 10000.0), 4).as("revenue"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    * revenue in a quarter. The max is a one-row aggregate broadcast
+    * against the per-supplier rollup (the q22 scalar-subquery
+    * pattern) — NOT an unpartitioned window over all suppliers, which
+    * would sort millions of rows in one task at corpus scale. Revenue
+    * compares as exact integer ten-thousandths, so ties are exact,
+    * not float-fuzzy.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1997-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+        .cast("long")).as("rev_l"))
+    val mx = rev.agg(max($"rev_l").as("mx"))
+    rev.join(broadcast(mx), $"rev_l" === $"mx")
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+              round($"rev_l" / 10000.0, 4).as("total_revenue"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems under 20% of
+    * their part's average quantity, for one brand's small parts.
+    * The per-part average is a window over l_partkey — a
+    * high-cardinality partition key, so the sort parallelism scales
+    * with the part count (contrast: partitioning on a 5-value column
+    * would serialize the corpus through 5 tasks). Quantities are
+    * integer-valued doubles, so the window average is exact and the
+    * 0.2·avg threshold is engine-portable; the output sum accumulates
+    * exact integer cents.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_brand" === "Brand#3" && $"p_size" <= 10)
+      .select($"p_partkey")
+    val w = Window.partitionBy($"l_partkey")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .withColumn("aq", avg($"l_quantity").over(w))
+      .filter($"l_quantity" < lit(0.2) * $"aq")
+      .agg(count(lit(1)).as("n_lineitems"),
+           round((sum(round($"l_extendedprice" * 100).cast("long")) / 700.0), 2)
+             .as("avg_yearly"))
+  }
 }
