@@ -263,6 +263,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q9: dims broadcast, single fact-fact shuffle join") {
+    val p = capture(Relational.q9ProductProfit(spark, sf), "simple")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"more than the lineitem-orders shuffle join ($smj)\n$p")
+  }
+
+  test("q15: max side broadcast, no unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Relational.q15TopSupplier(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty,
+      "q15 uses a window — the whole supplier rollup would sort in one task")
+    val p = capture(df, "simple")
+    assert(p.contains("BroadcastHashJoin"), s"scalar max not broadcast\n$p")
+  }
+
+  test("q17/evt_attribution: windows partition on high-cardinality keys") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((df, key) <- Seq(
+        (Relational.q17SmallQuantity(spark, sf), "l_partkey"),
+        (Events.evtAttribution(spark, sf), "user_id"))) {
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, "no window operator in plan")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, s"unpartitioned window\n$w")
+        assert(w.partitionSpec.exists(_.toString.contains(key)),
+          s"window not partitioned on $key\n$w")
+      }
+    }
+  }
+
+  test("pipeline_split/shard/length_hist: one aggregation shuffle each") {
+    for (df <- Seq(graft.operators.Analytics.pipelineSplit(spark, sf),
+                   graft.operators.Analytics.pipelineShard(spark, sf),
+                   graft.operators.Analytics.txtLengthHist(spark, sf))) {
+      val p = capture(df, "simple")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"expected a single aggregation shuffle\n$p")
+    }
+  }
+
   test("dedup_ngram: size bucketing splits source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
