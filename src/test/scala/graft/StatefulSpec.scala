@@ -85,4 +85,63 @@ class StatefulSpec extends AnyFunSuite {
         "session_id collided across an eviction")
     } finally q.stop()
   }
+
+  test("transformWithState sessionizer: same semantics on the RocksDB state store") {
+    // newSession: independent SQLConf, so the RocksDB provider (which
+    // transformWithState requires) doesn't leak into suites using the
+    // default HDFS-backed store
+    val s2 = spark.newSession()
+    s2.conf.set(graft.streaming.SessionizeTws.RocksDbProvider._1,
+                graft.streaming.SessionizeTws.RocksDbProvider._2)
+    import s2.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-tws").toString
+    def writeBatch(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_sec", "value")
+        .select($"user_id", timestamp_seconds($"ts_sec").as("ts"), $"value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage-$name")
+    def promote(name: String): Unit = {
+      val src = Files.list(Paths.get(s"$dir/stage-$name")).iterator()
+      var i = 0
+      while (src.hasNext) {
+        val f = src.next()
+        if (f.toString.endsWith(".parquet")) {
+          Files.createDirectories(Paths.get(s"$dir/in"))
+          Files.move(f, Paths.get(s"$dir/in/$name-$i.parquet")); i += 1
+        }
+      }
+    }
+    val t0 = 1600000000L
+    // two sessions for user 1 inside one batch (gap > 30 min) plus an
+    // open tail; user 2 advances the watermark to sweep the timer
+    writeBatch("one", Seq((1L, t0, 1.0), (1L, t0 + 60, 2.0),
+                          (1L, t0 + 7200, 4.0))); promote("one")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    val stream = s2.readStream.schema(schema).parquet(s"$dir/in")
+      .as[graft.streaming.Sessionize.EvtT]
+    val q = graft.streaming.SessionizeTws.sessionize(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("tws_sessions").start()
+    try {
+      q.processAllAvailable()
+      // the in-batch gap close emits immediately (no timer needed)
+      val first = s2.table("tws_sessions").collect()
+      assert(first.length == 1)
+      assert(first.head.getAs[Long]("n_events") == 2)
+      assert(first.head.getAs[Double]("session_value") == 3.0)
+      writeBatch("two", Seq((2L, t0 + 8 * 3600, 5.0))); promote("two")
+      q.processAllAvailable()
+      writeBatch("three", Seq((2L, t0 + 8 * 3600 + 60, 6.0))); promote("three")
+      q.processAllAvailable()
+      val u1closed = s2.table("tws_sessions")
+        .filter($"user_id" === 1 && $"closed").collect()
+      assert(u1closed.length == 2, "idle session not closed by the timer")
+      assert(u1closed.map(_.getAs[Long]("session_id")).distinct.length == 2)
+      val timedOut = u1closed.maxBy(_.getAs[Long]("session_id"))
+      assert(timedOut.getAs[Long]("n_events") == 1)
+      assert(timedOut.getAs[Double]("session_value") == 4.0)
+    } finally q.stop()
+  }
 }
