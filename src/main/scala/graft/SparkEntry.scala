@@ -125,6 +125,7 @@ object SparkEntry {
     "sim_pq_ann"           -> (graft.similarity.Similarity.simPqAnn _),
     "sim_range_search"     -> (graft.similarity.Similarity.simRangeSearch _),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
+    "graph_components"     -> (graft.graph.Graph.graphComponents _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
     "mm_chunk_dedup"       -> (graft.multimodal.Multimodal.mmChunkDedup _),
@@ -866,6 +867,20 @@ object SparkEntry {
         | round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35""".stripMargin,
+    "graph_components" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        |sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+        |reach(src, dst) AS (
+        |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+        |  UNION
+        |  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS vec_id, min(dst) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

@@ -116,4 +116,20 @@ class DedupSimSpec extends AnyFunSuite {
     info(s"IVF ANN recall = $recall")
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("graph components: edges never cross components, reps are member minima") {
+    import spark.implicits._
+    val comp = graft.graph.Graph.graphComponents(spark, sf)
+      .select($"vec_id", $"component").as[(Long, Long)].collect().toMap
+    val edges = Dedup.dedupEmbed(spark, sf)
+      .select($"vec_id_1", $"vec_id_2").as[(Long, Long)].collect()
+    assert(edges.nonEmpty, "no near-dup edges at this SF — test is vacuous")
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) crosses components")
+    }
+    comp.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep,
+        s"component $rep rep is not its smallest member")
+    }
+  }
 }
