@@ -41,10 +41,15 @@ object Graph {
   def graphComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val edges = nearDupEdges(spark, sfDir).persist()
-    edges.count() // materialize once; every hop re-reads this relation
+    // Only edge ENDPOINTS iterate — an isolated node's label never
+    // moves, so keeping it in the loop would drag the whole corpus
+    // through every hop when the connected part is a tiny fraction
+    // (near-dup graphs at corpus scale: most docs are unique).
+    // Symmetrized edges mean the `a` side alone covers all endpoints.
+    var labels = edges.select($"a".as("vec_id")).distinct()
+      .withColumn("comp", $"vec_id")
+      .localCheckpoint()
     try {
-      var labels = Tables.embeddings(spark, sfDir)
-        .select($"vec_id", $"vec_id".as("comp"))
       var converged = false
       var hops = 0
       while (!converged) {
@@ -52,19 +57,22 @@ object Graph {
         val nbrMin = edges
           .join(labels.select($"vec_id".as("b"), $"comp".as("nbr_comp")), Seq("b"))
           .groupBy($"a").agg(min($"nbr_comp").as("nbr_comp"))
+        // inner join: every active node has ≥1 neighbor by construction;
+        // the changed flag rides the same pass, so convergence costs no
+        // extra join against the previous labeling
         val next = labels
-          .join(nbrMin.select($"a".as("vec_id"), $"nbr_comp"), Seq("vec_id"), "left_outer")
-          .select($"vec_id",
-                  least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
+          .join(nbrMin.select($"a".as("vec_id"), $"nbr_comp"), Seq("vec_id"))
+          .select($"vec_id", least($"comp", $"nbr_comp").as("comp"),
+                  ($"nbr_comp" < $"comp").as("changed"))
           .localCheckpoint() // cut lineage: constant plan size per hop
-        converged = next
-          .join(labels.select($"vec_id", $"comp".as("old_comp")), Seq("vec_id"))
-          .filter($"comp" =!= $"old_comp")
-          .isEmpty
-        labels = next
+        converged = next.filter($"changed").isEmpty
+        labels = next.drop("changed")
         hops += 1
       }
-      labels.select($"vec_id", $"comp".as("component"))
+      // isolated nodes rejoin as their own components on the way out
+      Tables.embeddings(spark, sfDir).select($"vec_id")
+        .join(labels, Seq("vec_id"), "left_outer")
+        .select($"vec_id", coalesce($"comp", $"vec_id").as("component"))
     } finally edges.unpersist()
   }
 }
