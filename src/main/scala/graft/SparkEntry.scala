@@ -126,6 +126,8 @@ object SparkEntry {
     "sim_range_search"     -> (graft.similarity.Similarity.simRangeSearch _),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
+    "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
+    "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
     "mm_chunk_dedup"       -> (graft.multimodal.Multimodal.mmChunkDedup _),
@@ -881,6 +883,24 @@ object SparkEntry {
         |  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a)
         |SELECT src AS vec_id, min(dst) AS component
         |FROM reach GROUP BY 1""".stripMargin,
+    "graph_triangles" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2),
+        |tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        |  FROM p p1 JOIN p p2 ON p1.b = p2.a
+        |  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b)
+        |SELECT vec_id, count(*) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS vec_id FROM tri)
+        |GROUP BY 1""".stripMargin,
+    "q_collect_list" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | array_to_string(list_sort(list_distinct(list(s_name))), ',')
+        |   AS supplier_roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

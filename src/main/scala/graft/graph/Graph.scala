@@ -75,4 +75,41 @@ object Graph {
         .select($"vec_id", coalesce($"comp", $"vec_id").as("component"))
     } finally edges.unpersist()
   }
+
+  /** Per-node triangle counts in the similarity graph (τ = 0.2 keeps
+    * the graph dense enough to have triangles at every test SF).
+    * Standard distributed triangle enumeration: edges oriented
+    * low-id → high-id, so each triangle (a<b<c) is produced exactly
+    * once by joining wedge (a,b)+(b,c) against closing edge (a,c) —
+    * no symmetric blowup, work bounded by Σ wedge counts of the
+    * min-id endpoint (the orientation trick that makes this feasible
+    * on skewed degree distributions). Pure integer counting — exact
+    * on any engine.
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select($"vec_id", $"label", $"v")
+    val a = e.select($"label", $"vec_id".as("ea"), $"v".as("v1"))
+    val b = e.select($"label", $"vec_id".as("eb"), $"v".as("v2"))
+    val edges = a.join(b, Seq("label"))
+      .filter($"ea" < $"eb")
+      .filter(round(graft.functions.cosineSim($"v1", $"v2"), 4) >= 0.2)
+      .select($"ea", $"eb")
+      .persist()
+    try {
+      val tri = edges.select($"ea".as("x"), $"eb".as("y"))
+        .join(edges.select($"ea".as("y"), $"eb".as("z")), Seq("y"))
+        .join(edges.select($"ea".as("x"), $"eb".as("z")), Seq("x", "z"))
+        .select($"x", $"y", $"z")
+      val out = tri
+        .select(explode(array($"x", $"y", $"z")).as("vec_id"))
+        .groupBy($"vec_id")
+        .agg(count(lit(1)).as("n_triangles"))
+      // count() inside the try: materialize while the edge relation
+      // is still pinned, then hand back the small per-node result
+      out.localCheckpoint()
+    } finally edges.unpersist()
+  }
 }

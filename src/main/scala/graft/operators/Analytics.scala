@@ -414,6 +414,26 @@ object Analytics {
            max($"doc_id").as("max_doc_id"))
   }
 
+  /** List aggregation: per-nation sorted roster of supplier names —
+    * `collect_set` → `array_sort` → `array_join`, the idiom for
+    * building a deterministic delimited list in a distributed
+    * aggregate (an unsorted collect_list's order is partition-
+    * dependent and would never hash-match anything). Group sizes are
+    * bounded (suppliers per nation), which is the precondition for
+    * ANY collect-style aggregate at scale — collecting an unbounded
+    * group OOMs the reducer, use windowed top-k instead.
+    */
+  def qCollectList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+           array_join(array_sort(collect_set($"s_name")), ",")
+             .as("supplier_roster"))
+  }
+
   /** Context-length histogram: documents bucketed by token count in
     * 64-token steps (capped at 512+) per source — the profile that
     * sizes packing efficiency and truncation loss before a training
