@@ -138,6 +138,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER join emits null rows once the watermark closes the interval") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    def streamEvents() = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = streamEvents().filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = streamEvents().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+              $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user_id" &&
+      $"purchase_ts" >= $"click_ts" &&
+      $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      q.processAllAvailable()
+      // Outer-null rows only emit AFTER the watermark passes each
+      // click's interval upper bound — push BOTH watermarks (the
+      // global watermark is the min across them) three hours past the
+      // corpus with one click and one purchase, on users that cannot
+      // match each other (the pusher rows park in state, unemitted).
+      val ev = graft.core.Tables.events(spark, sf)
+      val maxNs = spark.read.parquet(dir).agg(max($"ts")).head().getLong(0)
+      Seq((9000001L, maxNs + 3L * 3600 * 1000000000L, 9000001L, "click", 0.0, "{}"),
+          (9000002L, maxNs + 3L * 3600 * 1000000000L, 9000002L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+
+      val bc = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      val bp = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+                $"ts".as("purchase_ts"))
+      val want = bc.join(bp,
+        $"user_id" === $"p_user_id" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select($"click_id", $"purchase_id")
+      val got = spark.table("ssj_outer").select($"click_id", $"purchase_id")
+      assert(want.filter($"purchase_id".isNull).count() > 0,
+        "batch twin has no unmatched clicks — outer semantics untested")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedupes redelivered events in-stream") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
