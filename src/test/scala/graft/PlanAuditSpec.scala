@@ -305,6 +305,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter injects on a selective shuffled fact-fact join") {
+    // the 100 TB setup: both sides too big to broadcast, one side
+    // selectively filtered — Spark should derive a bloom filter from
+    // the filtered side and push it into the other side's scan,
+    // cutting shuffle input by the filter's selectivity. Size
+    // thresholds are tuned for test-scale data; the assertion locks
+    // that the optimization engages under the graft session
+    // (extensions installed, AQE on).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.core.Tables.orders(spark, sf)
+        .filter($"o_orderdate" >= lit("1997-03-01") && $"o_orderdate" < lit("1997-04-01"))
+      val l = graft.core.Tables.lineitem(spark, sf)
+      val joined = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("might_contain"),
+        s"no runtime bloom filter in the optimized plan\n$opt")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("dedup_ngram: size bucketing splits source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
