@@ -90,6 +90,7 @@ object SparkEntry {
     "evt_top_types"        -> (Events.evtTopTypes _),
     "evt_attribution"      -> (Events.evtAttribution _),
     "evt_distinct_sliding" -> (Events.evtDistinctSliding _),
+    "evt_transitions"      -> (Events.evtTransitions _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -775,6 +776,15 @@ object SparkEntry {
         | event_type, count(DISTINCT user_id) AS n_users,
         | count(*) AS n_events
         |FROM events CROSS JOIN (VALUES (0), (1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+    "evt_transitions" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n_transitions,
+        | count(DISTINCT user_id) AS n_users
+        |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,

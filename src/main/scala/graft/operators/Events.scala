@@ -386,6 +386,25 @@ object Events {
            countDistinct($"user_id").as("n_buyers"))
   }
 
+  /** Event-type transition matrix (Markov/path analysis): for every
+    * consecutive event pair within a user's timeline, count the
+    * (prev_type → event_type) transition. One lag() over per-user
+    * windows (high-cardinality partitions) feeding a 25-group
+    * aggregate — sequence analysis without ever materializing
+    * per-user event arrays. event_id tiebreaks equal timestamps so
+    * consecutive-pair identity is engine-portable.
+    */
+  def evtTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n_transitions"),
+           countDistinct($"user_id").as("n_users"))
+  }
+
   /** Exact distinct users per sliding (2h hop 1h) window × type. The
     * hop replicates each row into its 2 windows BEFORE the aggregate
     * (Expand), then one shuffle computes the distinct — the same
