@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPruning)
+    // whole-operator extension: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoin.Strategy)
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))

@@ -34,6 +34,7 @@ object SparkEntry {
     "q_distinct"           -> (Relational.qDistinct _),
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_asof_native"        -> (Relational.qAsofNative _),
     "q_skew_join"          -> (Relational.qSkewJoin _),
     "q_upsert_latest"      -> (Relational.qUpsertLatest _),
     "q_scd2_dim"           -> (Relational.qScd2Dim _),
@@ -365,6 +366,12 @@ object SparkEntry {
         | count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_asof_native" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |           FROM orders GROUP BY 1,2)
         |SELECT e.event_id, e.user_id, o.o_orderkey

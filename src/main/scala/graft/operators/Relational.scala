@@ -745,6 +745,27 @@ object Relational {
       .select($"event_id", $"k".as("user_id"), $"matched".as("o_orderkey"))
   }
 
+  /** The as-of join again, through the NATIVE whole-operator path:
+    * `AsOfJoinPlan` → `AsOfJoin.Strategy` → `AsOfJoinExec`
+    * (org/apache/spark/sql/graft/AsOfJoin.scala), registered via
+    * `GraftExtensions.injectPlannerStrategy`. Same result set as
+    * [[qAsofJoin]] (shared oracle); the physical plan is two
+    * clustered exchanges + per-partition (key, time) sorts + one
+    * O(|L|+|R|) merge scan holding a single right row — the
+    * sort-merge-join cost shape, with no union/window machinery.
+    */
+  def qAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    org.apache.spark.sql.graft.AsOfJoin
+      .asof(e, o, "user_id", "ts", "o_custkey", "o_orderdate")
+      .select($"event_id", $"user_id", $"o_orderkey")
+  }
+
   /** TPC-H Q9-shaped product profit: revenue from parts matching a
     * name token, by supplier nation × order year. The part filter
     * broadcasts (small after the predicate), supplier⋈nation resolves

@@ -305,6 +305,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_asof_native: custom exec planned, merge-scan cost shape, equals union-sort twin") {
+    val df = Relational.qAsofNative(spark, sf)
+    val p = capture(df, "simple")
+    assert(p.contains("AsOfJoin"), s"custom strategy did not plan the node\n$p")
+    // two clustered exchanges feeding the merge (plus the orders
+    // pre-reduction's own aggregate exchange) and NO window/union
+    // machinery — the operator is a single merge scan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"asof exec shuffles too much ($exchanges)\n$p")
+    assert(!p.contains("Window"), s"native asof still uses a window\n$p")
+    val got = df.collect().toSet
+    val want = Relational.qAsofJoin(spark, sf).collect().toSet
+    assert(got == want, "native as-of differs from the union-sort twin")
+    assert(got.nonEmpty)
+  }
+
   test("runtime bloom filter injects on a selective shuffled fact-fact join") {
     // the 100 TB setup: both sides too big to broadcast, one side
     // selectively filtered — Spark should derive a bloom filter from
