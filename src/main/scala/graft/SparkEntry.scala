@@ -35,6 +35,7 @@ object SparkEntry {
     "q_approx_distinct"    -> (Relational.qApproxDistinct _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
     "q_asof_native"        -> (Relational.qAsofNative _),
+    "q_scd2_lookup"        -> (Relational.qScd2Lookup _),
     "q_skew_join"          -> (Relational.qSkewJoin _),
     "q_upsert_latest"      -> (Relational.qUpsertLatest _),
     "q_scd2_dim"           -> (Relational.qScd2Dim _),
@@ -377,6 +378,23 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH d AS (SELECT o_custkey,
+        |   CAST(row_number() OVER w AS INT) AS version_idx,
+        |   o_orderdate AS valid_from, o_orderstatus,
+        |   round(o_totalprice, 2) AS price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)),
+        |eff AS (SELECT o_custkey, valid_from,
+        |   max(version_idx) AS version_idx,
+        |   arg_max(o_orderstatus, version_idx) AS o_orderstatus,
+        |   arg_max(price, version_idx) AS price
+        |  FROM d GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, eff.version_idx,
+        | eff.o_orderstatus, eff.price
+        |FROM events e ASOF LEFT JOIN eff
+        |  ON e.user_id = eff.o_custkey AND e.ts >= eff.valid_from""".stripMargin,
     "q_upsert_latest" ->
       """WITH all_rows AS (
         | SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version

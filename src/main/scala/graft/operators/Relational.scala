@@ -766,6 +766,31 @@ object Relational {
       .select($"event_id", $"user_id", $"o_orderkey")
   }
 
+  /** SCD2 point-in-time lookup: every event resolved against the
+    * dimension version in effect at its timestamp — the read side of
+    * [[qScd2Dim]], composed through the native [[qAsofNative]]
+    * operator. Same-day versions first reduce to the day's EFFECTIVE
+    * (highest) version via a struct-max aggregate, because an as-of
+    * merge over tied times would pick an arbitrary tie member; after
+    * the reduction the validity chain is contiguous and the as-of
+    * match IS the point-in-time row (no valid_to re-check needed).
+    */
+  def qScd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eff = qScd2Dim(spark, sfDir)
+      .groupBy($"o_custkey", $"valid_from")
+      .agg(max(struct($"version_idx", $"o_orderstatus", $"price")).as("s"))
+      .select($"o_custkey", $"valid_from",
+              $"s.version_idx".as("version_idx"),
+              $"s.o_orderstatus".as("o_orderstatus"), $"s.price".as("price"))
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    org.apache.spark.sql.graft.AsOfJoin
+      .asof(e, eff, "user_id", "ts", "o_custkey", "valid_from")
+      .select($"event_id", $"user_id", $"version_idx",
+              $"o_orderstatus", $"price")
+  }
+
   /** TPC-H Q9-shaped product profit: revenue from parts matching a
     * name token, by supplier nation × order year. The part filter
     * broadcasts (small after the predicate), supplier⋈nation resolves
