@@ -25,6 +25,10 @@ object Bench {
       catch { case _: Throwable => () }
     try graft.core.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_NO_CLEARCACHE=1 skips the per-query cache drop —
+    // bisect knob for measuring how much of the timing is cache
+    // hygiene vs the queries themselves (round-5 verdict item 1)
+    val noClear = sys.env.get("SPARK_GRAFT_NO_CLEARCACHE").contains("1")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -34,7 +38,7 @@ object Bench {
       }
       // persisted intermediates (minhash/simhash band relations) would
       // otherwise accumulate in executor storage across ~100 queries
-      spark.catalog.clearCache()
+      if (!noClear) spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

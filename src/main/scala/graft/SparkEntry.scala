@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
     "dedup_incremental"    -> (graft.dedup.Dedup.dedupIncremental _),
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
+    "dedup_components"     -> (graft.dedup.Dedup.dedupComponents _),
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
@@ -887,6 +888,39 @@ object SparkEntry {
         |      WHEN n_corpus_matches > 0 THEN 'near_dup'
         |      ELSE 'keep' END AS decision
         |FROM j""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   list_min(list_transform(w, t ->
+        |     CAST(xor(md5_number_lower(t),
+        |       CASE WHEN i = 0 THEN md5_number_upper(t)
+        |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
+        |              * CAST(power(2, i) AS HUGEINT))
+        |             % 18446744073709551616)
+        |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
+        |               AS HUGEINT) AS UBIGINT)
+        |       END) % 9223372036854775808 AS BIGINT))))
+        |   AS s
+        |  FROM d),
+        |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
+        |   md5_number_lower(array_to_string(
+        |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
+        |   AS bh
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |edges AS (SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band_idx = b2.band_idx AND b1.bh = b2.bh
+        |  WHERE b1.doc_id != b2.doc_id),
+        |reach(src, dst) AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS component,
+        | min(dst) != src AS is_dup
+        |FROM reach GROUP BY src""".stripMargin,
     "dedup_ngram" ->
       """WITH d AS (SELECT doc_id, source,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w
@@ -1299,6 +1333,48 @@ object SparkEntry {
         |   CAST(row_number() OVER (PARTITION BY query_id
         |     ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
         |   round(cos, 4) AS cosine
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim_pq_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |subs AS (SELECT vec_id, CAST(m AS INT) AS m,
+        |   list_slice(v, CAST(m*8+1 AS INT), CAST(m*8+8 AS INT)) AS subv
+        |  FROM e CROSS JOIN range(0, 8) t(m)),
+        |coded AS (SELECT vec_id, m, subv,
+        |   CAST(list_sum(list_transform(range(0, 8), d ->
+        |     CASE WHEN subv[CAST(d+1 AS INT)] > 0
+        |       THEN CAST(power(2, d) AS BIGINT) ELSE 0 END)) AS INT) AS code
+        |  FROM subs),
+        |cb AS (SELECT m, code, CAST(d AS INT) AS d,
+        |   round(avg(subv[CAST(d AS INT)]), 6) AS c
+        |  FROM coded CROSS JOIN range(1, 9) t(d)
+        |  GROUP BY 1, 2, 3),
+        |cbv AS (SELECT m, code, list(c ORDER BY d) AS cv
+        |  FROM cb GROUP BY 1, 2),
+        |adc AS (SELECT q.vec_id AS query_id, q.m, b.code,
+        |   q.subv[1]*b.cv[1] + q.subv[2]*b.cv[2] + q.subv[3]*b.cv[3]
+        |    + q.subv[4]*b.cv[4] + q.subv[5]*b.cv[5] + q.subv[6]*b.cv[6]
+        |    + q.subv[7]*b.cv[7] + q.subv[8]*b.cv[8] AS partial,
+        |   b.cv[1]*b.cv[1] + b.cv[2]*b.cv[2] + b.cv[3]*b.cv[3]
+        |    + b.cv[4]*b.cv[4] + b.cv[5]*b.cv[5] + b.cv[6]*b.cv[6]
+        |    + b.cv[7]*b.cv[7] + b.cv[8]*b.cv[8] AS cnorm2,
+        |   q.subv[1]*q.subv[1] + q.subv[2]*q.subv[2] + q.subv[3]*q.subv[3]
+        |    + q.subv[4]*q.subv[4] + q.subv[5]*q.subv[5] + q.subv[6]*q.subv[6]
+        |    + q.subv[7]*q.subv[7] + q.subv[8]*q.subv[8] AS qnorm2
+        |  FROM coded q JOIN cbv b ON q.m = b.m
+        |  WHERE q.vec_id < 10),
+        |scored AS (SELECT a.query_id, c.vec_id,
+        |   round(sum(a.partial)
+        |     / (sqrt(sum(a.qnorm2)) * sqrt(sum(a.cnorm2))), 4) AS rscore
+        |  FROM coded c JOIN adc a ON c.m = a.m AND c.code = a.code
+        |  WHERE c.vec_id != a.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, approx_score FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY rscore DESC, vec_id) AS INT) AS rank,
+        |   rscore AS approx_score
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
     "sim_range_search" ->

@@ -90,19 +90,28 @@ object Dedup {
     * (The bounded pairwise variants live in [[dedupNgram]] /
     * [[dedupSimhash]].)
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // the band relation feeds every min-propagation hop (5 subtree
-    // references) — persist it once instead of re-hashing the corpus
-    // per reference (the standard iterative-graph pattern: pin the
-    // edge set, iterate over it)
-    val bands = withWordSet(Tables.documents(spark, sfDir))
+  /** (doc_id, band_idx, band_hash) minhash LSH band relation — the
+    * shared blocking structure behind [[dedupMinhash]] (2-hop
+    * min-propagation) and [[dedupComponents]] (exact fixpoint).
+    */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withWordSet(docs)
       .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
       .withColumn("bhs", expr(
         "transform(sequence(0, 7), b -> graft_md5lower64(" +
           "array_join(transform(slice(sig, cast(b*8+1 as int), 8), " +
           "x -> cast(x as string)), ',')))"))
       .select($"doc_id", posexplode($"bhs").as(Seq("band_idx", "band_hash")))
+  }
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the band relation feeds every min-propagation hop (5 subtree
+    // references) — persist it once instead of re-hashing the corpus
+    // per reference (the standard iterative-graph pattern: pin the
+    // edge set, iterate over it)
+    val bands = minhashBands(Tables.documents(spark, sfDir))
       .persist()
     // approximate connected components: propagate the min doc_id
     // through shared buckets (doc → bucket → doc), twice. Hop 1 is
@@ -124,6 +133,68 @@ object Dedup {
       .agg(min($"bucket_rep").as("rep"))
     rep.select($"doc_id", $"rep".as("cluster_rep"),
                ($"doc_id" =!= $"rep").as("is_dup"))
+  }
+
+  /** EXACT connected components over the minhash band graph: every
+    * document labeled with the smallest doc_id reachable through
+    * shared LSH band buckets, iterated to a FIXPOINT.
+    *
+    * This closes the semantic gap [[dedupMinhash]] leaves open: its 2
+    * unrolled min-propagation hops under-merge chain-shaped clusters
+    * (A~B~C~D~E where the ends share no bucket — a real corpus has
+    * chained near-dups: successive revisions of the same page each
+    * overlap their neighbors). The fixpoint here is the same
+    * pin-the-edge-set iteration as [[graft.graph.Graph.graphComponents]]
+    * but runs directly on the BIPARTITE doc↔bucket relation: each hop
+    * is bucket-min then doc-min — two shuffles linear in the band
+    * relation — and never materializes doc–doc pairs, which inside a
+    * large dup cluster would be quadratic. `localCheckpoint` cuts the
+    * lineage per hop so plan size stays constant; the hop guard is a
+    * runaway check, not a correctness bound (exit is the converged
+    * count, and a guard hit raises rather than returning a
+    * half-propagated labeling). Chain under-merge vs fixpoint is
+    * spec-asserted in DedupSimSpec.
+    */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = minhashBands(Tables.documents(spark, sfDir)).persist()
+    try {
+      bandComponents(bands)
+        .select($"doc_id", $"comp".as("component"),
+                ($"doc_id" =!= $"comp").as("is_dup"))
+    } finally bands.unpersist()
+  }
+
+  /** Fixpoint min-label propagation over a (doc_id, band_idx,
+    * band_hash) relation. Every doc is in its own buckets, so the
+    * bucket-min pass always covers every doc and labels only ever
+    * decrease; convergence = no label changed in a hop.
+    */
+  private[graft] def bandComponents(bands: DataFrame): DataFrame = {
+    import bands.sparkSession.implicits._
+    var labels = bands.select($"doc_id").distinct()
+      .withColumn("comp", $"doc_id")
+      .localCheckpoint()
+    var converged = false
+    var hops = 0
+    while (!converged) {
+      assert(hops < 50, "band-graph component diameter exceeded the hop guard")
+      val bucketMin = bands.join(labels, Seq("doc_id"))
+        .groupBy($"band_idx", $"band_hash")
+        .agg(min($"comp").as("bmin"))
+      // the changed flag rides the same pass — convergence costs no
+      // extra join against the previous labeling
+      val next = bands.join(bucketMin, Seq("band_idx", "band_hash"))
+        .groupBy($"doc_id").agg(min($"bmin").as("nmin"))
+        .join(labels, Seq("doc_id"))
+        .select($"doc_id", least($"comp", $"nmin").as("comp"),
+                ($"nmin" < $"comp").as("changed"))
+        .localCheckpoint() // cut lineage: constant plan size per hop
+      converged = next.filter($"changed").isEmpty
+      labels = next.drop("changed")
+      hops += 1
+    }
+    labels
   }
 
   /** Incremental (cross-corpus) dedup: a NEW BATCH of documents

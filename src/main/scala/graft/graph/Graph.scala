@@ -85,6 +85,12 @@ object Graph {
     * min-id endpoint (the orientation trick that makes this feasible
     * on skewed degree distributions). Pure integer counting — exact
     * on any engine.
+    *
+    * Edge generation is within-label all-pairs, so it carries the
+    * same quantizer contract as [[graft.similarity.Similarity.simKnnGraph]]:
+    * at 100 TB the `label` column stands in for a coarse quantizer
+    * trained with k ∝ √N cells, bounding the Σ|cell|² edge work at
+    * ≈ N^1.5 — never corpus².
     */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -165,8 +165,11 @@ object Similarity {
     * The 100 TB story: after encoding, each vector is M bytes (a 32×
     * compression of the 64-float vector), scoring never touches raw
     * vectors (codes ⋈ broadcast ADC table, one partial-agg sum), and
-    * the bounded-heap top-k avoids any sort. Approximation quality
-    * rows-only; recall vs brute force is spec-asserted (DedupSimSpec).
+    * the bounded-heap top-k avoids any sort. The whole path is
+    * deterministic (sign codes are exact integer expressions, codebook
+    * means are rounded before ADC, ranking uses the rounded score), so
+    * the DuckDB oracle replays codes → codebook → ADC → top-5
+    * bit-for-bit; recall vs brute force is spec-asserted (DedupSimSpec).
     */
   def simPqAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -195,10 +198,15 @@ object Similarity {
       .withColumn("code", signCode)
       .persist()
     // codebook: per (subspace, code) mean subvector — ≤ 256 entries
-    // per subspace regardless of corpus size, broadcast
+    // per subspace regardless of corpus size, broadcast. The mean is
+    // rounded to 6 decimals BEFORE any ADC arithmetic: a float mean is
+    // the one order-dependent aggregate in the pipeline (Spark and the
+    // oracle sum partitions in different orders), and rounding collapses
+    // the ulp noise so both engines feed bit-identical codebook entries
+    // into the (fixed-order, deterministic) dot products downstream.
     val codebook = subs
       .select($"m", $"code", posexplode($"subv").as(Seq("dim", "x")))
-      .groupBy($"m", $"code", $"dim").agg(avg($"x").as("c"))
+      .groupBy($"m", $"code", $"dim").agg(round(avg($"x"), 6).as("c"))
       .groupBy($"m", $"code")
       .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
       .select($"m", $"code", expr("transform(pairs, p -> p.c)").as("cv"))
@@ -222,12 +230,19 @@ object Similarity {
       // lookups reconstitutes ‖q‖²)
       .agg((sum($"partial") / (sqrt(sum($"qnorm2")) * sqrt(sum($"cnorm2"))))
         .as("score"))
+      // rank by the ROUNDED score: vectors sharing all 8 codes have
+      // identical lookups, but an 8-double sum is order-dependent, so
+      // their raw scores can differ in the last ulp and the tie would
+      // be broken by noise instead of by vec_id. Rounding first makes
+      // equal-code candidates exactly equal, so the heap's id
+      // tie-break is deterministic and oracle-reproducible.
+      .withColumn("rscore", round($"score", 4))
       .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"score").as("top"))
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"rscore").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
       .select($"query_id", $"p._1".as("neighbor_id"),
               ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("approx_score"))
+              $"p._2".as("approx_score"))
   }
 
   /** Range search: every corpus vector within cosine ≥ 0.3 of each

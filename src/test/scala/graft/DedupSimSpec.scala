@@ -25,6 +25,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(rep.values.forall(r => rep(r) <= r))
   }
 
+  test("band components: fixpoint merges a chain the 2-hop propagation under-merges") {
+    import spark.implicits._
+    // chain A~B~C~D~E through 4 buckets: (1,2) (2,3) (3,4) (4,5) —
+    // the ends share no bucket, so the component only closes by
+    // propagating labels along the chain (diameter 4)
+    val bands = Seq(
+      (1L, 0, 10L), (2L, 0, 10L),
+      (2L, 1, 20L), (3L, 1, 20L),
+      (3L, 2, 30L), (4L, 2, 30L),
+      (4L, 3, 40L), (5L, 3, 40L),
+      // an isolated doc keeps its own label
+      (9L, 0, 99L)
+    ).toDF("doc_id", "band_idx", "band_hash")
+    // the fixpoint closes the whole chain to min-id 1
+    val fix = Dedup.bandComponents(bands)
+      .as[(Long, Long)].collect().toMap
+    assert(fix == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                      9L -> 9L))
+    // replay dedupMinhash's 2 unrolled min-propagation hops on the
+    // same relation: doc 5 stops at 3 — under-merged, which is
+    // exactly why dedup_components exists
+    val bucketMin1 = bands.groupBy($"band_idx", $"band_hash")
+      .agg(min($"doc_id").as("bucket_rep"))
+    val r1 = bands.join(bucketMin1, Seq("band_idx", "band_hash"))
+      .groupBy($"doc_id").agg(min($"bucket_rep").as("rep"))
+    val bucketMin2 = bands.join(r1, Seq("doc_id"))
+      .groupBy($"band_idx", $"band_hash").agg(min($"rep").as("bucket_rep"))
+    val twoHop = bands.join(bucketMin2, Seq("band_idx", "band_hash"))
+      .groupBy($"doc_id").agg(min($"bucket_rep").as("rep"))
+      .as[(Long, Long)].collect().toMap
+    assert(twoHop(5L) == 3L, "expected the 2-hop replay to under-merge the chain end")
+    assert(fix(5L) == 1L)
+  }
+
   test("incremental dedup: exact dups are near dups, decisions partition the batch") {
     import spark.implicits._
     val d = Dedup.dedupIncremental(spark, sf)
