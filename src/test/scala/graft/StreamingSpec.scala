@@ -194,6 +194,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join emits null rows on BOTH sides under the watermark") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    def streamEvents() = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = streamEvents().filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = streamEvents().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+              $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user_id" &&
+      $"purchase_ts" >= $"click_ts" &&
+      $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_full").start()
+    try {
+      q.processAllAvailable()
+      // same watermark-pusher trick as the LEFT OUTER scenario: both
+      // sides' null-complemented rows only emit once the watermark
+      // passes their interval bound; the pusher pair parks in state
+      val ev = graft.core.Tables.events(spark, sf)
+      val maxNs = spark.read.parquet(dir).agg(max($"ts")).head().getLong(0)
+      Seq((9000001L, maxNs + 3L * 3600 * 1000000000L, 9000001L, "click", 0.0, "{}"),
+          (9000002L, maxNs + 3L * 3600 * 1000000000L, 9000002L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+
+      val bc = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      val bp = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+                $"ts".as("purchase_ts"))
+      val want = bc.join(bp,
+        $"user_id" === $"p_user_id" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+        .select($"click_id", $"purchase_id")
+      val got = spark.table("ssj_full").select($"click_id", $"purchase_id")
+      // both null directions must be non-vacuous or the mode is untested
+      assert(want.filter($"purchase_id".isNull).count() > 0,
+        "batch twin has no unmatched clicks — full-outer click side untested")
+      assert(want.filter($"click_id".isNull).count() > 0,
+        "batch twin has no unmatched purchases — full-outer purchase side untested")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedupes redelivered events in-stream") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
