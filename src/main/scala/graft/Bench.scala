@@ -29,6 +29,7 @@ object Bench {
     // bisect knob for measuring how much of the timing is cache
     // hygiene vs the queries themselves (round-5 verdict item 1)
     val noClear = sys.env.get("SPARK_GRAFT_NO_CLEARCACHE").contains("1")
+    var idx = 0
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -39,7 +40,14 @@ object Bench {
       // persisted intermediates (minhash/simhash band relations) would
       // otherwise accumulate in executor storage across ~100 queries
       if (!noClear) spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      idx += 1
+      // execution-order trace (stderr): position-dependent slowdowns
+      // (cleaner backlog, GC pressure) are invisible in the sorted map
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench-seq] $idx%3d $sec%7.2f s heap=${
+        (rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB $name")
+      name -> sec
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full per-query map for humans (stderr — not part of the contract)

@@ -30,41 +30,82 @@ object Dedup {
   private def withWordSet(df: DataFrame): DataFrame =
     df.withColumn("wset", expr("array_distinct(split(trim(text), ' +'))"))
 
-  /** Exact word-set Jaccard near-dup pairs (τ ≥ 0.9), blocked by
-    * (`source`, word-set SIZE bucket). The oracle-checkable exact
-    * variant; [[dedupMinhash]] is the scalable approximation of the
-    * same predicate.
+  /** Exact word-set Jaccard near-dup pairs (τ ≥ 0.9), candidates
+    * from AllPairs PREFIX FILTERING (Chaudhuri et al. ICDE'06 /
+    * Bayardo et al. WWW'07 / PPJoin shape). The oracle-checkable
+    * exact variant; [[dedupMinhash]] is the scalable approximation of
+    * the same predicate.
     *
-    * The size bucket is the AllPairs/PPJoin-style second blocking
-    * key: j ≥ 0.9 implies min(|A|,|B|) ≥ 0.9·max(|A|,|B|), so both
-    * sets' sizes land in the same or adjacent buckets of the
-    * geometric grid g = ⌊log_{10/9}|set|⌋. Each doc is duplicated
-    * into buckets {g, g+1} on both sides and a matched pair is kept
-    * only at bucket max(g₁,g₂) — exactly-once, pure equi-join.
-    * Without this, `source` alone gives a handful of corpus-sized
-    * buckets and Σ|bucket|² ≈ corpus² pair work at 100 TB; with it,
-    * bucket population is bounded by docs-per-(source × ~11% size
-    * band) and the candidate join stays quadratic only within bands.
+    * Prefix-filter principle: under any global token order, if
+    * |A∩B| ≥ α then the (|A|−α+1)-prefixes of A and B share a token.
+    * J ≥ 0.9 implies overlap ≥ ⌈0.9·max(|A|,|B|)⌉ ≥ ⌈0.9·|X|⌉ for
+    * each side, so indexing only each doc's (s − ⌈0.9s⌉ + 1) RAREST
+    * tokens (≈10% of the set, df-ascending order) and equi-joining on
+    * (source, prefix-token) finds every qualifying pair — lossless.
+    * ⌈0.9s⌉ is computed as (9s+9) div 10 in integer arithmetic: the
+    * float 0.9·s overshoots at multiples of 10 (0.9·10 → 9.0000…02,
+    * ceil → 10) and a one-off-short prefix silently drops pairs.
+    *
+    * Scale story: a size-bucket second key (the round-1→5 design)
+    * keeps blocks Σ|bucket|² in docs-per-(source × size band), which
+    * the sf1 scaling bench measured going quadratic (90× time at 10×
+    * data — length is a weak discriminator: real corpora repeat doc
+    * lengths endlessly). Rare-token prefixes discriminate by CONTENT:
+    * candidate buckets are per (source, token) with population ~ df
+    * of the token among doc-prefixes, and the verify step only runs
+    * on distinct candidate id-pairs, rejoining word sets by doc id.
+    * The cost moved to three linear shuffles (df count, per-doc
+    * prefix assembly, candidate/verify joins) — the standard
+    * similarity-join trade. The [[graft.plans.JaccardLengthPruning]]
+    * rule still injects the size prefilter ahead of each merge scan.
+    *
+    * Caveat (measured): when the vocabulary is tiny relative to the
+    * corpus (the synthetic test corpus draws from ~31 words), NO
+    * lossless blocking discriminates — every "rare" token still has
+    * df ≈ N/vocab and candidates degenerate toward within-source
+    * all-pairs for any scheme; prefix filtering then matches the
+    * brute bound (~2× the size-bucket constant at sf0.1) while
+    * winning 10× on natural Zipfian vocabularies (sf1 scaling bench:
+    * 154 s → 14.6 s).
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // sort once per doc so the pairwise step is a merge scan
-    // no persist: both self-join sides canonicalize to one exchange
-    // (ReusedExchange, asserted in PlanAuditSpec), so the word-set
-    // projection is computed once without pinning it to storage
-    val logBase = math.log(10.0 / 9.0)
     val d = withWordSet(Tables.documents(spark, sfDir))
+      // sort once per doc so the pairwise step is a merge scan
       .select($"doc_id", $"source", array_sort($"wset").as("wset"))
-      .withColumn("g", floor(log(size($"wset").cast("double")) / logBase))
-    val a = d.select($"source", $"doc_id".as("doc_id_1"), $"wset".as("w1"), $"g".as("g1"))
-      .withColumn("gb", explode(array($"g1", $"g1" + 1)))
-    val b = d.select($"source", $"doc_id".as("doc_id_2"), $"wset".as("w2"), $"g".as("g2"))
-      .withColumn("gb", explode(array($"g2", $"g2" + 1)))
-    a.join(b, Seq("source", "gb"))
+    // global document frequency = the AllPairs canonical token order
+    // (rarest-first prefixes minimize candidate bucket population);
+    // ties broken by token string so the order is total and stable
+    val tokenDf = d.select(explode($"wset").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val prefixes = d.select($"doc_id", explode($"wset").as("tok"))
+      .join(tokenDf, Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"tok"))).as("byRarity"),
+           count(lit(1)).as("s"))
+      .select($"doc_id", expr(
+        "transform(slice(byRarity, 1, " +
+          "cast(s - ((9*s + 9) div 10) + 1 as int)), x -> x.tok)")
+        .as("prefix"))
+    // 4 downstream references (two candidate sides, two verify
+    // rejoins) — pin it once, the minhash-band pattern (reclaimed by
+    // the caller's clearCache, like the other pinned band relations)
+    val r = d.join(prefixes, Seq("doc_id")).persist()
+    val a = r.select($"source", explode($"prefix").as("tok"),
+      $"doc_id".as("doc_id_1"))
+    val b = r.select($"source", explode($"prefix").as("tok"),
+      $"doc_id".as("doc_id_2"))
+    // distinct BEFORE the merge-scan verify: a pair sharing k prefix
+    // tokens surfaces k times, and verifying each copy would multiply
+    // the expensive step; ids-only distinct is the cheap one
+    val cands = a.join(b, Seq("source", "tok"))
       .filter($"doc_id_1" < $"doc_id_2")
-      // adjacent-bucket pairs match once, same-bucket pairs match at
-      // both {g, g+1} — keep only the max-bucket copy
-      .filter($"gb" === greatest($"g1", $"g2"))
+      .select($"doc_id_1", $"doc_id_2").distinct()
+    cands
+      .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
+        Seq("doc_id_1"))
+      .join(r.select($"doc_id".as("doc_id_2"), $"wset".as("w2")),
+        Seq("doc_id_2"))
       .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
       .filter($"jaccard" >= 0.9)
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
@@ -240,31 +281,60 @@ object Dedup {
 
   /** 64-bit SimHash (Charikar '02 / Manku et al. WWW'07 shape): each
     * word votes ±1 per bit of its hash; the sign vector packs into a
-    * long. Near-dups = hamming distance ≤ 3, found by the pigeonhole
-    * block trick: split the 64 bits into 4×16-bit chunks — distance
-    * ≤ 3 implies at least one chunk matches exactly, so candidates
-    * come from 4 equi-joins on (chunk_idx, chunk_value), never n².
+    * long. Near-dups = hamming distance ≤ 3, found by the Manku et
+    * al. WWW'07 block-combination trick: split the 64 bits into 6
+    * blocks (11,11,11,11,10,10); ≤ 3 flipped bits touch ≤ 3 blocks,
+    * so at least 3 of the 6 blocks match exactly and some C(6,3)=20
+    * combination of 3 whole blocks collides — candidates come from 20
+    * equi-joins on (combo_id, 31–33-bit combo key), never n².
+    *
+    * Why not the simpler 4×16-bit single-block pigeonhole (the
+    * round-1→5 design): a 16-bit key has only 65k buckets, so random
+    * (non-dup) collisions grow as n²/2¹⁷ per chunk — birthday-
+    * quadratic. The sf1 scaling bench measured it: 27× time at 10×
+    * data (~76M candidate pairs at 50k docs). A 3-block combo key is
+    * 31+ bits wide, pushing the same birthday term below n²/2³², and
+    * keeps the guarantee EXACT for d ≤ 3 — the standard trade: more
+    * index rows (20/doc vs 4/doc, still linear) for quadratically
+    * fewer spurious candidates. At 10⁹ docs the 16-bit design is
+    * ~10¹³ pairs (dead); this one is ~10⁹ (a shuffle).
     */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // 6 block offsets/widths over the 64-bit simhash
+    val offs = Seq(0, 11, 22, 33, 44, 54)
+    val bits = Seq(11, 11, 11, 11, 10, 10)
+    def block(i: Int) =
+      shiftright(col("simhash"), offs(i)).bitwiseAND((1L << bits(i)) - 1)
+    // all C(6,3) combos; key packs the 3 block values into fixed
+    // 21-bit fields (block width ≤ 11 < 21, no overlap)
+    val combos = (0 until 6).combinations(3).toSeq
+    val comboCol = array(combos.zipWithIndex.map { case (c, id) =>
+      struct(lit(id).as("combo_id"),
+        shiftleft(block(c(0)), 42).bitwiseOR(shiftleft(block(c(1)), 21))
+          .bitwiseOR(block(c(2))).as("key"))
+    }: _*)
     val d = withWordSet(Tables.documents(spark, sfDir))
       // digest + bit votes fused in ONE native expression: a lambda
       // inside transform() is interpreted per element, so the
       // two-step transform+SimHash64 formulation paid lambda dispatch
       // per token. The word hash stays md5-lower-64 (not xxhash64) so
       // an external SQL oracle replays simhash → pigeonhole → hamming
+      // (the oracle's own candidate device — 4×16 chunks — differs,
+      // but both blockings are lossless for d ≤ 3, so the verified
+      // pair set is identical)
       .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
-      .withColumn("chunks",
-        expr("transform(sequence(0, 3), c -> (simhash >> (c*16)) & 65535L)"))
-      .select($"doc_id", $"simhash", posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))
-      // persist the 4-rows-per-doc chunk relation: when the self-join
-      // broadcasts one side there is no ReusedExchange, so WITHOUT the
-      // pin each side re-runs the md5-per-word simhash over the whole
-      // corpus — the most expensive part of the query, paid twice
+      .select($"doc_id", $"simhash", explode(comboCol).as("ck"))
+      .select($"doc_id", $"simhash",
+        $"ck.combo_id".as("combo_id"), $"ck.key".as("key"))
+      // persist the 20-rows-per-doc combo relation: when the
+      // self-join broadcasts one side there is no ReusedExchange, so
+      // WITHOUT the pin each side re-runs the md5-per-word simhash
+      // over the whole corpus — the most expensive part, paid twice
       .persist()
-    val a = d.select($"chunk_idx", $"chunk_val", $"doc_id".as("doc_id_1"), $"simhash".as("h1"))
-    val b = d.select($"chunk_idx", $"chunk_val", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    val a = d.select($"combo_id", $"key", $"doc_id".as("doc_id_1"), $"simhash".as("h1"))
+    val b = d.select($"combo_id", $"key", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
+    a.join(b, Seq("combo_id", "key"))
       .filter($"doc_id_1" < $"doc_id_2")
       // hamming BEFORE the pair-dedup: bit_count is per-row cheap,
       // and filtering first shrinks the distinct's shuffle to only

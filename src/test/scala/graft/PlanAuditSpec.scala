@@ -51,19 +51,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dedup_ngram self-join at scale: one shuffle, ReusedExchange on the other side") {
-    // at 100 TB documents won't broadcast; the self-join must then
-    // canonicalize both sides to a single exchange (word sets are
-    // computed and shuffled once, not per side)
+  test("dedup_ngram self-join at scale: pinned prefix relation, no cartesian") {
+    // at 100 TB documents won't broadcast; the word-set + prefix
+    // relation feeds 4 subtrees (two candidate sides, two verify
+    // rejoins) and must be computed ONCE — pinned, every reference an
+    // in-memory scan — and no join may degenerate to a cartesian
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = graft.dedup.Dedup.dedupNgram(spark, sf)
       df.collect() // AQE finalizes the plan on execution
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"),
-        s"self-join sides did not share the exchange\n$p")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= 4,
+        s"prefix relation not pinned across its 4 references ($scans scans)\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.catalog.clearCache()
+    }
   }
 
   test("JaccardLengthPruning injects the size prefilter ahead of the merge scan") {
@@ -350,19 +356,39 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
-  test("dedup_ngram: size bucketing splits source blocks") {
+  test("dedup_ngram: rare-token prefixes discriminate far beyond source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // the second blocking key must actually split: far more distinct
-    // (source, size-bucket) keys than sources, or the candidate join
-    // still degenerates to a few corpus-sized buckets
-    val logBase = math.log(10.0 / 9.0)
+    // replicate the prefix assembly: the candidate key space must be
+    // much finer than source alone (the round-5 size-bucket key went
+    // quadratic at sf1 because length barely discriminates), and the
+    // indexed prefix must stay the ~10% AllPairs bound, or the
+    // candidate join degenerates to corpus-sized buckets
     val d = graft.core.Tables.documents(spark, sf)
       .withColumn("wset", expr("array_distinct(split(trim(text), ' +'))"))
-      .withColumn("g", floor(log(size($"wset").cast("double")) / lit(logBase)))
+    val tokenDf = d.select(explode($"wset").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val pref = d.select($"doc_id", $"source", explode($"wset").as("tok"))
+      .join(tokenDf, Seq("tok"))
+      .groupBy($"doc_id", $"source")
+      .agg(array_sort(collect_list(struct($"df", $"tok"))).as("byRarity"),
+           count(lit(1)).as("s"))
+      .select($"doc_id", $"source", $"s", expr(
+        "transform(slice(byRarity, 1, " +
+          "cast(s - ((9*s + 9) div 10) + 1 as int)), x -> x.tok)")
+        .as("prefix"))
+    // the synthetic corpus draws from a ~31-word vocabulary — the
+    // worst case for ANY content blocking (every token is common), so
+    // the split bound here is modest; on natural Zipfian vocabularies
+    // the key space is ~|prefix vocabulary| × sources (see Scaladoc)
     val nSources = d.select($"source").distinct().count()
-    val nBlocks = d.select($"source", $"g").distinct().count()
-    assert(nBlocks >= nSources * 3,
-      s"size bucket barely splits: $nBlocks blocks over $nSources sources")
+    val nKeys = pref.select($"source", explode($"prefix").as("tok"))
+      .distinct().count()
+    assert(nKeys >= nSources * 3,
+      s"prefix key space barely splits: $nKeys keys over $nSources sources")
+    // prefix length honors the lossless AllPairs bound s-ceil(.9s)+1
+    val bad = pref.filter(size($"prefix") =!=
+      ($"s" - expr("(9*s + 9) div 10") + 1)).count()
+    assert(bad == 0, s"$bad docs with a mis-sized prefix")
   }
 }
