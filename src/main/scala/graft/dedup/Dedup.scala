@@ -137,13 +137,22 @@ object Dedup {
     */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // EXPLODE the band index BEFORE hashing: a `transform(sequence…)`
+    // lambda is interpreted, and CollapseProject re-inlines the `sig`
+    // subexpression into the lambda body — the 64-slot signature was
+    // silently recomputed per band element (measured 15.5 s of a
+    // 19.2 s sf1 run in this one projection). Generate is a collapse
+    // barrier, so below it `sig` evaluates once per doc; the per-band
+    // md5 then runs on the exploded rows (8 cheap rows/doc).
     withWordSet(docs)
       .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
-      .withColumn("bhs", expr(
-        "transform(sequence(0, 7), b -> graft_md5lower64(" +
-          "array_join(transform(slice(sig, cast(b*8+1 as int), 8), " +
-          "x -> cast(x as string)), ',')))"))
-      .select($"doc_id", posexplode($"bhs").as(Seq("band_idx", "band_hash")))
+      .select($"doc_id", $"sig",
+        posexplode(expr("sequence(0, 7)")).as(Seq("band_idx", "_b")))
+      .withColumn("band_hash", expr(
+        "graft_md5lower64(array_join(transform(" +
+          "slice(sig, cast(band_idx*8+1 as int), 8), " +
+          "x -> cast(x as string)), ','))"))
+      .select($"doc_id", $"band_idx", $"band_hash")
   }
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -213,11 +222,19 @@ object Dedup {
     */
   private[graft] def bandComponents(bands: DataFrame): DataFrame = {
     import bands.sparkSession.implicits._
-    var labels = bands.select($"doc_id").distinct()
-      .withColumn("comp", $"doc_id")
+    // hop 1 unrolled: against the identity labeling the bucket min is
+    // just min(doc_id), so the generic hop's labels-join would join a
+    // relation to itself for nothing (same saving as dedupMinhash's
+    // unroll); nmin ≤ doc_id always, so least() and the changed flag
+    // are also free here
+    var labels = bands
+      .join(bands.groupBy($"band_idx", $"band_hash")
+              .agg(min($"doc_id").as("bmin")),
+            Seq("band_idx", "band_hash"))
+      .groupBy($"doc_id").agg(min($"bmin").as("comp"))
       .localCheckpoint()
     var converged = false
-    var hops = 0
+    var hops = 1
     while (!converged) {
       assert(hops < 50, "band-graph component diameter exceeded the hop guard")
       val bucketMin = bands.join(labels, Seq("doc_id"))
@@ -255,15 +272,19 @@ object Dedup {
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // explode-then-hash, same as [[minhashBands]]: keeps the 64-slot
+    // signature out of the interpreted lambda (CollapseProject would
+    // recompute it per band element otherwise)
     val bands = withWordSet(Tables.documents(spark, sfDir))
       .withColumn("content_hash", md5(lower(trim($"text"))))
       .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
-      .withColumn("bhs", expr(
-        "transform(sequence(0, 7), b -> graft_md5lower64(" +
-          "array_join(transform(slice(sig, cast(b*8+1 as int), 8), " +
-          "x -> cast(x as string)), ',')))"))
-      .select($"doc_id", $"content_hash",
-              posexplode($"bhs").as(Seq("band_idx", "band_hash")))
+      .select($"doc_id", $"content_hash", $"sig",
+        posexplode(expr("sequence(0, 7)")).as(Seq("band_idx", "_b")))
+      .withColumn("band_hash", expr(
+        "graft_md5lower64(array_join(transform(" +
+          "slice(sig, cast(band_idx*8+1 as int), 8), " +
+          "x -> cast(x as string)), ','))"))
+      .select($"doc_id", $"content_hash", $"band_idx", $"band_hash")
     val batch = bands.filter($"doc_id" % 4 === 0)
     val corpus = bands.filter($"doc_id" % 4 =!= 0)
       .select($"band_idx", $"band_hash",
