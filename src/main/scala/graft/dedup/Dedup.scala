@@ -111,26 +111,6 @@ object Dedup {
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
   }
 
-  /** MinHash + LSH near-dup dedup (Broder '97 / MMDS ch.3 shape):
-    * 64 minhash slots from the Kirsch–Mitzenmacher family h_i =
-    * (h1 + i·h2) mod 2⁶⁴ masked to 63 bits, where h1/h2 are the two
-    * md5 digest halves of the word (each word digested ONCE, not 64
-    * times) — the md5 base pair makes the full signature → band →
-    * bucket → min-propagation pipeline replayable by the DuckDB
-    * oracle (`md5_number_lower`/`_upper` + HUGEINT mod arithmetic),
-    * unlike xxhash64, which is Spark-only. Banded 8×8 (LSH threshold
-    * (1/8)^(1/8) ≈ 0.77); band key = md5-lower-64 of the joined
-    * 8-slot slice, so band buckets shuffle as longs, not strings.
-    *
-    * Output is a keep-one *dedup decision* per document (cluster
-    * representative = min doc_id reachable through shared LSH
-    * buckets, two min-propagation hops), not the pairwise near-dup
-    * list: on a corpus with large near-identical clusters the pair
-    * set is quadratic in cluster size, while the decision output and
-    * every shuffle here stay linear — the shape that survives 100 TB.
-    * (The bounded pairwise variants live in [[dedupNgram]] /
-    * [[dedupSimhash]].)
-    */
   /** (doc_id, band_idx, band_hash) minhash LSH band relation — the
     * shared blocking structure behind [[dedupMinhash]] (2-hop
     * min-propagation) and [[dedupComponents]] (exact fixpoint).
@@ -155,6 +135,26 @@ object Dedup {
       .select($"doc_id", $"band_idx", $"band_hash")
   }
 
+  /** MinHash + LSH near-dup dedup (Broder '97 / MMDS ch.3 shape):
+    * 64 minhash slots from the Kirsch–Mitzenmacher family h_i =
+    * (h1 + i·h2) mod 2⁶⁴ masked to 63 bits, where h1/h2 are the two
+    * md5 digest halves of the word (each word digested ONCE, not 64
+    * times) — the md5 base pair makes the full signature → band →
+    * bucket → min-propagation pipeline replayable by the DuckDB
+    * oracle (`md5_number_lower`/`_upper` + HUGEINT mod arithmetic),
+    * unlike xxhash64, which is Spark-only. Banded 8×8 (LSH threshold
+    * (1/8)^(1/8) ≈ 0.77); band key = md5-lower-64 of the joined
+    * 8-slot slice, so band buckets shuffle as longs, not strings.
+    *
+    * Output is a keep-one *dedup decision* per document (cluster
+    * representative = min doc_id reachable through shared LSH
+    * buckets, two min-propagation hops), not the pairwise near-dup
+    * list: on a corpus with large near-identical clusters the pair
+    * set is quadratic in cluster size, while the decision output and
+    * every shuffle here stay linear — the shape that survives 100 TB.
+    * (The bounded pairwise variants live in [[dedupNgram]] /
+    * [[dedupSimhash]].)
+    */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // the band relation feeds every min-propagation hop (5 subtree
@@ -372,7 +372,7 @@ object Dedup {
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select($"vec_id", $"label", $"v")
     val a = e.select($"label", $"vec_id".as("vec_id_1"), $"v".as("v1"))
     val b = e.select($"label", $"vec_id".as("vec_id_2"), $"v".as("v2"))

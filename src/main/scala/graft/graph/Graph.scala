@@ -95,7 +95,7 @@ object Graph {
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select($"vec_id", $"label", $"v")
     val a = e.select($"label", $"vec_id".as("ea"), $"v".as("v1"))
     val b = e.select($"label", $"vec_id".as("eb"), $"v".as("v2"))

@@ -19,7 +19,7 @@ object Similarity {
 
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"), col("v"))
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10),
