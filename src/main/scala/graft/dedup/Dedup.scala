@@ -219,6 +219,16 @@ object Dedup {
     * band_hash) relation. Every doc is in its own buckets, so the
     * bucket-min pass always covers every doc and labels only ever
     * decrease; convergence = no label changed in a hop.
+    *
+    * Deliberately a FULL-RECOMPUTE loop: a Flink-style delta
+    * iteration (recompute only buckets touched by the changed-label
+    * frontier) was implemented and measured SLOWER here (12.0 s vs
+    * 10.5 s at sf1, 7 hops) — the per-hop left-join merging the
+    * shrinking update set back over the full labeling costs more
+    * than the restricted aggregation saves, because near-dup
+    * frontiers stay wide for most of the (short) chain depth. The
+    * simple loop also keeps every hop two plain co-partitioned
+    * shuffles of the pinned band relation.
     */
   private[graft] def bandComponents(bands: DataFrame): DataFrame = {
     import bands.sparkSession.implicits._
@@ -252,6 +262,8 @@ object Dedup {
       labels = next.drop("changed")
       hops += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_TRACE"))
+      System.err.println(s"[graft-trace] bandComponents converged in $hops hops")
     labels
   }
 
