@@ -30,9 +30,19 @@ object Bench {
     // hygiene vs the queries themselves (round-5 verdict item 1)
     val noClear = sys.env.get("SPARK_GRAFT_NO_CLEARCACHE").contains("1")
     var idx = 0
+    // SPARK_GRAFT_EXPLAIN=1: print each query's formatted plan to
+    // stderr before running (plan-audit aid; off in driver runs)
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        val df = fn(spark, sfDir)
+        if (explain) {
+          System.err.println(s"[bench-explain] ===== $name =====")
+          df.explain("formatted")
+        }
+        df.count()
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1L

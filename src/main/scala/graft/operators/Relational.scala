@@ -637,17 +637,27 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
       .filter($"o_orderstatus" === "F")
       .select($"o_orderkey", $"o_orderdate")
+    // per-order rollup as a WINDOW over the per-supplier aggregate,
+    // not a groupBy + join-back: the self-join formulation computed
+    // the whole lineitem⋈orders subtree twice (6 scans / 5 exchanges
+    // in the executed plan — AQE's broadcast choice for `o` strips
+    // the partitioning that would have made the subtrees reusable).
+    // The explicit repartition on l_orderkey feeds BOTH the
+    // (l_orderkey, l_suppkey) aggregate (hash(ok) clusters (ok, sk))
+    // and the window, so everything after the fact join runs in one
+    // partitioning; the window key is the high-cardinality order key.
     val perSupp = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
       .join(o, $"l_orderkey" === $"o_orderkey")
       .withColumn("late",
         ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).cast("int"))
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max($"late").as("supp_late"))
-    val perOrder = perSupp.groupBy($"l_orderkey")
-      .agg(count(lit(1)).as("n_suppliers"),
-           sum($"supp_late").as("n_late_suppliers"))
-    perSupp.join(perOrder, Seq("l_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .withColumn("n_late_suppliers", sum($"supp_late").over(w))
       .filter($"n_suppliers" >= 2 && $"n_late_suppliers" === 1 &&
               $"supp_late" === 1)
       .groupBy($"l_suppkey")
