@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{Bridge, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
+  import org.apache.spark.sql.graft.{Bridge, CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -70,4 +70,21 @@ package object functions {
   /** L2 norm of an `array<double>` column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Per-cell kNN generator: `cellTopK(array<struct<id, v>>, k)` →
+    * rows (vec_id, neighbor_id, rank, cosine), each member's top-k
+    * cosine neighbors within the packed cell. See
+    * [[org.apache.spark.sql.graft.CellTopK]] for the shuffle-shape
+    * rationale.
+    */
+  def cellTopK(vecs: Column, k: Int): Column =
+    Bridge.column(CellTopK(Bridge.expression(vecs), k))
+
+  /** Threshold twin of [[cellTopK]]: all within-cell pairs with raw
+    * cosine ≥ minCos as (vec_id_1 < vec_id_2, cosine). Pass minCos
+    * slightly below the rounded threshold and re-apply the exact
+    * rounded predicate outside.
+    */
+  def cellSimPairs(vecs: Column, minCos: Double): Column =
+    Bridge.column(CellSimPairs(Bridge.expression(vecs), minCos))
 }

@@ -94,14 +94,16 @@ object Graph {
     */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
+    // packed-cell pair generation (see CellSimPairs Scaladoc): one
+    // corpus shuffle + in-memory scoring replaces the vector-payload
+    // pair join; exact rounded predicate re-applied on the output
+    val edges = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))
-      .select($"vec_id", $"label", $"v")
-    val a = e.select($"label", $"vec_id".as("ea"), $"v".as("v1"))
-    val b = e.select($"label", $"vec_id".as("eb"), $"v".as("v2"))
-    val edges = a.join(b, Seq("label"))
-      .filter($"ea" < $"eb")
-      .filter(round(graft.functions.cosineSim($"v1", $"v2"), 4) >= 0.2)
+      .groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select(graft.functions.cellSimPairs($"vecs", 0.2 - 1e-4)
+        .as(Seq("ea", "eb", "c")))
+      .filter(round($"c", 4) >= 0.2)
       .select($"ea", $"eb")
       .persist()
     try {

@@ -129,18 +129,18 @@ object Similarity {
     */
   def simKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = vectors(spark, sfDir)
-    val a = e.select($"label", $"vec_id", $"v")
-    val b = e.select($"label", $"vec_id".as("nbr_id"), $"v".as("nv"))
-    a.join(b, Seq("label"))
-      .filter($"vec_id" =!= $"nbr_id")
-      .withColumn("cos", cosineSim($"v", $"nv"))
-      .groupBy($"vec_id")
-      .agg(graft.functions.TopK.topK(5)($"nbr_id", $"cos").as("top"))
-      .select($"vec_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"vec_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
+    // pack each cell ONCE (a single corpus-sized shuffle), then the
+    // CellTopK generator scores members in-memory — the self-join
+    // formulation shipped Σ|cell|² pair rows each carrying two full
+    // vectors (~1 KB/row) through the exchange, which dominated the
+    // query (measured ~7 s at sf1 vs ~1 s packed)
+    vectors(spark, sfDir)
+      .groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select(graft.functions.cellTopK($"vecs", 5)
+        .as(Seq("vec_id", "neighbor_id", "rank", "cosine")))
+      .select($"vec_id", $"neighbor_id", $"rank",
+              round($"cosine", 4).as("cosine"))
   }
 
   /** Product-quantization ANN (Jégou et al. TPAMI'11 shape): vectors

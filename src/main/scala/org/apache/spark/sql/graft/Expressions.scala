@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Generator, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -377,4 +377,182 @@ case class SortedJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Per-cell kNN generator: input is one COARSE-QUANTIZER CELL packed
+  * as `array<struct<id: long, v: array<double>>>`; output is each
+  * member's top-k cosine neighbors within the cell (score DESC, id
+  * ASC ties), one row per (vector, rank).
+  *
+  * This is the shuffle-shape fix for whole-corpus kNN-graph
+  * construction: the join formulation materializes Σ|cell|² PAIR
+  * rows, each carrying two full vectors (~1 KB/row — the dominant
+  * cost, measured), through an exchange before any arithmetic runs.
+  * Packing each cell once (a single corpus-sized shuffle in the
+  * groupBy) and generating neighbors from the packed row keeps the
+  * quadratic part pure in-memory arithmetic: vectors are unpacked to
+  * primitive arrays once per cell, norms precomputed, and the scoring
+  * loop allocates nothing but the k-slot scratch. Cosine accumulation
+  * is left-to-right per dimension — bit-identical to
+  * [[CosineSimilarity]], so results match the join path and the
+  * external oracle exactly.
+  */
+case class CellTopK(child: Expression, k: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(k >= 1, s"k must be positive, got $k")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+          s(0).dataType == LongType &&
+          s(1).dataType.isInstanceOf[ArrayType] &&
+          s(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cell_topk needs array<struct<long, array<double>>>, got $other")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val cell = child.eval(input).asInstanceOf[ArrayData]
+    if (cell == null) return Nil
+    val n = cell.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cell.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n * math.min(k, math.max(n - 1, 0)))
+    val bestId = new Array[Long](k)
+    val bestCos = new Array[Double](k)
+    i = 0
+    while (i < n) {
+      var m = 0
+      val vi = vecs(i); val ni = norms(i)
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val vj = vecs(j)
+          val len = math.min(vi.length, vj.length)
+          var dot = 0.0; var d = 0
+          while (d < len) { dot += vi(d) * vj(d); d += 1 }
+          val cos = dot / (ni * norms(j))
+          val id = ids(j)
+          // insertion into the k-slot scratch: score DESC, id ASC
+          if (m < k || cos > bestCos(m - 1) ||
+              (cos == bestCos(m - 1) && id < bestId(m - 1))) {
+            var p = if (m < k) m else k - 1
+            while (p > 0 && (cos > bestCos(p - 1) ||
+                (cos == bestCos(p - 1) && id < bestId(p - 1)))) {
+              bestCos(p) = bestCos(p - 1); bestId(p) = bestId(p - 1); p -= 1
+            }
+            bestCos(p) = cos; bestId(p) = id
+            if (m < k) m += 1
+          }
+        }
+        j += 1
+      }
+      var r = 0
+      while (r < m) {
+        out += InternalRow(ids(i), bestId(r), r + 1, bestCos(r))
+        r += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_cell_topk"
+}
+
+/** Threshold twin of [[CellTopK]]: emits every within-cell pair with
+  * cosine ≥ `minCos` as (vec_id_1 < vec_id_2, cosine) — the packed
+  * form of the label-blocked near-dup pair join ([[CellTopK]]'s
+  * Scaladoc has the shuffle-shape rationale; here the win is larger
+  * still because the qualifying pair set is SPARSE, so the join
+  * formulation shipped Σ|cell|² vector-payload rows to discard
+  * nearly all of them). Callers pass minCos slightly BELOW their
+  * rounded threshold (τ − 1e-4 covers round-half-up at 4 decimals)
+  * and re-apply the exact rounded predicate outside, so boundary
+  * semantics stay bit-identical to the join path and the oracle.
+  */
+case class CellSimPairs(child: Expression, minCos: Double)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("vec_id_1", LongType, nullable = false),
+    StructField("vec_id_2", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+          s(0).dataType == LongType &&
+          s(1).dataType.isInstanceOf[ArrayType] &&
+          s(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cell_sim_pairs needs array<struct<long, array<double>>>, got $other")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val cell = child.eval(input).asInstanceOf[ArrayData]
+    if (cell == null) return Nil
+    val n = cell.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cell.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    i = 0
+    while (i < n) {
+      val vi = vecs(i); val ni = norms(i)
+      var j = i + 1
+      while (j < n) {
+        val vj = vecs(j)
+        val len = math.min(vi.length, vj.length)
+        var dot = 0.0; var d = 0
+        while (d < len) { dot += vi(d) * vj(d); d += 1 }
+        val cos = dot / (ni * norms(j))
+        if (cos >= minCos) {
+          val a = math.min(ids(i), ids(j))
+          val b = math.max(ids(i), ids(j))
+          out += InternalRow(a, b, cos)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_cell_sim_pairs"
 }
