@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
+import org.apache.spark.sql.graft.{CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard, TopKLong, TopKString}
 
 /** SparkSessionExtensions installer: exposes graft's native Catalyst
   * expressions to SQL. Register with
@@ -18,6 +18,10 @@ import org.apache.spark.sql.graft.{CodepointSum, CosineSimilarity, HyperplaneBuc
   *   graft_hyperplane_buckets(array<double>, tables, bits) → array<bigint>
   *   graft_md5lower64(string)                   → bigint
   *   graft_codepoint_sum(string)                → bigint
+  *   graft_topk(id bigint, score double, k)     → array<struct<_1,_2>> (aggregate)
+  *   graft_topk_str(id string, score double, k) → array<struct<_1,_2>> (aggregate)
+  *   graft_cell_topk(array<struct<id,vec>>, k)  → rows (generator)
+  *   graft_cell_sim_pairs(array<struct<id,vec>>, minCos) → rows (generator)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -60,5 +64,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_codepoint_sum"),
       new ExpressionInfo(classOf[CodepointSum].getName, "graft_codepoint_sum"),
       (es: Seq[Expression]) => CodepointSum(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKLong].getName, "graft_topk"),
+      (es: Seq[Expression]) => TopKLong(es.head, es(1), intArg(es(2), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_topk_str"),
+      new ExpressionInfo(classOf[TopKString].getName, "graft_topk_str"),
+      (es: Seq[Expression]) => TopKString(es.head, es(1), intArg(es(2), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_cell_topk"),
+      new ExpressionInfo(classOf[CellTopK].getName, "graft_cell_topk"),
+      (es: Seq[Expression]) => CellTopK(es.head, intArg(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_cell_sim_pairs"),
+      new ExpressionInfo(classOf[CellSimPairs].getName, "graft_cell_sim_pairs"),
+      (es: Seq[Expression]) => CellSimPairs(es.head, doubleArg(es(1), "minCos"))))
+  }
+
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Number, _) => v.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 }

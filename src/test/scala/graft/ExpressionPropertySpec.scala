@@ -101,4 +101,61 @@ class ExpressionPropertySpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
     }
   }
+
+  test("packed-cell generators equal their join-path twins (ties included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random cells INCLUDING duplicated vectors, so exact cosine ties
+    // exercise the id tiebreak on both paths
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { id =>
+      (id, id % 3, List.fill(16)(rnd.nextDouble() * 20 - 10))
+    }
+    val dups = base.take(6).map { case (id, l, v) => (id + 1000L, l, v) }
+    val e = (base ++ dups).toDF("vec_id", "label", "v")
+    e.createOrReplaceTempView("cells_prop")
+
+    val packedTopK = e.groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select(graft.functions.cellTopK($"vecs", 4)
+        .as(Seq("vec_id", "neighbor_id", "rank", "cosine")))
+      .select($"vec_id", $"neighbor_id", $"rank", round($"cosine", 6).as("c"))
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")
+    val joinTopK = e.join(
+        e.select($"label", $"vec_id".as("nbr_id"), $"v".as("nv")), Seq("label"))
+      .filter($"vec_id" =!= $"nbr_id")
+      .withColumn("cos", graft.functions.cosineSim($"v", $"nv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4)
+      .select($"vec_id", $"nbr_id".as("neighbor_id"), $"rank",
+              round($"cos", 6).as("c"))
+      .collect().toSet
+    assert(packedTopK == joinTopK, "CellTopK diverges from the window path")
+
+    val packedPairs = e.groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select(graft.functions.cellSimPairs($"vecs", 0.2)
+        .as(Seq("a", "b", "cos")))
+      .select($"a", $"b", round($"cos", 6).as("c"))
+      .collect().toSet
+    val joinPairs = e.join(
+        e.select($"label", $"vec_id".as("b"), $"v".as("nv")), Seq("label"))
+      .filter($"vec_id" < $"b")
+      .withColumn("cos", graft.functions.cosineSim($"v", $"nv"))
+      .filter($"cos" >= 0.2)
+      .select($"vec_id".as("a"), $"b", round($"cos", 6).as("c"))
+      .collect().toSet
+    assert(packedPairs == joinPairs, "CellSimPairs diverges from the join path")
+
+    // SQL surface: the registered generator runs end-to-end
+    val viaSql = spark.sql(
+      """SELECT vec_id, neighbor_id FROM (
+        |  SELECT label, collect_list(struct(vec_id, v)) AS vecs
+        |  FROM cells_prop GROUP BY label
+        |) LATERAL VIEW graft_cell_topk(vecs, 4) AS vec_id, neighbor_id, rank, cosine
+        |""".stripMargin).count()
+    assert(viaSql == packedTopK.size)
+  }
 }
