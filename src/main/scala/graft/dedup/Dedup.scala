@@ -92,14 +92,20 @@ object Dedup {
     // the caller's clearCache, like the other pinned band relations)
     val r = d.join(prefixes, Seq("doc_id")).persist()
     val a = r.select($"source", explode($"prefix").as("tok"),
-      $"doc_id".as("doc_id_1"))
+      $"doc_id".as("doc_id_1"), size($"wset").as("s1"))
     val b = r.select($"source", explode($"prefix").as("tok"),
-      $"doc_id".as("doc_id_2"))
+      $"doc_id".as("doc_id_2"), size($"wset").as("s2"))
     // distinct BEFORE the merge-scan verify: a pair sharing k prefix
     // tokens surfaces k times, and verifying each copy would multiply
-    // the expensive step; ids-only distinct is the cheap one
+    // the expensive step; ids-only distinct is the cheap one. The
+    // size-ratio conjunct (implied by j ≥ 0.9: min ≥ 0.9·max) culls
+    // size-incompatible candidates before they even reach the
+    // distinct's shuffle — the AllPairs length filter applied at
+    // candidate time, not just at verify time
     val cands = a.join(b, Seq("source", "tok"))
-      .filter($"doc_id_1" < $"doc_id_2")
+      .filter($"doc_id_1" < $"doc_id_2" &&
+              least($"s1", $"s2").cast("double") >=
+                lit(0.9) * greatest($"s1", $"s2"))
       .select($"doc_id_1", $"doc_id_2").distinct()
     cands
       .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
