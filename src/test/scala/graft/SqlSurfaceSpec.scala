@@ -37,6 +37,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM embeddings LIMIT 20""".stripMargin)
       .select($"self_sim").as[Double].collect()
     assert(sims.nonEmpty && sims.forall(s => math.abs(s - 1.0) < 1e-9))
+    // the aggregate surface resolves and ranks: per-label top-3
+    // vec_ids by vec_id-as-score == ORDER BY desc LIMIT 3 per group
+    val top = spark.sql(
+      """SELECT label, graft_topk(vec_id, cast(vec_id AS double), 3) AS top
+        |FROM embeddings GROUP BY label""".stripMargin).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val pairs = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(pairs.size <= 3 &&
+        pairs.map(_.getLong(0)) == pairs.map(_.getLong(0)).sorted.reverse)
+    }
   }
 
   test("windowed session SQL equals evt_sessionize operator") {
