@@ -373,14 +373,35 @@ object Dedup {
       .persist()
     val a = d.select($"combo_id", $"key", $"doc_id".as("doc_id_1"), $"simhash".as("h1"))
     val b = d.select($"combo_id", $"key", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
+    // EXACTLY-ONCE emission, no pair-distinct: a hamming ≤ 3 pair
+    // matches one join row per 3-subset of its untouched blocks (up
+    // to 20 for identical docs), and the old `.distinct()` shuffled
+    // all of those copies (~40 M rows at sf1 for 2.7 M pairs). A pair
+    // is instead emitted only from its CANONICAL combo — the
+    // lexicographically smallest 3-subset of the untouched set U,
+    // i.e. the row whose combo (i<j<k) has no untouched block below k
+    // outside {i,j}: untouchedMask & lowMask(combo) == 0, a per-row
+    // bitmask test against a 20-entry literal table. The canonical
+    // combo's blocks are untouched, so its join row always exists —
+    // nothing is lost — and no other combo passes, so nothing
+    // duplicates; the distinct disappears entirely.
+    val xorCol = $"h1".bitwiseXOR($"h2")
+    val untouchedMask = (0 until 6).map { b =>
+      when(shiftright(xorCol, offs(b))
+        .bitwiseAND((1L << bits(b)) - 1) === 0, 1 << b).otherwise(0)
+    }.reduce(_ + _)
+    val lowMasks = combos.map { c =>
+      lit(((1 << c(2)) - 1) & ~(1 << c(0)) & ~(1 << c(1)))
+    }
     a.join(b, Seq("combo_id", "key"))
       .filter($"doc_id_1" < $"doc_id_2")
-      // hamming BEFORE the pair-dedup: bit_count is per-row cheap,
-      // and filtering first shrinks the distinct's shuffle to only
-      // the (rare) near-dup pairs instead of every co-bucketed pair
+      // hamming BEFORE the canonical-combo test: bit_count is per-row
+      // cheap and most co-bucketed pairs fail it
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter($"hamming" <= 3)
-      .select($"doc_id_1", $"doc_id_2", $"hamming").distinct()
+      .filter((untouchedMask
+        .bitwiseAND(element_at(array(lowMasks: _*), $"combo_id" + 1))) === 0)
+      .select($"doc_id_1", $"doc_id_2", $"hamming")
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.35), blocked by the
