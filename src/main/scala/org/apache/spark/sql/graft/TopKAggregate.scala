@@ -134,9 +134,11 @@ private[graft] final class TopKBufferStr(val k: Int) {
   }
 
   def truncateTo(m: Int): Unit = {
+    // java.lang.Double.compare gives a total order (NaN sorts worst
+    // under DESC); `!=` on a NaN score is not one and TimSort throws
     val idx = Array.range(0, n).sortWith { (a, b) =>
-      if (scores(a) != scores(b)) scores(a) > scores(b)
-      else ids(a).compareTo(ids(b)) < 0
+      val c = java.lang.Double.compare(scores(b), scores(a))
+      c < 0 || (c == 0 && ids(a).compareTo(ids(b)) < 0)
     }
     val keep = math.min(m, n)
     val ni = new Array[UTF8String](ids.length)
