@@ -122,12 +122,19 @@ object SparkEntry {
     "pipeline_split"       -> (Analytics.pipelineSplit _),
     "pipeline_shard"       -> (Analytics.pipelineShard _),
     // similarity search
-    "sim_brute_topk"       -> (graft.similarity.Similarity.simBruteTopk _),
-    "sim_lsh_ann"          -> (graft.similarity.Similarity.simLshAnn _),
-    "sim_ivf_ann"          -> (graft.similarity.Similarity.simIvfAnn _),
+    "sim_brute_topk"       -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simBruteTopk(s, d)),
+    "sim_lsh_ann"          -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simLshAnn(s, d)),
+    "sim_ivf_ann"          -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simIvfAnn(s, d)),
     "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
-    "sim_pq_ann"           -> (graft.similarity.Similarity.simPqAnn _),
-    "sim_range_search"     -> (graft.similarity.Similarity.simRangeSearch _),
+    "sim_pq_ann"           -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simPqAnn(s, d)),
+    "sim_pq_rerank"        -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simPqRerank(s, d)),
+    "sim_range_search"     -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
@@ -1376,6 +1383,55 @@ object SparkEntry {
         |     ORDER BY rscore DESC, vec_id) AS INT) AS rank,
         |   rscore AS approx_score
         |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |subs AS (SELECT vec_id, CAST(m AS INT) AS m,
+        |   list_slice(v, CAST(m*8+1 AS INT), CAST(m*8+8 AS INT)) AS subv
+        |  FROM e CROSS JOIN range(0, 8) t(m)),
+        |coded AS (SELECT vec_id, m, subv,
+        |   CAST(list_sum(list_transform(range(0, 8), d ->
+        |     CASE WHEN subv[CAST(d+1 AS INT)] > 0
+        |       THEN CAST(power(2, d) AS BIGINT) ELSE 0 END)) AS INT) AS code
+        |  FROM subs),
+        |cb AS (SELECT m, code, CAST(d AS INT) AS d,
+        |   round(avg(subv[CAST(d AS INT)]), 6) AS c
+        |  FROM coded CROSS JOIN range(1, 9) t(d)
+        |  GROUP BY 1, 2, 3),
+        |cbv AS (SELECT m, code, list(c ORDER BY d) AS cv
+        |  FROM cb GROUP BY 1, 2),
+        |adc AS (SELECT q.vec_id AS query_id, q.m, b.code,
+        |   q.subv[1]*b.cv[1] + q.subv[2]*b.cv[2] + q.subv[3]*b.cv[3]
+        |    + q.subv[4]*b.cv[4] + q.subv[5]*b.cv[5] + q.subv[6]*b.cv[6]
+        |    + q.subv[7]*b.cv[7] + q.subv[8]*b.cv[8] AS partial,
+        |   b.cv[1]*b.cv[1] + b.cv[2]*b.cv[2] + b.cv[3]*b.cv[3]
+        |    + b.cv[4]*b.cv[4] + b.cv[5]*b.cv[5] + b.cv[6]*b.cv[6]
+        |    + b.cv[7]*b.cv[7] + b.cv[8]*b.cv[8] AS cnorm2,
+        |   q.subv[1]*q.subv[1] + q.subv[2]*q.subv[2] + q.subv[3]*q.subv[3]
+        |    + q.subv[4]*q.subv[4] + q.subv[5]*q.subv[5] + q.subv[6]*q.subv[6]
+        |    + q.subv[7]*q.subv[7] + q.subv[8]*q.subv[8] AS qnorm2
+        |  FROM coded q JOIN cbv b ON q.m = b.m
+        |  WHERE q.vec_id < 10),
+        |scored AS (SELECT a.query_id, c.vec_id,
+        |   round(sum(a.partial)
+        |     / (sqrt(sum(a.qnorm2)) * sqrt(sum(a.cnorm2))), 4) AS rscore
+        |  FROM coded c JOIN adc a ON c.m = a.m AND c.code = a.code
+        |  WHERE c.vec_id != a.query_id
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY rscore DESC, vec_id) AS srank
+        |  FROM scored) WHERE srank <= 100)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT s.query_id, s.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY s.query_id
+        |     ORDER BY list_cosine_similarity(q.v, n.v) DESC, s.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(q.v, n.v), 4) AS cosine
+        |  FROM short s JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e n ON n.vec_id = s.vec_id)
         |WHERE rank <= 5""".stripMargin,
     "sim_range_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

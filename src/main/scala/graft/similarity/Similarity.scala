@@ -22,19 +22,34 @@ object Similarity {
       .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"), col("v"))
 
-  /** Brute-force cosine top-5 for query vectors (vec_id < 10),
-    * ties broken by neighbor id. Per-query top-k runs through the
-    * bounded-heap aggregate ([[graft.functions.TopK]]): each map
-    * partition reduces to ≤ k candidates before the shuffle, so no
-    * global sort of the candidate set ever happens — the window-sort
-    * equivalent is spec-asserted identical in TopKSpec.
+  /** The bench/oracle query set: corpus vectors with vec_id < 10,
+    * shaped `(query_id: long, qv: array<double>)`. Every query-set
+    * operator below also takes an ARBITRARY DataFrame of this shape —
+    * a library caller passes their own query vectors (they need not
+    * exist in the corpus); the zero-arg overloads pin this default so
+    * the driver's oracle replay stays byte-stable.
     */
-  def simBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  def defaultQueries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    vectors(spark, sfDir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+  }
+
+  /** Brute-force cosine top-5 per query vector, ties broken by
+    * neighbor id. Per-query top-k runs through the bounded-heap
+    * aggregate ([[graft.functions.TopK]]): each map partition reduces
+    * to ≤ k candidates before the shuffle, so no global sort of the
+    * candidate set ever happens — the window-sort equivalent is
+    * spec-asserted identical in TopKSpec.
+    */
+  def simBruteTopk(spark: SparkSession, sfDir: String): DataFrame =
+    simBruteTopk(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simBruteTopk(spark: SparkSession, sfDir: String,
+                   queries: DataFrame): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-    e.join(broadcast(q), $"query_id" =!= $"vec_id")
+    e.join(broadcast(queries), $"query_id" =!= $"vec_id")
       .withColumn("cos", cosineSim($"qv", $"v"))
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
@@ -64,7 +79,11 @@ object Similarity {
     * broadcast, candidate work is corpus/cells × nprobe, and the only
     * wide op is the equi-join on cell id.
     */
-  def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simIvfAnn(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simIvfAnn(spark: SparkSession, sfDir: String,
+                queries: DataFrame): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, sfDir)
     // per-cell centroid: explode dims → mean per (label, dim) → repack
@@ -75,8 +94,6 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pairs"))
       .select($"label".as("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
     // each query probes its nprobe nearest cells
-    val queries = vecs.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
     val probes = queries.join(broadcast(centroids))
       .withColumn("ccos", cosineSim($"qv", $"cv"))
       .withColumn("crank", row_number().over(
@@ -171,7 +188,13 @@ object Similarity {
     * the DuckDB oracle replays codes → codebook → ADC → top-5
     * bit-for-bit; recall vs brute force is spec-asserted (DedupSimSpec).
     */
-  def simPqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared PQ-ADC scoring: every (query, corpus-vector) candidate
+    * with its rounded cosine-ADC score `rscore`. Both [[simPqAnn]]
+    * (direct top-5) and [[simPqRerank]] (top-100 shortlist → exact
+    * re-rank) consume this frame.
+    */
+  private def pqScored(spark: SparkSession, sfDir: String,
+                       queries: DataFrame): DataFrame = {
     import spark.implicits._
     // No lambda HOFs anywhere in the corpus-wide path: transform /
     // aggregate / zip_with lambdas run INTERPRETED per element (and
@@ -182,17 +205,17 @@ object Similarity {
     // the score already divides by the reconstruction's norm.
     def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (0 until 8).map(d => element_at(a, d + 1) * element_at(b, d + 1)).reduce(_ + _)
+    def subSlices(v: org.apache.spark.sql.Column) =
+      array((0 until 8).map(m => slice(v, m * 8 + 1, 8)): _*)
     val signCode = (0 until 8)
       .map(d => when(element_at($"subv", d + 1) > 0d, 1 << d).otherwise(0))
       .reduce(_ + _).cast("int")
     val vecs = vectors(spark, sfDir)
-    // three consumers (codes, codebook, ADC tables) reference this
-    // subtree — persist once instead of re-slicing the corpus per
-    // reference (the same pin-the-edge-set pattern as minhash's band
-    // relation)
+    // two consumers (codes, codebook) reference this subtree — persist
+    // once instead of re-slicing the corpus per reference (the same
+    // pin-the-edge-set pattern as minhash's band relation)
     val subs = vecs
-      .withColumn("subvs",
-        array((0 until 8).map(m => slice($"v", m * 8 + 1, 8)): _*))
+      .withColumn("subvs", subSlices($"v"))
       .select($"vec_id", posexplode($"subvs").as(Seq("m", "subv")))
       // 8-bit sign-pattern code per subvector (free encode, no search)
       .withColumn("code", signCode)
@@ -214,9 +237,12 @@ object Similarity {
     // ADC lookup tables for the query set: partial inner product plus
     // the sub-centroid's squared norm (for the reconstruction norm)
     // and the query subvector's squared norm (for the query norm) —
-    // the tiny query×codebook frame is the only place these evaluate
-    val adc = subs.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"m", $"subv".as("qsub"))
+    // the tiny query×codebook frame is the only place these evaluate.
+    // Query subvectors are sliced from the caller's `qv` directly, so
+    // the query set need not exist in the corpus.
+    val adc = queries
+      .withColumn("subvs", subSlices($"qv"))
+      .select($"query_id", posexplode($"subvs").as(Seq("m", "qsub")))
       .join(broadcast(codebook), Seq("m"))
       .withColumn("partial", dot8($"qsub", $"cv"))
       .withColumn("cnorm2", dot8($"cv", $"cv"))
@@ -237,12 +263,63 @@ object Similarity {
       // equal-code candidates exactly equal, so the heap's id
       // tie-break is deterministic and oracle-reproducible.
       .withColumn("rscore", round($"score", 4))
+      .select($"query_id", $"vec_id", $"rscore")
+  }
+
+  def simPqAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simPqAnn(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simPqAnn(spark: SparkSession, sfDir: String,
+               queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    pqScored(spark, sfDir, queries)
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"rscore").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
       .select($"query_id", $"p._1".as("neighbor_id"),
               ($"i" + 1).cast("int").as("rank"),
               $"p._2".as("approx_score"))
+  }
+
+  /** Two-stage retrieval, the shape production 100 TB ANN actually
+    * runs (Jégou et al. §V: ADC shortlist, exact re-rank): the PQ-ADC
+    * stage shortlists the top-100 candidates per query from the
+    * compressed codes (never touching raw vectors), then ONLY the
+    * shortlist's raw vectors are fetched and re-scored with exact
+    * cosine to produce the final top-5. Per query the exact stage
+    * reads 100 vectors regardless of corpus size — the expensive scan
+    * stays on the 8-byte codes, and recall strictly dominates plain
+    * PQ top-5 because the true neighbors survive a 100-wide shortlist
+    * far more often than a 5-wide one (spec-asserted vs
+    * [[simBruteTopk]] in DedupSimSpec).
+    *
+    * Deterministic end-to-end: the shortlist ranks by the rounded ADC
+    * score (id tie-break), the re-rank by exact cosine — so the
+    * DuckDB oracle replays both stages bit-for-bit.
+    */
+  def simPqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    simPqRerank(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simPqRerank(spark: SparkSession, sfDir: String,
+                  queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val shortlist = pqScored(spark, sfDir, queries)
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(100)($"vec_id", $"rscore").as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    // fetch raw vectors for shortlist members only (equi-join on id —
+    // at scale this is the point-lookup stage against the vector
+    // store), exact cosine, bounded-heap top-5
+    shortlist
+      .join(vectors(spark, sfDir).select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
   }
 
   /** Range search: every corpus vector within cosine ≥ 0.3 of each
@@ -252,12 +329,14 @@ object Similarity {
     * is scan-bound regardless of how many neighbors qualify (a top-k
     * heap would cap them; a threshold must not).
     */
-  def simRangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+  def simRangeSearch(spark: SparkSession, sfDir: String): DataFrame =
+    simRangeSearch(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simRangeSearch(spark: SparkSession, sfDir: String,
+                     queries: DataFrame): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-    e.join(broadcast(q), $"query_id" =!= $"vec_id")
+    e.join(broadcast(queries), $"query_id" =!= $"vec_id")
       .withColumn("cos", cosineSim($"qv", $"v"))
       // 0.3 keeps the result non-empty at every test SF (0.4 matches
       // nothing at sf0.001 — a vacuously green row checks nothing)
@@ -274,22 +353,29 @@ object Similarity {
     * neighbors; with true near-dup neighbors fewer, deeper tables
     * prune far harder.
     */
-  def simLshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def simLshAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simLshAnn(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simLshAnn(spark: SparkSession, sfDir: String,
+                queries: DataFrame): DataFrame = {
     import spark.implicits._
     val (tables, bits) = (8, 4)
     val vecs = vectors(spark, sfDir)
     // bucket keys only — vector payloads rejoin after candidate dedup
     val keys = withBuckets(vecs, tables, bits)
       .select($"table_id", $"bucket", $"vec_id")
-    val qKeys = keys.filter($"vec_id" < 10)
-      .withColumnRenamed("vec_id", "query_id")
+    // queries hash through the SAME fixed-seed hyperplanes, so an
+    // external query vector lands in exactly the bucket its corpus
+    // twin would
+    val qKeys = withBuckets(
+        queries.select($"query_id", $"qv".as("v")), tables, bits)
+      .select($"table_id", $"bucket", $"query_id")
     val candidates = keys.join(broadcast(qKeys), Seq("table_id", "bucket"))
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id").distinct()
     candidates
       .join(vecs.select($"vec_id", $"v"), Seq("vec_id"))
-      .join(broadcast(vecs.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"v".as("qv"))), Seq("query_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos", cosineSim($"qv", $"v"))
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))

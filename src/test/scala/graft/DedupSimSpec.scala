@@ -129,6 +129,53 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 
+  test("two-stage PQ re-rank: recall >= plain PQ and >= 0.5") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.simPqAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.simPqRerank(spark, sf)
+    val perQuery = rr.groupBy($"query_id").count()
+      .filter($"count" =!= 5).count()
+    assert(perQuery == 0)
+    assert(rr.filter($"query_id" === $"neighbor_id").count() == 0)
+    val got = rr.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    val rrRecall = (brute & got).size.toDouble / brute.size
+    info(s"PQ recall = $pqRecall, rerank recall = $rrRecall")
+    // a 100-wide ADC shortlist keeps the true top-5 far more often
+    // than a 5-wide one, and the exact re-rank orders it perfectly —
+    // recall must dominate plain PQ and clear the LSH/IVF floor
+    assert(rrRecall >= pqRecall, s"rerank $rrRecall < plain PQ $pqRecall")
+    assert(rrRecall >= 0.5, s"recall $rrRecall too low")
+  }
+
+  test("sim operators accept an arbitrary external query set") {
+    import spark.implicits._
+    // queries that do NOT exist in the corpus: corpus vectors 20..24
+    // under fresh ids. Their nearest corpus neighbor is their own
+    // twin at cosine 1.0 — an exact, corpus-independent oracle.
+    val ext = graft.core.Tables.embeddings(spark, sf)
+      .filter($"vec_id" >= 20 && $"vec_id" < 25)
+      .select(($"vec_id" + 1000000L).as("query_id"),
+              $"embedding".cast("array<double>").as("qv"))
+    val brute = Similarity.simBruteTopk(spark, sf, ext)
+    val top1 = brute.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 5)
+    assert(top1.forall { case (q, n, c) => n == q - 1000000L && c == 1.0 },
+      s"expected each external query's twin at cosine 1.0, got ${top1.toSeq}")
+    // the two-stage path accepts the same query frame and fills top-5
+    val rr = Similarity.simPqRerank(spark, sf, ext)
+    assert(rr.groupBy($"query_id").count().filter($"count" =!= 5).count() == 0)
+    // the twin survives the 100-wide ADC shortlist and wins re-rank
+    val rrTop1 = rr.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(rrTop1.forall { case (q, n) => n == q - 1000000L })
+  }
+
   test("brute-force top-k is ranked by descending cosine") {
     import spark.implicits._
     val bad = Similarity.simBruteTopk(spark, sf)
