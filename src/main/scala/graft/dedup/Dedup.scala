@@ -290,10 +290,23 @@ object Dedup {
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // explode-then-hash, same as [[minhashBands]]: keeps the 64-slot
-    // signature out of the interpreted lambda (CollapseProject would
-    // recompute it per band element otherwise)
-    val bands = withWordSet(Tables.documents(spark, sfDir))
+    val bands = contentBands(Tables.documents(spark, sfDir))
+    incrementalDecisions(bands.filter($"doc_id" % 4 === 0),
+                         bands.filter($"doc_id" % 4 =!= 0))
+  }
+
+  /** (doc_id, content_hash, band_idx, band_hash) — the STORED,
+    * APPENDABLE corpus band index behind incremental dedup: 8 rows
+    * per document, exactly what [[incrementalDecisions]] joins
+    * against and what [[graft.streaming.DedupIngest]] persists and
+    * grows per micro-batch. Explode-then-hash, same as
+    * [[minhashBands]]: keeps the 64-slot signature out of the
+    * interpreted lambda (CollapseProject would recompute it per band
+    * element otherwise).
+    */
+  private[graft] def contentBands(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withWordSet(docs)
       .withColumn("content_hash", md5(lower(trim($"text"))))
       .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
       .select($"doc_id", $"content_hash", $"sig",
@@ -303,11 +316,20 @@ object Dedup {
           "slice(sig, cast(band_idx*8+1 as int), 8), " +
           "x -> cast(x as string)), ','))"))
       .select($"doc_id", $"content_hash", $"band_idx", $"band_hash")
-    val batch = bands.filter($"doc_id" % 4 === 0)
-    val corpus = bands.filter($"doc_id" % 4 =!= 0)
-      .select($"band_idx", $"band_hash",
-              $"doc_id".as("corpus_doc"), $"content_hash".as("corpus_hash"))
-    batch.join(corpus, Seq("band_idx", "band_hash"), "left_outer")
+  }
+
+  /** The per-increment decision join: batch band index vs corpus band
+    * index, one decision row per batch doc. Duplicate-INSENSITIVE on
+    * the corpus side (countDistinct + max): replaying an index append
+    * (at-least-once sinks) cannot change any decision, which is what
+    * makes the streaming twin's recovery story exactly-once in effect.
+    */
+  private[graft] def incrementalDecisions(batchBands: DataFrame,
+                                          corpusBands: DataFrame): DataFrame = {
+    import batchBands.sparkSession.implicits._
+    val corpus = corpusBands.select($"band_idx", $"band_hash",
+      $"doc_id".as("corpus_doc"), $"content_hash".as("corpus_hash"))
+    batchBands.join(corpus, Seq("band_idx", "band_hash"), "left_outer")
       .groupBy($"doc_id")
       .agg(countDistinct($"corpus_doc").as("n_corpus_matches"),
            (coalesce(max(when($"corpus_hash" === $"content_hash", 1)

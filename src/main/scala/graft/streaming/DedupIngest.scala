@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Dedup
+
+/** Continuous incremental dedup — the ingest shape a training-data
+  * pipeline actually runs (round-6 verdict item 2): a document stream
+  * is deduplicated against everything already ingested, per
+  * micro-batch, with the corpus band index stored on disk and grown
+  * as batches commit.
+  *
+  * Composition of two existing pieces: Structured Streaming's
+  * `foreachBatch` drives [[Dedup.incrementalDecisions]] (the batch
+  * `dedup_incremental` decision join) against the stored index, then
+  * appends the batch's own bands so batch N+1 dedups against
+  * corpus ∪ batches 1..N.
+  *
+  * Scale story (100 TB): the stored index is 8 small rows per corpus
+  * document and the batch side is increment-sized, so the decision
+  * join broadcasts the batch bands and STREAMS the corpus index past
+  * them — no corpus-wide shuffle per increment, identical to the
+  * batch operator's plan. Both writes are partitioned by the
+  * micro-batch id with DYNAMIC partition overwrite: a batch replayed
+  * after a crash rewrites its own partition instead of double-
+  * appending, so the pipeline is idempotent (effectively exactly-once)
+  * on top of foreachBatch's at-least-once contract — and even a
+  * genuinely duplicated index append could not flip a decision,
+  * because the decision aggregate is duplicate-insensitive
+  * (countDistinct/max, see [[Dedup.incrementalDecisions]]).
+  */
+object DedupIngest {
+
+  /** Build the stored corpus band index from an existing corpus.
+    * Seeded under batch id -1 so streamed batches (ids ≥ 0) can never
+    * dynamic-overwrite the seed partition.
+    */
+  def seedIndex(corpus: DataFrame, indexPath: String): Unit =
+    Dedup.contentBands(corpus)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(indexPath)
+
+  /** The stored index, read back (all partitions). */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+
+  /** Start the ingest: `docs` is a STREAMING DataFrame with at least
+    * (doc_id: long, text: string). Per micro-batch, decisions land in
+    * `decisionsPath` (one row per batch doc: n_corpus_matches,
+    * is_exact_dup, decision, ingest_batch) and the batch's bands are
+    * appended to `indexPath`.
+    */
+  def start(docs: DataFrame, indexPath: String, decisionsPath: String,
+            checkpointPath: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // two consumers (decision join, index append) — compute the
+        // batch bands once; increment-sized, so the pin is small
+        val bands = Dedup.contentBands(batch).persist()
+        try {
+          val corpus = readIndex(spark, indexPath)
+            .select("doc_id", "content_hash", "band_idx", "band_hash")
+          Dedup.incrementalDecisions(bands, corpus)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(decisionsPath)
+          bands.withColumn("ingest_batch", lit(batchId))
+            .write.partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(indexPath)
+        } finally bands.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.streaming.DedupIngest
+
+/** Streaming incremental dedup (round-6 verdict item 2): a document
+  * stream deduplicated per micro-batch against a stored, growing
+  * corpus band index, asserted equal to the batch
+  * `dedup_incremental` decision join run with the same sequential
+  * corpus states.
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def decisionCols(df: DataFrame) =
+    df.select("doc_id", "n_corpus_matches", "is_exact_dup", "decision")
+
+  private def assertSameDecisions(got: DataFrame, want: DataFrame,
+                                  clue: String): Unit = {
+    assert(got.count() == want.count(), s"$clue: row counts differ")
+    assert(decisionCols(got).exceptAll(decisionCols(want)).count() == 0 &&
+           decisionCols(want).exceptAll(decisionCols(got)).count() == 0,
+      s"$clue: decision sets differ")
+  }
+
+  test("streamed batch decisions == batch dedup oracle; index grows across micro-batches") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val b1 = docs.filter($"doc_id" % 8 === 0)
+    val b2 = docs.filter($"doc_id" % 4 === 0 && $"doc_id" % 8 =!= 0)
+    assert(b1.count() > 0 && b2.count() > 0)
+
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val (inDir, idxDir, decDir, ckpt) =
+      (s"$root/in", s"$root/index", s"$root/decisions", s"$root/ckpt")
+    DedupIngest.seedIndex(corpus, idxDir)
+    val seedRows = DedupIngest.readIndex(spark, idxDir).count()
+    assert(seedRows == corpus.count() * 8) // 8 band rows per doc
+
+    // micro-batch 1 on disk before the stream starts; batch 2 appended
+    // between processAllAvailable calls → two distinct micro-batches
+    b1.coalesce(1).write.parquet(inDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+    val q = DedupIngest.start(stream, idxDir, decDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val afterB1 = DedupIngest.readIndex(spark, idxDir).count()
+      assert(afterB1 == seedRows + b1.count() * 8, "index did not grow after batch 1")
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val afterB2 = DedupIngest.readIndex(spark, idxDir).count()
+      assert(afterB2 == afterB1 + b2.count() * 8, "index did not grow after batch 2")
+    } finally q.stop()
+
+    val decisions = spark.read.parquet(decDir)
+    assert(decisions.select($"ingest_batch").distinct().count() == 2,
+      "expected exactly two micro-batches of decisions")
+
+    // batch twin, same sequential corpus states: batch 1 vs the seed
+    // corpus, batch 2 vs corpus ∪ batch 1
+    val want1 = Dedup.incrementalDecisions(
+      Dedup.contentBands(b1), Dedup.contentBands(corpus))
+    val want2 = Dedup.incrementalDecisions(
+      Dedup.contentBands(b2), Dedup.contentBands(corpus.union(b1)))
+    assertSameDecisions(decisions.filter($"ingest_batch" === 0), want1, "batch 1")
+    assertSameDecisions(decisions.filter($"ingest_batch" === 1), want2, "batch 2")
+
+    // batch 1 saw exactly the corpus the dedup_incremental operator
+    // uses, so its streamed decisions must match the oracle-green
+    // operator's output restricted to batch-1 docs
+    val oracle = Dedup.dedupIncremental(spark, sf).filter($"doc_id" % 8 === 0)
+    assertSameDecisions(decisions.filter($"ingest_batch" === 0), oracle,
+      "batch 1 vs dedup_incremental")
+  }
+
+  test("a replayed micro-batch rewrites its partition instead of double-appending") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val b1 = docs.filter($"doc_id" % 8 === 0)
+
+    val root = Files.createTempDirectory("graft-ingest-replay").toString
+    val (inDir, idxDir, decDir) =
+      (s"$root/in", s"$root/index", s"$root/decisions")
+    DedupIngest.seedIndex(corpus, idxDir)
+    b1.coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+
+    // run batch 1 twice with DIFFERENT checkpoints: the second run
+    // replays batchId 0 exactly as a post-crash recovery would (the
+    // sink committed, the checkpoint didn't)
+    for (i <- 1 to 2) {
+      val q = DedupIngest.start(
+        spark.readStream.schema(schema).parquet(inDir),
+        idxDir, decDir, s"$root/ckpt$i")
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(spark.read.parquet(decDir).count() == b1.count(),
+      "replay double-appended decisions")
+    assert(DedupIngest.readIndex(spark, idxDir).count() ==
+      (corpus.count() + b1.count()) * 8,
+      "replay double-appended index bands")
+  }
+}
