@@ -125,6 +125,45 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("groupA") == log.highWaterMarks(spark))
   }
 
+  test("crash between handler and commit: replay, then idempotent re-commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 100)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+
+    // the handler is a sink with effects (at-least-once delivery):
+    // record everything it ever received, across crash and replay
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    def sinkInto(b: org.apache.spark.sql.DataFrame): Unit =
+      delivered ++= b.select($"partition", $"offset")
+        .as[(Int, Long)].collect()
+
+    // poll 1: handler runs, then the consumer dies BEFORE the commit
+    val boom = intercept[RuntimeException] {
+      log.poll(spark, "g") { b => sinkInto(b); throw new RuntimeException("crash") }
+    }
+    assert(boom.getMessage == "crash")
+    assert(log.committed("g").isEmpty,
+      "a crash before commit must leave the group position untouched")
+    assert(delivered.size == 100)
+
+    // poll 2 (post-restart): the SAME batch replays in full and the
+    // commit lands this time
+    assert(log.poll(spark, "g")(sinkInto) == 100)
+    assert(log.committed("g") == log.highWaterMarks(spark))
+    // at-least-once: the sink saw each message exactly twice...
+    assert(delivered.size == 200)
+    // ...and (partition, offset) is the dedup key that makes the
+    // effective delivery exactly-once: distinct == one per message
+    assert(delivered.toSet.size == 100)
+
+    // poll 3: nothing replays after a successful commit (idempotent —
+    // re-polling commits nothing new and delivers nothing)
+    assert(log.poll(spark, "g")(_ => fail("post-commit poll ran handler")) == 0)
+    assert(log.committed("g") == log.highWaterMarks(spark))
+  }
+
   test("a torn commit temp file never becomes the group's position") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-torn").toString + "/event-stream"

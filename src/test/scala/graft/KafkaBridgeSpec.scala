@@ -65,6 +65,45 @@ class KafkaBridgeSpec extends AnyFunSuite {
     assert(snk("topic") == "out")
   }
 
+  test("option maps pin the connector's literal option keys, nothing else") {
+    // the Spark Kafka integration contract: these exact strings are
+    // what format("kafka") looks up — a typo'd or renamed key fails
+    // only at the broker, so the key SET is pinned here
+    assert(KafkaBridge.sourceOptions("b:9092", Seq("t")).keySet ==
+      Set("kafka.bootstrap.servers", "subscribe", "startingOffsets"))
+    assert(KafkaBridge.sinkOptions("b:9092", "t").keySet ==
+      Set("kafka.bootstrap.servers", "topic"))
+  }
+
+  test("e2e produce -> consume against a real broker (gated on SPARK_GRAFT_KAFKA_BOOTSTRAP)") {
+    import spark.implicits._
+    // runs iff a broker is reachable (and the spark-sql-kafka connector
+    // is on the classpath, which any broker-equipped deployment has);
+    // cancels cleanly in the sandbox — the day a broker exists, this
+    // proves the bridge end-to-end, matching the reference's actual
+    // producer/consumer path (jc/DemoApplication.java:100-160)
+    val bootstrap = sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    assume(bootstrap.isDefined,
+      "SPARK_GRAFT_KAFKA_BOOTSTRAP not set — no broker in this environment")
+    val topic = s"graft-e2e-${java.util.UUID.randomUUID().toString.take(8)}"
+    val envelope = spark.range(0, 100)
+      .select($"id".cast("string").as("key"),
+              concat(lit("#"), $"id").as("payload"),
+              ($"id" % 4).cast("int").as("partition"))
+    KafkaBridge.toWire(envelope, topic)
+      .write.format("kafka")
+      .options(KafkaBridge.sinkOptions(bootstrap.get, topic))
+      .save()
+    val back = KafkaBridge.fromWire(
+      spark.read.format("kafka")
+        .options(KafkaBridge.sourceOptions(bootstrap.get, Seq(topic)))
+        .option("endingOffsets", "latest").load())
+    assert(back.count() == 100)
+    assert(back.filter($"payload" =!= concat(lit("#"), $"key")).count() == 0)
+    assert(back.select("topic").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(topic))
+  }
+
   test("transport=kafka without brokers fails fast, before any source is built") {
     val base = java.nio.file.Files.createTempDirectory("graft-nobroker").toString
     val log = new EventLog(base + "/t", numPartitions = 2)
