@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Assemble a BENCH_SCALING artifact from two bench trace files.
+
+Usage: python3 tools/mergescaling.py <trace_sf0.1> <trace_sf1> <out.json>
+Each trace is the [bench-seq] file Bench writes (SPARK_GRAFT_TRACE_OUT):
+one line per pass `idx pass sec s heap=N MB name`. Per query and SF the
+kept time is min over passes (first + retime), matching the bench JSON.
+"""
+import sys, json, re
+
+LINE = re.compile(
+    r"\[bench-seq\]\s+\d+\s+(\w+)\s+([0-9.]+) s\s+heap=\s*\d+ MB (\S+)")
+
+def times(path):
+    best = {}
+    for line in open(path):
+        m = LINE.search(line)
+        if not m:
+            continue
+        _, sec, name = m.groups()
+        sec = float(sec)
+        best[name] = min(best.get(name, sec), sec)
+    return best
+
+small, large, out = sys.argv[1], sys.argv[2], sys.argv[3]
+ts, tl = times(small), times(large)
+queries = {}
+for name in sorted(set(ts) & set(tl)):
+    queries[name] = {
+        "sf0.1": round(ts[name], 2),
+        "sf1": round(tl[name], 2),
+        "ratio": round(tl[name] / ts[name], 2) if ts[name] > 0 else None,
+    }
+tot_s = sum(ts[n] for n in queries)
+tot_l = sum(tl[n] for n in queries)
+ratios = sorted(q["ratio"] for q in queries.values())
+doc = {
+    "note": "min(first, retime) per query per SF; single-run pair, "
+            "multi-second dedup queries vary +-25% run-to-run",
+    "total_sf0.1": round(tot_s, 2),
+    "total_sf1": round(tot_l, 2),
+    "total_ratio": round(tot_l / tot_s, 2),
+    "median_ratio": ratios[len(ratios) // 2],
+    "max_ratio": ratios[-1],
+    "n_queries": len(queries),
+    "queries": queries,
+}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1, sort_keys=False)
+print(f"{out}: total {doc['total_sf0.1']}s -> {doc['total_sf1']}s "
+      f"({doc['total_ratio']}x), median {doc['median_ratio']}x, "
+      f"max {doc['max_ratio']}x over {len(queries)} queries")
