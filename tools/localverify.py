@@ -1,17 +1,21 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/localverify.py [sfDir] [verifyOut]
+Usage: python3 tools/localverify.py [sfDir] [verifyOut] [jsonOut]
 Reads each <verifyOut>/<name> parquet (Spark result), runs the matching
 oracle_sql.json query in DuckDB over the sfDir tables, sorts columns by
 name, sorts rows, and compares cell values exactly (with a float
 near-miss report to distinguish rounding jitter from real bugs).
+With jsonOut, also writes a per-query result file in the driver's
+CORRECTNESS_r{N}.json shape (rows/schema/hash match booleans).
 """
 import sys, json, glob, os, math
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -20,23 +24,33 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+def record(name, rows=None, schema=None, hsh=None, sr=None, orr=None, err=None):
+    report[name] = {"rows_match": rows, "schema_match": schema,
+                    "hash_match": hsh, "spark_rows": sr,
+                    "oracle_rows": orr, "err": err}
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output"); fails += 1
+        record(name, err="no_spark_output"); continue
     try:
         got = con.execute(
             f"SELECT * FROM parquet_scan('{spark_dir}/*.parquet')").df()
         want = con.execute(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails += 1; continue
+        print(f"FAIL {name}: {e}"); fails += 1
+        record(name, err=str(e)[:200]); continue
     got = got.reindex(sorted(got.columns), axis=1)
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
-        fails += 1; continue
+        fails += 1
+        record(name, rows=len(got) == len(want), schema=False, hsh=False,
+               sr=len(got), orr=len(want)); continue
     if len(got) != len(want):
-        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1
+        record(name, rows=False, schema=True, hsh=False,
+               sr=len(got), orr=len(want)); continue
     key = list(got.columns)
     g = got.sort_values(key, na_position="last").reset_index(drop=True)
     w = want.sort_values(key, na_position="last").reset_index(drop=True)
@@ -58,7 +72,14 @@ for name, sql in sorted(oracle.items()):
     if bad:
         print(f"FAIL {name}: {bad} cell mismatches ({near} near) e.g. {example}")
         fails += 1
+        record(name, rows=True, schema=True, hsh=False,
+               sr=len(g), orr=len(w))
     else:
         print(f"OK   {name}: {len(g)} rows")
+        record(name, rows=True, schema=True, hsh=True,
+               sr=len(g), orr=len(w))
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
 print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)
