@@ -133,6 +133,8 @@ object SparkEntry {
                                  graft.similarity.Similarity.simPqAnn(s, d)),
     "sim_pq_rerank"        -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simPqRerank(s, d)),
+    "sim_ivfpq_ann"        -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simIvfPqAnn(s, d)),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
@@ -1432,6 +1434,63 @@ object SparkEntry {
         |   round(list_cosine_similarity(q.v, n.v), 4) AS cosine
         |  FROM short s JOIN e q ON q.vec_id = s.query_id
         |  JOIN e n ON n.vec_id = s.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "sim_ivfpq_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cd AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(m ORDER BY i) AS cv
+        |  FROM cd GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (SELECT query_id, cell,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 5),
+        |subs AS (SELECT vec_id, CAST(m AS INT) AS m,
+        |   list_slice(v, CAST(m*8+1 AS INT), CAST(m*8+8 AS INT)) AS subv
+        |  FROM e CROSS JOIN range(0, 8) t(m)),
+        |coded AS (SELECT vec_id, m, subv,
+        |   CAST(list_sum(list_transform(range(0, 8), d ->
+        |     CASE WHEN subv[CAST(d+1 AS INT)] > 0
+        |       THEN CAST(power(2, d) AS BIGINT) ELSE 0 END)) AS INT) AS code
+        |  FROM subs),
+        |cb AS (SELECT m, code, CAST(d AS INT) AS d,
+        |   round(avg(subv[CAST(d AS INT)]), 6) AS c
+        |  FROM coded CROSS JOIN range(1, 9) t(d)
+        |  GROUP BY 1, 2, 3),
+        |cbv AS (SELECT m, code, list(c ORDER BY d) AS cv
+        |  FROM cb GROUP BY 1, 2),
+        |adc AS (SELECT cq.vec_id AS query_id, cq.m, b.code,
+        |   cq.subv[1]*b.cv[1] + cq.subv[2]*b.cv[2] + cq.subv[3]*b.cv[3]
+        |    + cq.subv[4]*b.cv[4] + cq.subv[5]*b.cv[5] + cq.subv[6]*b.cv[6]
+        |    + cq.subv[7]*b.cv[7] + cq.subv[8]*b.cv[8] AS partial,
+        |   b.cv[1]*b.cv[1] + b.cv[2]*b.cv[2] + b.cv[3]*b.cv[3]
+        |    + b.cv[4]*b.cv[4] + b.cv[5]*b.cv[5] + b.cv[6]*b.cv[6]
+        |    + b.cv[7]*b.cv[7] + b.cv[8]*b.cv[8] AS cnorm2,
+        |   cq.subv[1]*cq.subv[1] + cq.subv[2]*cq.subv[2]
+        |    + cq.subv[3]*cq.subv[3] + cq.subv[4]*cq.subv[4]
+        |    + cq.subv[5]*cq.subv[5] + cq.subv[6]*cq.subv[6]
+        |    + cq.subv[7]*cq.subv[7] + cq.subv[8]*cq.subv[8] AS qnorm2
+        |  FROM coded cq JOIN cbv b ON cq.m = b.m
+        |  WHERE cq.vec_id < 10),
+        |scored AS (SELECT a.query_id, c.vec_id,
+        |   round(sum(a.partial)
+        |     / (sqrt(sum(a.qnorm2)) * sqrt(sum(a.cnorm2))), 4) AS rscore
+        |  FROM coded c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN probes p ON p.cell = ev.label
+        |  JOIN adc a ON c.m = a.m AND c.code = a.code
+        |   AND a.query_id = p.query_id
+        |  WHERE c.vec_id != a.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, approx_score FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY rscore DESC, vec_id) AS INT) AS rank,
+        |   rscore AS approx_score
+        |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
     "sim_range_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -86,19 +86,11 @@ object Similarity {
                 queries: DataFrame): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, sfDir)
-    // per-cell centroid: explode dims → mean per (label, dim) → repack
-    val centroids = vecs
-      .select($"label", posexplode($"v").as(Seq("dim", "x")))
-      .groupBy($"label", $"dim").agg(avg($"x").as("m"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pairs"))
-      .select($"label".as("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
-    // each query probes its nprobe nearest cells
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("ccos", cosineSim($"qv", $"cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")))
-      .filter($"crank" <= 5)
+    // each query probes its nprobe nearest cells ([[probeCells]] —
+    // the same relation simIvfPqAnn restricts by), qv rejoined for
+    // the exact scoring stage
+    val probes = probeCells(spark, sfDir, queries)
+      .join(broadcast(queries), Seq("query_id"))
       .select($"query_id", $"qv", $"cell")
     // score only the probed cells' members; per-query top-k via the
     // bounded-heap aggregate (no candidate sort)
@@ -193,24 +185,27 @@ object Similarity {
     * (direct top-5) and [[simPqRerank]] (top-100 shortlist → exact
     * re-rank) consume this frame.
     */
-  private def pqScored(spark: SparkSession, sfDir: String,
-                       queries: DataFrame): DataFrame = {
-    import spark.implicits._
-    // No lambda HOFs anywhere in the corpus-wide path: transform /
-    // aggregate / zip_with lambdas run INTERPRETED per element (and
-    // project-collapse re-inlines hoisted subexpressions into them),
-    // which measured ~18 s at sf0.1. Everything per-row below is
-    // plain element_at arithmetic — codegen'd. Normalizing the corpus
-    // is unnecessary: positive scaling never flips a sign code, and
-    // the score already divides by the reconstruction's norm.
-    def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      (0 until 8).map(d => element_at(a, d + 1) * element_at(b, d + 1)).reduce(_ + _)
-    def subSlices(v: org.apache.spark.sql.Column) =
-      array((0 until 8).map(m => slice(v, m * 8 + 1, 8)): _*)
+  // No lambda HOFs anywhere in the corpus-wide PQ path: transform /
+  // aggregate / zip_with lambdas run INTERPRETED per element (and
+  // project-collapse re-inlines hoisted subexpressions into them),
+  // which measured ~18 s at sf0.1. Everything per-row below is
+  // plain element_at arithmetic — codegen'd. Normalizing the corpus
+  // is unnecessary: positive scaling never flips a sign code, and
+  // the score already divides by the reconstruction's norm.
+  private def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    (0 until 8).map(d => element_at(a, d + 1) * element_at(b, d + 1)).reduce(_ + _)
+  private def subSlices(v: org.apache.spark.sql.Column) =
+    array((0 until 8).map(m => slice(v, m * 8 + 1, 8)): _*)
+
+  /** PQ encode of a (vec_id, v) corpus: `subs` (persisted — codes and
+    * codebook both reference it), the ≤ 256-entry-per-subspace
+    * `codebook`, and the M-bytes-per-vector `codes`.
+    */
+  private def pqEncode(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import vecs.sparkSession.implicits._
     val signCode = (0 until 8)
       .map(d => when(element_at($"subv", d + 1) > 0d, 1 << d).otherwise(0))
       .reduce(_ + _).cast("int")
-    val vecs = vectors(spark, sfDir)
     // two consumers (codes, codebook) reference this subtree — persist
     // once instead of re-slicing the corpus per reference (the same
     // pin-the-edge-set pattern as minhash's band relation)
@@ -234,13 +229,19 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
       .select($"m", $"code", expr("transform(pairs, p -> p.c)").as("cv"))
     val codes = subs.select($"vec_id", $"m", $"code")
-    // ADC lookup tables for the query set: partial inner product plus
-    // the sub-centroid's squared norm (for the reconstruction norm)
-    // and the query subvector's squared norm (for the query norm) —
-    // the tiny query×codebook frame is the only place these evaluate.
-    // Query subvectors are sliced from the caller's `qv` directly, so
-    // the query set need not exist in the corpus.
-    val adc = queries
+    (subs, codebook, codes)
+  }
+
+  /** ADC lookup tables for a query set: partial inner product plus
+    * the sub-centroid's squared norm (for the reconstruction norm)
+    * and the query subvector's squared norm (for the query norm) —
+    * the tiny query×codebook frame is the only place these evaluate.
+    * Query subvectors are sliced from the caller's `qv` directly, so
+    * the query set need not exist in the corpus.
+    */
+  private def pqAdcTables(queries: DataFrame, codebook: DataFrame): DataFrame = {
+    import queries.sparkSession.implicits._
+    queries
       .withColumn("subvs", subSlices($"qv"))
       .select($"query_id", posexplode($"subvs").as(Seq("m", "qsub")))
       .join(broadcast(codebook), Seq("m"))
@@ -248,7 +249,14 @@ object Similarity {
       .withColumn("cnorm2", dot8($"cv", $"cv"))
       .withColumn("qnorm2", dot8($"qsub", $"qsub"))
       .select($"query_id", $"m", $"code", $"partial", $"cnorm2", $"qnorm2")
-    codes.join(broadcast(adc), Seq("m", "code"))
+  }
+
+  /** Sum a frame of per-(query, vec, subspace) ADC lookups into the
+    * rounded cosine-ADC score per (query, vec).
+    */
+  private def adcScore(lookups: DataFrame): DataFrame = {
+    import lookups.sparkSession.implicits._
+    lookups
       .filter($"vec_id" =!= $"query_id")
       .groupBy($"query_id", $"vec_id")
       // Σpartial / (‖q‖·‖recon‖) = cosine of the query with the
@@ -264,6 +272,14 @@ object Similarity {
       // tie-break is deterministic and oracle-reproducible.
       .withColumn("rscore", round($"score", 4))
       .select($"query_id", $"vec_id", $"rscore")
+  }
+
+  private def pqScored(spark: SparkSession, sfDir: String,
+                       queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (_, codebook, codes) = pqEncode(vectors(spark, sfDir))
+    adcScore(codes.join(broadcast(pqAdcTables(queries, codebook)),
+      Seq("m", "code")))
   }
 
   def simPqAnn(spark: SparkSession, sfDir: String): DataFrame =
@@ -320,6 +336,73 @@ object Similarity {
       .select($"query_id", $"p._1".as("neighbor_id"),
               ($"i" + 1).cast("int").as("rank"),
               round($"p._2", 4).as("cosine"))
+  }
+
+  /** IVF + PQ composed ANN — the canonical IVFADC index (Jégou et
+    * al. TPAMI'11 §V / the FAISS `IVFx,PQy` shape): the coarse
+    * quantizer (label cells, as [[simIvfAnn]]) picks each query's
+    * nprobe=5 nearest cells, and ONLY those cells' PQ codes are
+    * ADC-scored. This composes the two scale levers the separate
+    * operators demonstrate: the probe cuts candidates to
+    * corpus × nprobe/cells, and scoring each candidate touches M
+    * code bytes instead of the raw vector. At 100 TB this is the
+    * memory-resident index layout: per probed cell, a contiguous
+    * code list scanned with table lookups, raw vectors never read.
+    *
+    * The probe relation (queries × nprobe rows) and the ADC tables
+    * broadcast; the only corpus-wide op is the equi-join of codes to
+    * their cell's probing queries. Deterministic end-to-end (raw-
+    * cosine probe is the oracle-green [[simIvfAnn]] one; scoring
+    * ranks by the rounded ADC score), so the DuckDB oracle replays
+    * probe → codes → codebook → ADC → top-5 bit-for-bit.
+    */
+  def simIvfPqAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simIvfPqAnn(spark, sfDir, defaultQueries(spark, sfDir))
+
+  def simIvfPqAnn(spark: SparkSession, sfDir: String,
+                  queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, sfDir)
+    val probes = probeCells(spark, sfDir, queries)
+    val (_, codebook, codes) = pqEncode(vecs)
+    // restrict scoring to probed cells: codes pick up their cell id,
+    // the tiny probe relation fans each code row out to ONLY the
+    // queries probing its cell, then the ADC join adds the lookups
+    val lookups = codes
+      .join(vecs.select($"vec_id", $"label"), Seq("vec_id"))
+      .join(broadcast(probes), $"label" === $"cell")
+      .join(broadcast(pqAdcTables(queries, codebook)),
+        Seq("query_id", "m", "code"))
+    adcScore(lookups)
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"rscore").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              $"p._2".as("approx_score"))
+  }
+
+  /** The coarse-quantizer probe: each query's nprobe nearest cells by
+    * centroid cosine (ties by cell id) — the candidate-restriction
+    * relation [[simIvfAnn]] and [[simIvfPqAnn]] both score within,
+    * exposed so callers (and specs) can inspect exactly which cells a
+    * query touches. Output is queries × nprobe rows: broadcast-sized.
+    */
+  def probeCells(spark: SparkSession, sfDir: String, queries: DataFrame,
+                 nprobe: Int = 5): DataFrame = {
+    import spark.implicits._
+    val centroids = vectors(spark, sfDir)
+      .select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pairs"))
+      .select($"label".as("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
+    queries.join(broadcast(centroids))
+      .withColumn("ccos", cosineSim($"qv", $"cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell")))
+      .filter($"crank" <= nprobe)
+      .select($"query_id", $"cell")
   }
 
   /** Range search: every corpus vector within cosine ≥ 0.3 of each

@@ -198,6 +198,34 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVFADC (IVF+PQ): 5 per query from probed cells only, recall beats chance") {
+    import spark.implicits._
+    val ivfpq = Similarity.simIvfPqAnn(spark, sf)
+    assert(ivfpq.groupBy($"query_id").count().filter($"count" =!= 5).count() == 0)
+    assert(ivfpq.filter($"query_id" === $"neighbor_id").count() == 0)
+    // every returned neighbor must live in one of its query's probed
+    // cells — the candidate restriction IS the operator's contract
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id".as("neighbor_id"), $"label")
+    val probed = Similarity.probeCells(spark, sf,
+        Similarity.defaultQueries(spark, sf))
+      .as[(Long, Int)].collect().toSet
+    val gotCells = ivfpq.join(labels, Seq("neighbor_id"))
+      .select($"query_id", $"label").distinct()
+      .as[(Long, Int)].collect().toSet
+    assert(gotCells.subsetOf(probed),
+      s"neighbors outside the probe set: ${(gotCells -- probed).take(5)}")
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = ivfpq.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"IVFADC recall = $recall")
+    // bounded by BOTH the probe miss rate and PQ ranking error —
+    // require well above chance (~5/N < 0.02), like the plain PQ spec
+    assert(recall >= 0.15, s"recall $recall too low")
+  }
+
   test("graph components: edges never cross components, reps are member minima") {
     import spark.implicits._
     val comp = graft.graph.Graph.graphComponents(spark, sf)
