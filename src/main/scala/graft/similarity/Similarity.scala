@@ -209,9 +209,14 @@ object Similarity {
     // two consumers (codes, codebook) reference this subtree — persist
     // once instead of re-slicing the corpus per reference (the same
     // pin-the-edge-set pattern as minhash's band relation)
+    // label (the coarse cell id) rides along so IVFADC can restrict
+    // codes to probed cells WITHOUT a corpus-corpus join back to the
+    // vectors table — at 100 TB that join is a full shuffle; a carried
+    // column is free
     val subs = vecs
       .withColumn("subvs", subSlices($"v"))
-      .select($"vec_id", posexplode($"subvs").as(Seq("m", "subv")))
+      .select($"vec_id", $"label",
+        posexplode($"subvs").as(Seq("m", "subv")))
       // 8-bit sign-pattern code per subvector (free encode, no search)
       .withColumn("code", signCode)
       .persist()
@@ -228,7 +233,7 @@ object Similarity {
       .groupBy($"m", $"code")
       .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
       .select($"m", $"code", expr("transform(pairs, p -> p.c)").as("cv"))
-    val codes = subs.select($"vec_id", $"m", $"code")
+    val codes = subs.select($"vec_id", $"label", $"m", $"code")
     (subs, codebook, codes)
   }
 
@@ -365,11 +370,11 @@ object Similarity {
     val vecs = vectors(spark, sfDir)
     val probes = probeCells(spark, sfDir, queries)
     val (_, codebook, codes) = pqEncode(vecs)
-    // restrict scoring to probed cells: codes pick up their cell id,
-    // the tiny probe relation fans each code row out to ONLY the
-    // queries probing its cell, then the ADC join adds the lookups
+    // restrict scoring to probed cells: codes carry their cell id
+    // (pqEncode), the tiny probe relation fans each code row out to
+    // ONLY the queries probing its cell, then the ADC join adds the
+    // lookups — both join sides against the corpus are broadcast
     val lookups = codes
-      .join(vecs.select($"vec_id", $"label"), Seq("vec_id"))
       .join(broadcast(probes), $"label" === $"cell")
       .join(broadcast(pqAdcTables(queries, codebook)),
         Seq("query_id", "m", "code"))

@@ -183,6 +183,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim_ivfpq_ann: probe and ADC sides broadcast, no corpus-corpus join") {
+    val p = capture(graft.similarity.Similarity.simIvfPqAnn(spark, sf), "simple")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-corpus join crept into the IVFADC path\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // codes ⋈ broadcast(probes) and ⋈ broadcast(ADC tables): the two
+    // corpus-side joins must both be broadcast hash joins — the codes
+    // scan is the only corpus-wide pass
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("sim_pq_rerank: both stages broadcast the query side, no cartesian") {
+    val p = capture(graft.similarity.Similarity.simPqRerank(spark, sf), "simple")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q8: region/nation broadcast, share denominator never rescans the fact") {
     val p = capture(Relational.q8MarketShare(spark, sf), "simple")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
