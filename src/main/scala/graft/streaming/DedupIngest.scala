@@ -48,6 +48,37 @@ object DedupIngest {
   def readIndex(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(indexPath)
 
+  /** Fold the accumulated per-batch index partitions back into the
+    * seed partition (ingest_batch = -1). A long-lived ingest accretes
+    * one small partition directory per micro-batch until scan
+    * planning and file-open overhead dominate the decision join —
+    * the same small-file problem [[EventLog.compact]] solves for
+    * topics. Run between (not during) streaming queries, as the
+    * owner; decisions are unaffected because the decision aggregate
+    * never reads `ingest_batch`. After compaction, replaying an
+    * already-folded batch id would re-append its bands — harmless for
+    * decisions (duplicate-insensitive aggregate) and removed again by
+    * the next compaction, but the checkpoint should normally make
+    * that impossible.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+    val tmp = indexPath + ".compacting"
+    readIndex(spark, indexPath)
+      .select("doc_id", "content_hash", "band_idx", "band_hash")
+      .withColumn("ingest_batch", lit(-1L))
+      // one file per shuffle partition, rows co-located by band hash
+      // (the decision join's probe key)
+      .repartition(col("band_hash"))
+      .write.partitionBy("ingest_batch").parquet(tmp)
+    val old = java.nio.file.Paths.get(indexPath + ".old")
+    java.nio.file.Files.move(java.nio.file.Paths.get(indexPath), old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(indexPath))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+  }
+
   /** Start the ingest: `docs` is a STREAMING DataFrame with at least
     * (doc_id: long, text: string). Per micro-batch, decisions land in
     * `decisionsPath` (one row per batch doc: n_corpus_matches,

@@ -83,6 +83,47 @@ class IngestSpec extends AnyFunSuite {
       "batch 1 vs dedup_incremental")
   }
 
+  test("index compaction folds batch partitions, preserves rows, decisions unchanged") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val b1 = docs.filter($"doc_id" % 8 === 0)
+    val b2 = docs.filter($"doc_id" % 4 === 0 && $"doc_id" % 8 =!= 0)
+
+    val root = Files.createTempDirectory("graft-ingest-compact").toString
+    val (inDir, idxDir, decDir, ckpt) =
+      (s"$root/in", s"$root/index", s"$root/decisions", s"$root/ckpt")
+    DedupIngest.seedIndex(corpus, idxDir)
+    b1.coalesce(1).write.parquet(inDir)
+    val q = DedupIngest.start(
+      spark.readStream.schema(spark.read.parquet(inDir).schema).parquet(inDir),
+      idxDir, decDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val before = DedupIngest.readIndex(spark, idxDir)
+    val beforeRows = before
+      .select("doc_id", "content_hash", "band_idx", "band_hash")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(before.select($"ingest_batch").distinct().count() == 2)
+
+    DedupIngest.compactIndex(spark, idxDir)
+    val after = DedupIngest.readIndex(spark, idxDir)
+    // every band row survives, all under the seed partition now
+    assert(after.select("doc_id", "content_hash", "band_idx", "band_hash")
+      .as[(Long, String, Int, Long)].collect().toSet == beforeRows)
+    assert(after.select($"ingest_batch").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    // the NEXT batch's decisions are identical against the compacted
+    // index (decision join never reads ingest_batch)
+    val wantB2 = Dedup.incrementalDecisions(
+      Dedup.contentBands(b2), Dedup.contentBands(corpus.union(b1)))
+    val gotB2 = Dedup.incrementalDecisions(
+      Dedup.contentBands(b2),
+      after.select("doc_id", "content_hash", "band_idx", "band_hash"))
+    assertSameDecisions(gotB2, wantB2, "post-compaction decisions")
+  }
+
   test("a replayed micro-batch rewrites its partition instead of double-appending") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sf)
