@@ -323,17 +323,33 @@ object Dedup {
     * the corpus side (countDistinct + max): replaying an index append
     * (at-least-once sinks) cannot change any decision, which is what
     * makes the streaming twin's recovery story exactly-once in effect.
+    *
+    * Join shape matters at 100 TB: a batch-side left_outer can NEVER
+    * broadcast the batch (Spark's BroadcastHashJoin only builds the
+    * right side for LeftOuter, so the planner would shuffle the whole
+    * stored index per increment). Instead: an INNER band join (batch
+    * side broadcast — BuildLeft is supported for inner), aggregated to
+    * per-doc match stats, then the unmatched batch docs are recovered
+    * by left-joining the increment-sized doc list against the
+    * broadcast-sized aggregated stats. Every shuffle is bounded by the
+    * batch, the corpus index only ever streams past a broadcast.
     */
   private[graft] def incrementalDecisions(batchBands: DataFrame,
                                           corpusBands: DataFrame): DataFrame = {
     import batchBands.sparkSession.implicits._
     val corpus = corpusBands.select($"band_idx", $"band_hash",
       $"doc_id".as("corpus_doc"), $"content_hash".as("corpus_hash"))
-    batchBands.join(corpus, Seq("band_idx", "band_hash"), "left_outer")
+    val matched = broadcast(batchBands)
+      .join(corpus, Seq("band_idx", "band_hash"))
       .groupBy($"doc_id")
-      .agg(countDistinct($"corpus_doc").as("n_corpus_matches"),
-           (coalesce(max(when($"corpus_hash" === $"content_hash", 1)
-             .otherwise(0)), lit(0)) === 1).as("is_exact_dup"))
+      .agg(countDistinct($"corpus_doc").as("m_corpus_matches"),
+           (max(when($"corpus_hash" === $"content_hash", 1)
+             .otherwise(0)) === 1).as("m_exact_dup"))
+    batchBands.select($"doc_id").distinct()
+      .join(broadcast(matched), Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"m_corpus_matches", lit(0L)).as("n_corpus_matches"),
+        coalesce($"m_exact_dup", lit(false)).as("is_exact_dup"))
       .withColumn("decision",
         when($"is_exact_dup", "exact_dup")
           .when($"n_corpus_matches" > 0, "near_dup")

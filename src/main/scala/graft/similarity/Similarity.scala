@@ -197,9 +197,15 @@ object Similarity {
   private def subSlices(v: org.apache.spark.sql.Column) =
     array((0 until 8).map(m => slice(v, m * 8 + 1, 8)): _*)
 
-  /** PQ encode of a (vec_id, v) corpus: `subs` (persisted — codes and
-    * codebook both reference it), the ≤ 256-entry-per-subspace
-    * `codebook`, and the M-bytes-per-vector `codes`.
+  /** PQ encode of a (vec_id, label, v) corpus: `subs` (persisted —
+    * codes and codebook both reference it), the ≤ 256-entry-per-
+    * subspace `codebook`, and the M-bytes-per-vector `codes`.
+    *
+    * The `subs` pin follows the repo's pinned-relation convention
+    * (see dedup_ngram): it is reclaimed by the caller's
+    * `spark.catalog.clearCache()` (Bench does this per query), or a
+    * long-lived session can `unpersist()` the returned handle once
+    * the derived frames are materialized.
     */
   private def pqEncode(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import vecs.sparkSession.implicits._

@@ -35,13 +35,16 @@ object DedupIngest {
 
   /** Build the stored corpus band index from an existing corpus.
     * Seeded under batch id -1 so streamed batches (ids ≥ 0) can never
-    * dynamic-overwrite the seed partition.
+    * dynamic-overwrite the seed partition. STATIC overwrite on
+    * purpose: re-seeding means "rebuild the index", so any streamed
+    * batch partitions from a previous run must go too — a dynamic
+    * overwrite would keep them and every later decision would count
+    * phantom corpus docs.
     */
   def seedIndex(corpus: DataFrame, indexPath: String): Unit =
     Dedup.contentBands(corpus)
       .withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch")
-      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(indexPath)
 
   /** The stored index, read back (all partitions). */
@@ -62,21 +65,36 @@ object DedupIngest {
     * that impossible.
     */
   def compactIndex(spark: SparkSession, indexPath: String): Unit = {
-    val tmp = indexPath + ".compacting"
-    readIndex(spark, indexPath)
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(indexPath)
+    val old = Paths.get(indexPath + ".old")
+    val tmpPath = Paths.get(indexPath + ".compacting")
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete)
+      finally walk.close()
+    }
+    // recover a prior crash mid-swap: if the live path vanished after
+    // its move-aside, the .old directory IS the index — restore it.
+    // Any other leftover .old / .compacting is garbage from a crash
+    // before or after the swap window and is safe to clear.
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    rmTree(old); rmTree(tmpPath)
+    val idx = readIndex(spark, indexPath)
       .select("doc_id", "content_hash", "band_idx", "band_hash")
-      .withColumn("ingest_batch", lit(-1L))
-      // one file per shuffle partition, rows co-located by band hash
-      // (the decision join's probe key)
-      .repartition(col("band_hash"))
-      .write.partitionBy("ingest_batch").parquet(tmp)
-    val old = java.nio.file.Paths.get(indexPath + ".old")
-    java.nio.file.Files.move(java.nio.file.Paths.get(indexPath), old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(indexPath))
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    // explicit file count — the default shuffle partitioning would
+    // write more small files than the per-batch dirs being folded;
+    // ~8M band rows (≈1M docs) per output file, co-located by the
+    // decision join's probe key
+    val nFiles = math.max(1, (idx.count() / 8000000L).toInt)
+    idx.withColumn("ingest_batch", lit(-1L))
+      .repartition(nFiles, col("band_hash"))
+      .write.partitionBy("ingest_batch").parquet(tmpPath.toString)
+    Files.move(live, old)
+    Files.move(tmpPath, live)
+    rmTree(old)
   }
 
   /** Start the ingest: `docs` is a STREAMING DataFrame with at least

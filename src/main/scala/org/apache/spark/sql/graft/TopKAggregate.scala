@@ -134,10 +134,14 @@ private[graft] final class TopKBufferStr(val k: Int) {
   }
 
   def truncateTo(m: Int): Unit = {
-    // java.lang.Double.compare gives a total order (NaN sorts worst
-    // under DESC); `!=` on a NaN score is not one and TimSort throws
+    // total order matching the Long twin's sortBy(-score, id): compare
+    // NEGATED scores ascending, so NaN (greatest in Double.compare's
+    // total order, and NaN-invariant under negation) sorts LAST —
+    // i.e. a NaN score is the worst candidate, never the best. The
+    // previous `!=`-based comparator was not a total order for NaN
+    // and TimSort could throw.
     val idx = Array.range(0, n).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(scores(b), scores(a))
+      val c = java.lang.Double.compare(-scores(a), -scores(b))
       c < 0 || (c == 0 && ids(a).compareTo(ids(b)) < 0)
     }
     val keep = math.min(m, n)

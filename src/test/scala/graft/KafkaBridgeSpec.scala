@@ -86,10 +86,13 @@ class KafkaBridgeSpec extends AnyFunSuite {
     assume(bootstrap.isDefined,
       "SPARK_GRAFT_KAFKA_BOOTSTRAP not set — no broker in this environment")
     val topic = s"graft-e2e-${java.util.UUID.randomUUID().toString.take(8)}"
+    // partition 0 everywhere: the topic is broker-auto-created and a
+    // stock broker defaults to num.partitions=1 — explicit partitions
+    // 1..3 would fail for an environment reason, not a bridge bug
     val envelope = spark.range(0, 100)
       .select($"id".cast("string").as("key"),
               concat(lit("#"), $"id").as("payload"),
-              ($"id" % 4).cast("int").as("partition"))
+              lit(0).as("partition"))
     KafkaBridge.toWire(envelope, topic)
       .write.format("kafka")
       .options(KafkaBridge.sinkOptions(bootstrap.get, topic))

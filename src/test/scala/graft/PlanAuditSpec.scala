@@ -183,6 +183,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup_incremental: batch bands broadcast as the BUILD side, corpus never shuffled") {
+    val p = capture(graft.dedup.Dedup.dedupIncremental(spark, sf), "simple")
+    // the increment must be the broadcast build side of an INNER band
+    // join (a batch-side left_outer can only BuildRight, which would
+    // shuffle the whole stored index per increment at scale)
+    assert(p.contains("BuildLeft"),
+      s"batch side is not the broadcast build side\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus band index fell into a shuffle join\n$p")
+  }
+
   test("sim_ivfpq_ann: probe and ADC sides broadcast, no corpus-corpus join") {
     val p = capture(graft.similarity.Similarity.simIvfPqAnn(spark, sf), "simple")
     assert(!p.contains("SortMergeJoin"),

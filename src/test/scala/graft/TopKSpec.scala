@@ -11,6 +11,29 @@ class TopKSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.Sf
 
+  test("NaN scores rank LAST in both heap twins, never evicting real candidates") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 0.9), (2L, "b", Double.NaN), (3L, "c", 0.7),
+      (4L, "d", 0.8), (5L, "e", Double.NaN))
+      .toDF("id", "sid", "score")
+    val longTop = rows
+      .agg(graft.functions.TopK.topK(3)($"id", $"score").as("top"))
+      .select(explode($"top._1")).as[Long].collect().toSeq
+    assert(longTop == Seq(1L, 4L, 3L),
+      s"NaN displaced a real candidate in graft_topk: $longTop")
+    val strTop = rows
+      .agg(graft.functions.TopK.topKStr(3)($"sid", $"score").as("top"))
+      .select(explode($"top._1")).as[String].collect().toSeq
+    assert(strTop == Seq("a", "d", "c"),
+      s"NaN displaced a real candidate in graft_topk_str: $strTop")
+    // with room beyond the real scores, NaN fills the tail (id order)
+    val tail = rows
+      .agg(graft.functions.TopK.topKStr(5)($"sid", $"score").as("top"))
+      .select(explode($"top._1")).as[String].collect().toSeq
+    assert(tail == Seq("a", "d", "c", "b", "e"), tail.toString)
+  }
+
   test("heap top-k equals window top-k on brute-force cosine search") {
     import spark.implicits._
     val e = graft.core.Tables.embeddings(spark, sf)

@@ -18,18 +18,23 @@ def times(path):
         if not m:
             continue
         _, sec, name = m.groups()
-        sec = float(sec)
+        # the trace prints %7.2f, so a sub-5ms query reads 0.00 —
+        # floor at half the print precision so ratios stay defined
+        sec = max(float(sec), 0.005)
         best[name] = min(best.get(name, sec), sec)
     return best
 
 small, large, out = sys.argv[1], sys.argv[2], sys.argv[3]
 ts, tl = times(small), times(large)
+common = sorted(set(ts) & set(tl))
+if not common:
+    sys.exit(f"no common queries between {small} and {large}")
 queries = {}
-for name in sorted(set(ts) & set(tl)):
+for name in common:
     queries[name] = {
         "sf0.1": round(ts[name], 2),
         "sf1": round(tl[name], 2),
-        "ratio": round(tl[name] / ts[name], 2) if ts[name] > 0 else None,
+        "ratio": round(tl[name] / ts[name], 2),
     }
 tot_s = sum(ts[n] for n in queries)
 tot_l = sum(tl[n] for n in queries)
