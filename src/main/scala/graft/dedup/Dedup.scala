@@ -337,16 +337,36 @@ object Dedup {
   private[graft] def incrementalDecisions(batchBands: DataFrame,
                                           corpusBands: DataFrame): DataFrame = {
     import batchBands.sparkSession.implicits._
+    // Broadcast is a SAFETY-GATED hint, not unconditional: an explicit
+    // broadcast() bypasses Spark's size threshold, so an oversized
+    // increment (a backfill sized like the corpus) would be force-
+    // collected to the driver and OOM it. Gate on Catalyst's own size
+    // estimate of the batch band relation: up to
+    // spark.graft.incrementalBroadcastBytes (default 256 MB — ~5M docs
+    // of band rows, comfortably inside executor broadcast budgets) the
+    // batch side broadcasts and the corpus index streams past with
+    // ZERO corpus shuffle (the designed plan, BuildLeft-asserted in
+    // PlanAuditSpec). Beyond the gate, fall back to plain joins —
+    // one corpus-index shuffle, slower but bounded-memory; an
+    // increment that big is a batch job, not an increment.
+    val spark = batchBands.sparkSession
+    val gate = BigInt(spark.conf
+      .get("spark.graft.incrementalBroadcastBytes", (256L << 20).toString)
+      .toLong)
+    val batchIsSmall =
+      batchBands.queryExecution.optimizedPlan.stats.sizeInBytes <= gate
+    def hinted(df: DataFrame): DataFrame =
+      if (batchIsSmall) broadcast(df) else df
     val corpus = corpusBands.select($"band_idx", $"band_hash",
       $"doc_id".as("corpus_doc"), $"content_hash".as("corpus_hash"))
-    val matched = broadcast(batchBands)
+    val matched = hinted(batchBands)
       .join(corpus, Seq("band_idx", "band_hash"))
       .groupBy($"doc_id")
       .agg(countDistinct($"corpus_doc").as("m_corpus_matches"),
            (max(when($"corpus_hash" === $"content_hash", 1)
              .otherwise(0)) === 1).as("m_exact_dup"))
     batchBands.select($"doc_id").distinct()
-      .join(broadcast(matched), Seq("doc_id"), "left_outer")
+      .join(hinted(matched), Seq("doc_id"), "left_outer")
       .select($"doc_id",
         coalesce($"m_corpus_matches", lit(0L)).as("n_corpus_matches"),
         coalesce($"m_exact_dup", lit(false)).as("is_exact_dup"))

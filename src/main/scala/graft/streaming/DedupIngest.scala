@@ -29,7 +29,11 @@ import graft.dedup.Dedup
   * on top of foreachBatch's at-least-once contract — and even a
   * genuinely duplicated index append could not flip a decision,
   * because the decision aggregate is duplicate-insensitive
-  * (countDistinct/max, see [[Dedup.incrementalDecisions]]).
+  * (countDistinct/max, see [[Dedup.incrementalDecisions]]). The
+  * decision join additionally prunes the replaying batch's OWN
+  * partition out of the corpus read (see [[start]]): a half-committed
+  * prior attempt (index appended, checkpoint not) must not let a doc
+  * match its own bands and flip to exact_dup.
   */
 object DedupIngest {
 
@@ -47,9 +51,24 @@ object DedupIngest {
       .write.partitionBy("ingest_batch")
       .mode("overwrite").parquet(indexPath)
 
-  /** The stored index, read back (all partitions). */
-  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+  /** The stored index, read back (all partitions). Self-heals the
+    * one crash window [[compactIndex]] leaves behind: if the live
+    * directory vanished mid-swap, the `.old` directory IS the index —
+    * restore it here so a restarted ingest's first read (and its
+    * first micro-batch) succeeds without waiting for the owner to run
+    * another compaction.
+    */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    restoreAfterCrashedSwap(indexPath)
     spark.read.parquet(indexPath)
+  }
+
+  private def restoreAfterCrashedSwap(indexPath: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(indexPath)
+    val old = Paths.get(indexPath + ".old")
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+  }
 
   /** Fold the accumulated per-batch index partitions back into the
     * seed partition (ingest_batch = -1). A long-lived ingest accretes
@@ -77,10 +96,12 @@ object DedupIngest {
       finally walk.close()
     }
     // recover a prior crash mid-swap: if the live path vanished after
-    // its move-aside, the .old directory IS the index — restore it.
-    // Any other leftover .old / .compacting is garbage from a crash
-    // before or after the swap window and is safe to clear.
-    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    // its move-aside, the .old directory IS the index — restore it
+    // (readIndex runs the same check, so a restarted ingest self-heals
+    // without waiting for this call). Any other leftover .old /
+    // .compacting is garbage from a crash before or after the swap
+    // window and is safe to clear.
+    restoreAfterCrashedSwap(indexPath)
     rmTree(old); rmTree(tmpPath)
     val idx = readIndex(spark, indexPath)
       .select("doc_id", "content_hash", "band_idx", "band_hash")
@@ -113,7 +134,18 @@ object DedupIngest {
         // batch bands once; increment-sized, so the pin is small
         val bands = Dedup.contentBands(batch).persist()
         try {
+          // exclude THIS batch's own partition from the corpus read:
+          // if a prior attempt's index append committed but the
+          // checkpoint didn't, the replay would otherwise see its own
+          // bands in the corpus, match every doc against itself (same
+          // content_hash), and rewrite previously-correct decisions as
+          // exact_dup. The filter is a partition prune (ingest_batch
+          // is the partition column), so the non-replay case costs
+          // nothing. The duplicate-insensitive aggregate alone cannot
+          // protect here — it tolerates duplicated CORPUS rows, not a
+          // doc's own bands appearing as corpus.
           val corpus = readIndex(spark, indexPath)
+            .filter(col("ingest_batch") =!= batchId)
             .select("doc_id", "content_hash", "band_idx", "band_hash")
           Dedup.incrementalDecisions(bands, corpus)
             .withColumn("ingest_batch", lit(batchId))

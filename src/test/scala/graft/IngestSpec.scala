@@ -152,5 +152,34 @@ class IngestSpec extends AnyFunSuite {
     assert(DedupIngest.readIndex(spark, idxDir).count() ==
       (corpus.count() + b1.count()) * 8,
       "replay double-appended index bands")
+    // the replay ran with batch 1's bands ALREADY in the index (the
+    // half-committed crash: sink committed, checkpoint didn't) — the
+    // decision VALUES must still equal the batch oracle, not flip to
+    // exact_dup from each doc matching its own stored bands
+    val want = Dedup.incrementalDecisions(
+      Dedup.contentBands(b1), Dedup.contentBands(corpus))
+    assertSameDecisions(spark.read.parquet(decDir), want,
+      "replayed decisions (batch must not match its own bands)")
+    assert(want.filter($"decision" === "keep").count() > 0,
+      "vacuous replay oracle: no keep rows to distinguish a self-match flip")
+  }
+
+  test("readIndex self-heals a compaction crash mid-swap (.old IS the index)") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    val corpus = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").filter($"doc_id" % 4 =!= 0)
+    val root = Files.createTempDirectory("graft-ingest-heal").toString
+    val idxDir = s"$root/index"
+    DedupIngest.seedIndex(corpus, idxDir)
+    val seedRows = corpus.count() * 8
+    // the compactIndex crash window: live moved aside, replacement not
+    // yet moved in — a restarted ingest must read through this state
+    Files.move(Paths.get(idxDir), Paths.get(idxDir + ".old"))
+    assert(DedupIngest.readIndex(spark, idxDir).count() == seedRows,
+      "readIndex did not restore the moved-aside index")
+    assert(Files.exists(Paths.get(idxDir)) &&
+           !Files.exists(Paths.get(idxDir + ".old")),
+      "restore did not move .old back to the live path")
   }
 }
