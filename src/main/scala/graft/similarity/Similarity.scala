@@ -28,6 +28,15 @@ object Similarity {
     * a library caller passes their own query vectors (they need not
     * exist in the corpus); the zero-arg overloads pin this default so
     * the driver's oracle replay stays byte-stable.
+    *
+    * Self-exclusion contract: the `excludeSelf` flag (default false
+    * on the query-set overloads) drops candidates whose `vec_id`
+    * equals the query's `query_id`. It exists for CORPUS-DERIVED
+    * query sets — a corpus vector searching for neighbors should not
+    * return itself — and the zero-arg overloads pass true. External
+    * query sets must NOT set it: an external `query_id` is a caller-
+    * chosen label, and excluding by id would silently drop any corpus
+    * vector whose id happens to coincide with an unrelated query id.
     */
   def defaultQueries(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -43,13 +52,15 @@ object Similarity {
     * spec-asserted identical in TopKSpec.
     */
   def simBruteTopk(spark: SparkSession, sfDir: String): DataFrame =
-    simBruteTopk(spark, sfDir, defaultQueries(spark, sfDir))
+    simBruteTopk(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simBruteTopk(spark: SparkSession, sfDir: String,
-                   queries: DataFrame): DataFrame = {
+                   queries: DataFrame,
+                   excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    e.join(broadcast(queries), $"query_id" =!= $"vec_id")
+    crossQueries(e, queries, excludeSelf)
       .withColumn("cos", cosineSim($"qv", $"v"))
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
@@ -58,6 +69,16 @@ object Similarity {
               ($"i" + 1).cast("int").as("rank"),
               round($"p._2", 4).as("cosine"))
   }
+
+  /** Queries broadcast against the corpus scan — with the self-id
+    * exclusion when the query set is corpus-derived, a plain cross
+    * join (every query scores every candidate) when it is external.
+    */
+  private def crossQueries(e: DataFrame, queries: DataFrame,
+                           excludeSelf: Boolean): DataFrame =
+    if (excludeSelf)
+      e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+    else e.crossJoin(broadcast(queries))
 
   /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar
     * shape): L independent tables of `bits` Gaussian hyperplanes,
@@ -80,10 +101,12 @@ object Similarity {
     * wide op is the equi-join on cell id.
     */
   def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame =
-    simIvfAnn(spark, sfDir, defaultQueries(spark, sfDir))
+    simIvfAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simIvfAnn(spark: SparkSession, sfDir: String,
-                queries: DataFrame): DataFrame = {
+                queries: DataFrame,
+                excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, sfDir)
     // each query probes its nprobe nearest cells ([[probeCells]] —
@@ -94,7 +117,10 @@ object Similarity {
       .select($"query_id", $"qv", $"cell")
     // score only the probed cells' members; per-query top-k via the
     // bounded-heap aggregate (no candidate sort)
-    vecs.join(broadcast(probes), $"label" === $"cell" && $"vec_id" =!= $"query_id")
+    val cond =
+      if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
+      else $"label" === $"cell"
+    vecs.join(broadcast(probes), cond)
       .withColumn("cos", cosineSim($"qv", $"v"))
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
@@ -265,10 +291,11 @@ object Similarity {
   /** Sum a frame of per-(query, vec, subspace) ADC lookups into the
     * rounded cosine-ADC score per (query, vec).
     */
-  private def adcScore(lookups: DataFrame): DataFrame = {
+  private def adcScore(lookups: DataFrame,
+                       excludeSelf: Boolean): DataFrame = {
     import lookups.sparkSession.implicits._
-    lookups
-      .filter($"vec_id" =!= $"query_id")
+    (if (excludeSelf) lookups.filter($"vec_id" =!= $"query_id")
+     else lookups)
       .groupBy($"query_id", $"vec_id")
       // Σpartial / (‖q‖·‖recon‖) = cosine of the query with the
       // vector's PQ reconstruction (qnorm2 summed over the same M
@@ -286,20 +313,23 @@ object Similarity {
   }
 
   private def pqScored(spark: SparkSession, sfDir: String,
-                       queries: DataFrame): DataFrame = {
+                       queries: DataFrame,
+                       excludeSelf: Boolean): DataFrame = {
     import spark.implicits._
     val (_, codebook, codes) = pqEncode(vectors(spark, sfDir))
     adcScore(codes.join(broadcast(pqAdcTables(queries, codebook)),
-      Seq("m", "code")))
+      Seq("m", "code")), excludeSelf)
   }
 
   def simPqAnn(spark: SparkSession, sfDir: String): DataFrame =
-    simPqAnn(spark, sfDir, defaultQueries(spark, sfDir))
+    simPqAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simPqAnn(spark: SparkSession, sfDir: String,
-               queries: DataFrame): DataFrame = {
+               queries: DataFrame,
+               excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
-    pqScored(spark, sfDir, queries)
+    pqScored(spark, sfDir, queries, excludeSelf)
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"rscore").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
@@ -325,12 +355,14 @@ object Similarity {
     * DuckDB oracle replays both stages bit-for-bit.
     */
   def simPqRerank(spark: SparkSession, sfDir: String): DataFrame =
-    simPqRerank(spark, sfDir, defaultQueries(spark, sfDir))
+    simPqRerank(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simPqRerank(spark: SparkSession, sfDir: String,
-                  queries: DataFrame): DataFrame = {
+                  queries: DataFrame,
+                  excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
-    val shortlist = pqScored(spark, sfDir, queries)
+    val shortlist = pqScored(spark, sfDir, queries, excludeSelf)
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(100)($"vec_id", $"rscore").as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))
@@ -368,10 +400,12 @@ object Similarity {
     * probe → codes → codebook → ADC → top-5 bit-for-bit.
     */
   def simIvfPqAnn(spark: SparkSession, sfDir: String): DataFrame =
-    simIvfPqAnn(spark, sfDir, defaultQueries(spark, sfDir))
+    simIvfPqAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simIvfPqAnn(spark: SparkSession, sfDir: String,
-                  queries: DataFrame): DataFrame = {
+                  queries: DataFrame,
+                  excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, sfDir)
     val probes = probeCells(spark, sfDir, queries)
@@ -384,7 +418,7 @@ object Similarity {
       .join(broadcast(probes), $"label" === $"cell")
       .join(broadcast(pqAdcTables(queries, codebook)),
         Seq("query_id", "m", "code"))
-    adcScore(lookups)
+    adcScore(lookups, excludeSelf)
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"rscore").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
@@ -424,13 +458,15 @@ object Similarity {
     * heap would cap them; a threshold must not).
     */
   def simRangeSearch(spark: SparkSession, sfDir: String): DataFrame =
-    simRangeSearch(spark, sfDir, defaultQueries(spark, sfDir))
+    simRangeSearch(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simRangeSearch(spark: SparkSession, sfDir: String,
-                     queries: DataFrame): DataFrame = {
+                     queries: DataFrame,
+                     excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    e.join(broadcast(queries), $"query_id" =!= $"vec_id")
+    crossQueries(e, queries, excludeSelf)
       .withColumn("cos", cosineSim($"qv", $"v"))
       // 0.3 keeps the result non-empty at every test SF (0.4 matches
       // nothing at sf0.001 — a vacuously green row checks nothing)
@@ -448,10 +484,12 @@ object Similarity {
     * prune far harder.
     */
   def simLshAnn(spark: SparkSession, sfDir: String): DataFrame =
-    simLshAnn(spark, sfDir, defaultQueries(spark, sfDir))
+    simLshAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
 
   def simLshAnn(spark: SparkSession, sfDir: String,
-                queries: DataFrame): DataFrame = {
+                queries: DataFrame,
+                excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val (tables, bits) = (8, 4)
     val vecs = vectors(spark, sfDir)
@@ -464,8 +502,10 @@ object Similarity {
     val qKeys = withBuckets(
         queries.select($"query_id", $"qv".as("v")), tables, bits)
       .select($"table_id", $"bucket", $"query_id")
-    val candidates = keys.join(broadcast(qKeys), Seq("table_id", "bucket"))
-      .filter($"query_id" =!= $"vec_id")
+    val cobucketed = keys.join(broadcast(qKeys), Seq("table_id", "bucket"))
+    val candidates =
+      (if (excludeSelf) cobucketed.filter($"query_id" =!= $"vec_id")
+       else cobucketed)
       .select($"query_id", $"vec_id").distinct()
     candidates
       .join(vecs.select($"vec_id", $"v"), Seq("vec_id"))

@@ -174,6 +174,20 @@ class DedupSimSpec extends AnyFunSuite {
     val rrTop1 = rr.filter($"rank" === 1)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
     assert(rrTop1.forall { case (q, n) => n == q - 1000000L })
+    // an external query_id that COLLIDES with a corpus vec_id must
+    // not silently drop that corpus vector: this query carries vector
+    // 20's embedding under query_id 20, and its corpus twin (vec_id
+    // 20) must still come back at rank 1 / cosine 1.0 — self-id
+    // exclusion applies only to the corpus-derived default query set
+    val collide = graft.core.Tables.embeddings(spark, sf)
+      .filter($"vec_id" === 20)
+      .select($"vec_id".as("query_id"),
+              $"embedding".cast("array<double>").as("qv"))
+    val cTop1 = Similarity.simBruteTopk(spark, sf, collide)
+      .filter($"rank" === 1)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect()
+    assert(cTop1.toSeq == Seq((20L, 1.0)),
+      s"colliding external id dropped its corpus twin: ${cTop1.toSeq}")
   }
 
   test("brute-force top-k is ranked by descending cosine") {
