@@ -105,6 +105,7 @@ object SparkEntry {
     "txt_contamination"    -> (graft.text.TextAnalysis.txtContamination _),
     "txt_tfidf"            -> (graft.text.TextAnalysis.txtTfidf _),
     "txt_repetition"       -> (graft.text.TextAnalysis.txtRepetition _),
+    "txt_pii_scrub"        -> (graft.text.TextAnalysis.txtPiiScrub _),
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
@@ -697,6 +698,39 @@ object SparkEntry {
         | round((n_trigrams - n_distinct_trigrams)
         |   / greatest(n_trigrams, 1)::DOUBLE, 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+    // same injection arithmetic, then the same three-stage
+    // count-then-redact cascade; 'g' = replace ALL matches (DuckDB
+    // replaces only the first by default, Spark always replaces all)
+    "txt_pii_scrub" ->
+      """WITH injected AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' tel +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' ref ' ||
+        |    CAST((doc_id*7) % 900 + 100 AS VARCHAR) || '-' ||
+        |    CAST((doc_id*3) % 90 + 10 AS VARCHAR) || '-' ||
+        |    CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM injected),
+        |s2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ids,
+        |  regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+        |    '<ID>', 'g') AS t2 FROM s1)
+        |SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\+[0-9][0-9-]{6,}[0-9]'))
+        |    AS BIGINT) AS n_phones,
+        |  n_ids,
+        |  regexp_replace(t2, '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g')
+        |    AS clean_text
+        |FROM s2""".stripMargin,
     "pipeline_curate" ->
       """WITH rates AS (SELECT * FROM (VALUES
         |  ('src0', 10000), ('src1', 5000), ('src2', 2500),

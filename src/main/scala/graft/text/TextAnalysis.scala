@@ -273,4 +273,64 @@ object TextAnalysis {
         round(($"n_trigrams" - $"n_distinct_trigrams") /
           greatest($"n_trigrams", lit(1L)).cast("double"), 4))
   }
+
+  /** PII redaction patterns, engine-portable on purpose: no
+    * backreferences, no lookaround, hyphens last in character
+    * classes — the same strings compile identically under Java
+    * regex (Spark) and RE2 (the DuckDB oracle). The phone pattern
+    * requires the international `+` prefix and forbids spaces inside
+    * the number so it can never swallow an adjacent id; ids are
+    * redacted before phones as a second line of defense.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+  val IdRe    = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Redact emails, SSN-shaped ids, and international phone numbers
+    * from `textCol`, adding per-document match counts — the scrub
+    * pass every production curation pipeline (C4, RefinedWeb) runs
+    * between quality gates and packing. Pure per-row expression
+    * chain: one narrow codegen pass, no shuffle, no UDF, linear at
+    * any corpus size. Counts are taken on the not-yet-redacted text
+    * of each stage so overlapping pattern classes can't double-count
+    * (emails first, then ids, then phones — each stage sees the
+    * previous stage's redaction markers, which match nothing).
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("_t1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_ids", regexp_count(col("_t1"), lit(IdRe)).cast("long"))
+      .withColumn("_t2", regexp_replace(col("_t1"), IdRe, "<ID>"))
+      .withColumn("n_phones",
+        regexp_count(col("_t2"), lit(PhoneRe)).cast("long"))
+      .withColumn("clean_text", regexp_replace(col("_t2"), PhoneRe, "<PHONE>"))
+      .drop("_t1", "_t2")
+
+  /** The oracle-checked scrub query: the synthetic corpus carries no
+    * PII, so deterministic fakes (email/phone/id derived from doc_id,
+    * on interleaved doc subsets) are appended to each text first —
+    * the injection is plain SQL arithmetic both engines replay
+    * exactly, and the scrub's counts and redacted text are then
+    * hash-compared end to end.
+    */
+  def txtPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val injected = Tables.documents(spark, sfDir)
+      .withColumn("text", concat(
+        $"text",
+        when($"doc_id" % 3 === 0, concat(lit(" contact user"),
+          $"doc_id".cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0, concat(lit(" tel +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when($"doc_id" % 7 === 0, concat(lit(" ref "),
+          (($"doc_id" * 7) % 900 + 100).cast("string"), lit("-"),
+          (($"doc_id" * 3) % 90 + 10).cast("string"), lit("-"),
+          ($"doc_id" % 9000 + 1000).cast("string")))
+          .otherwise(lit(""))))
+    piiScrub(injected)
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ids", $"clean_text")
+  }
 }

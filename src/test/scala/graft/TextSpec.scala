@@ -64,4 +64,38 @@ class TextSpec extends AnyFunSuite {
     assert(a.join(b, Seq("lang")).filter(a("ns") =!= b("ns")).count() == 0)
     assert(sketch.count() == exact.count())
   }
+
+  test("PII scrub: counts match injections, redacted text carries no live PII") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val scrubbed = TextAnalysis.txtPiiScrub(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(scrubbed.count() == docs.count(), "one row per document")
+    // counts are exactly the injection rule: one email iff doc_id%3=0,
+    // one phone iff %5=0, one id iff %7=0 (the corpus itself is clean)
+    val wrong = scrubbed.filter(
+      $"n_emails" =!= when($"doc_id" % 3 === 0, 1L).otherwise(0L) ||
+      $"n_phones" =!= when($"doc_id" % 5 === 0, 1L).otherwise(0L) ||
+      $"n_ids"    =!= when($"doc_id" % 7 === 0, 1L).otherwise(0L)).count()
+    assert(wrong == 0, "scrub counts disagree with the injection rule")
+    // nothing PII-shaped survives in the redacted text, and every
+    // injected doc carries its marker
+    assert(scrubbed.filter(
+      col("clean_text").rlike(TextAnalysis.EmailRe) ||
+      col("clean_text").rlike(TextAnalysis.PhoneRe) ||
+      col("clean_text").rlike(TextAnalysis.IdRe)).count() == 0,
+      "live PII left in clean_text")
+    assert(scrubbed.filter($"doc_id" % 3 === 0 &&
+      !col("clean_text").contains("<EMAIL>")).count() == 0)
+    assert(scrubbed.filter($"doc_id" % 5 === 0 &&
+      !col("clean_text").contains("<PHONE>")).count() == 0)
+    assert(scrubbed.filter($"doc_id" % 7 === 0 &&
+      !col("clean_text").contains("<ID>")).count() == 0)
+    // piiScrub is a library transform over any text column: idempotent
+    // on already-scrubbed text
+    val twice = TextAnalysis.piiScrub(
+      scrubbed.select($"doc_id", $"clean_text".as("text")))
+    assert(twice.filter($"n_emails" + $"n_phones" + $"n_ids" =!= 0)
+      .count() == 0, "scrub is not idempotent")
+  }
 }
