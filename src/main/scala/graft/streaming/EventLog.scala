@@ -59,13 +59,28 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
       .partitionBy("partition").parquet(dir)
   }
 
+  /** Restore the one crash window the compaction swap leaves behind:
+    * live directory moved aside, replacement not yet moved in — the
+    * `.old` directory IS the log. Every read path runs this check, so
+    * a crashed [[compact]]/[[compactByKey]] self-heals on the next
+    * touch instead of stalling consumers until the owner reruns it.
+    */
+  private def restoreAfterCrashedSwap(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+  }
+
   /** Committed high-water-mark (max offset) per partition. */
-  def highWaterMarks(spark: SparkSession): Map[Int, Long] =
+  def highWaterMarks(spark: SparkSession): Map[Int, Long] = {
+    restoreAfterCrashedSwap()
     if (!new java.io.File(dir).exists()) Map.empty
     else spark.read.parquet(dir)
       .groupBy("partition").agg(max("offset").as("hwm"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
 
   /** The topic's message schema (what [[produce]] writes). */
   def schema: org.apache.spark.sql.types.StructType =
@@ -87,6 +102,7 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * to yet consumes as empty, like a freshly created Kafka topic.
     */
   def consume(spark: SparkSession, committed: Map[Int, Long] = Map.empty): DataFrame = {
+    restoreAfterCrashedSwap()
     val base =
       if (!new java.io.File(dir).exists())
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -103,9 +119,24 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
   /** Streaming consume: a Structured Streaming file source over the
     * topic directory — micro-batches are the poll loop, the query's
     * checkpoint is the consumer group's committed offsets.
+    *
+    * `maxFilesPerTrigger` is the backpressure bound (the file-source
+    * twin of Kafka's `maxOffsetsPerTrigger`, and the reference
+    * consumer's `maxMessages(10)`-per-poll cap): each [[produce]]
+    * batch writes ≤ numPartitions files, so a cap of
+    * k × numPartitions admits ~k produce batches per micro-batch.
+    * Without it, a consumer restarted after downtime gets the ENTIRE
+    * backlog as one unbounded micro-batch — the state, shuffle, and
+    * sink commit for that batch then scale with the outage instead of
+    * with the configured trigger.
     */
-  def readStream(spark: SparkSession): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def readStream(spark: SparkSession,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    restoreAfterCrashedSwap()
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
 
   /** Commit a consumer group's position (the reference consumer's
     * `auto.commit` on group `myGroup`). Offsets are stored as one
@@ -169,12 +200,73 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     */
   def poll(spark: SparkSession, groupId: String)
           (handler: DataFrame => Unit): Long = {
-    val batch = consume(spark, committed(groupId))
-    val hwms = batch.groupBy("partition").agg(max("offset").as("hwm"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = batch.count()
-    if (n > 0) { handler(batch); commit(groupId, committed(groupId) ++ hwms) }
-    n
+    val base = committed(groupId)
+    runPoll(consume(spark, base), groupId, base, handler)
+  }
+
+  /** Bounded poll — the reference consumer's backpressure knob
+    * (`maxMessages(10)` per 100 ms poll): consume at most
+    * `maxMessages` messages, allocated across partitions in
+    * proportion to their backlog (the same split Kafka's
+    * `maxOffsetsPerTrigger` makes), as a CONTIGUOUS offset prefix per
+    * partition so the commit stays a plain high-water-mark. Repeated
+    * polls drain the backlog in bounded steps — a consumer restarted
+    * after downtime processes the outage in `maxMessages`-sized
+    * batches instead of one unbounded one. The backlog sizing
+    * aggregate is metadata-sized (≤ P rows) and its scan prunes to
+    * uncommitted offsets, so the bound costs one cheap pre-pass.
+    */
+  def poll(spark: SparkSession, groupId: String, maxMessages: Long)
+          (handler: DataFrame => Unit): Long = {
+    require(maxMessages > 0, s"maxMessages must be positive: $maxMessages")
+    val base = committed(groupId)
+    val backlog = consume(spark, base)
+      .groupBy("partition").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = backlog.map(_._2).sum
+    if (total == 0) 0L
+    else {
+      // proportional floor allocation, leftover budget handed out one
+      // offset at a time in partition order to partitions with
+      // remaining backlog — deterministic, Σalloc = min(max, total)
+      val want = math.min(maxMessages, total)
+      val alloc = scala.collection.mutable.LinkedHashMap(
+        backlog.map { case (p, n) =>
+          p -> math.min(n, (BigInt(want) * n / total).toLong) }: _*)
+      var left = want - alloc.values.sum
+      while (left > 0) {
+        for ((p, n) <- backlog if left > 0 && alloc(p) < n) {
+          alloc(p) += 1; left -= 1
+        }
+      }
+      val pred = alloc.filter(_._2 > 0).foldLeft(lit(false)) {
+        case (acc, (p, k)) =>
+          acc || (col("partition") === p &&
+            col("offset") <= lit(base.getOrElse(p, -1L) + k))
+      }
+      runPoll(consume(spark, base).filter(pred), groupId, base, handler)
+    }
+  }
+
+  /** Shared poll tail: one cached scan serves the HWM/count aggregate
+    * and the handler (the batch used to be scanned three times —
+    * offsets, count, handler), commit after the handler returns
+    * (at-least-once).
+    */
+  private def runPoll(batch: DataFrame, groupId: String,
+                      base: Map[Int, Long],
+                      handler: DataFrame => Unit): Long = {
+    batch.persist()
+    try {
+      val stats = batch.groupBy("partition")
+        .agg(max("offset").as("hwm"), count(lit(1)).as("n"))
+        .collect()
+      val hwms = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = stats.map(_.getLong(2)).sum
+      if (n > 0) { handler(batch); commit(groupId, base ++ hwms) }
+      n
+    } finally batch.unpersist()
   }
 
   /** Compact the topic: rewrite each partition's accumulated small
@@ -188,11 +280,56 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * as Kafka log compaction: run it as the owner).
     */
   def compact(spark: SparkSession): Unit = {
+    restoreAfterCrashedSwap()
     val tmp = dir + ".compacting"
     spark.read.parquet(dir)
       .repartition(numPartitions, col("partition"))
       .sortWithinPartitions("partition", "offset")
       .write.mode("overwrite").partitionBy("partition").parquet(tmp)
+    swapInCompacted(tmp)
+  }
+
+  /** Keyed log compaction — Kafka's compacted-topic semantics
+    * (`cleanup.policy=compact`), the durable twin of the
+    * `q_upsert_latest` batch operator: keep only the LATEST record
+    * per key, where latest = highest offset (a key always lives in
+    * one partition — [[produce]] hashes it — so per-key offsets
+    * totally order its history; records whose key is null all hash
+    * alike and compact as one key). A retained record keeps its
+    * original (partition, offset), exactly as Kafka compaction leaves
+    * offsets intact, so committed consumer positions stay valid and
+    * consume-after-compact == latest-per-key of consume-before
+    * (spec-asserted). Kafka's tombstones too: a null payload marks
+    * the key deleted, and compaction drops the key entirely.
+    *
+    * Scale shape: one hash shuffle on `key` for the per-key argmax
+    * (Σ work linear in the log, peak memory one key-group), then the
+    * same partition-wise rewrite as [[compact]]. Not safe under
+    * concurrent writers — run as the owner, like Kafka's log cleaner.
+    */
+  def compactByKey(spark: SparkSession): Unit = {
+    restoreAfterCrashedSwap()
+    val tmp = dir + ".compacting"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("offset").desc)
+    spark.read.parquet(dir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      // tombstone: the key's final record carrying a null payload
+      // deletes the key from the compacted log
+      .filter(col("payload").isNotNull)
+      .repartition(numPartitions, col("partition"))
+      .sortWithinPartitions("partition", "offset")
+      .write.mode("overwrite").partitionBy("partition").parquet(tmp)
+    swapInCompacted(tmp)
+  }
+
+  /** Atomically-enough swap of a compacted rewrite into the live
+    * path: move live aside, move replacement in, clear the old copy.
+    * A crash between the two moves leaves `.old` as the log —
+    * [[restoreAfterCrashedSwap]] heals that window on any later read.
+    */
+  private def swapInCompacted(tmp: String): Unit = {
     val old = java.nio.file.Paths.get(dir + ".old")
     java.nio.file.Files.move(java.nio.file.Paths.get(dir), old)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
@@ -235,20 +372,23 @@ object EventLog {
       log.consume(spark, log.committed(groupId)).withColumn("topic", lit(name))
         .select("topic", "partition", "offset", "key", "payload", "produced_at")
     }
-    val batch = batches.reduce(_.unionByName(_))
-    // per-(topic, partition) HWMs: metadata-sized (≤ topics × P rows)
-    val hwms = batch.groupBy("topic", "partition")
-      .agg(max("offset").as("hwm"), count(lit(1)).as("n"))
-      .collect()
-    val n = hwms.map(_.getLong(3)).sum
-    if (n > 0) {
-      handler(batch)
-      hwms.groupBy(_.getString(0)).foreach { case (name, rows) =>
-        val log = topics(name)
-        val newOffsets = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
-        log.commit(groupId, log.committed(groupId) ++ newOffsets)
+    // one cached scan serves both the HWM aggregate and the handler
+    val batch = batches.reduce(_.unionByName(_)).persist()
+    try {
+      // per-(topic, partition) HWMs: metadata-sized (≤ topics × P rows)
+      val hwms = batch.groupBy("topic", "partition")
+        .agg(max("offset").as("hwm"), count(lit(1)).as("n"))
+        .collect()
+      val n = hwms.map(_.getLong(3)).sum
+      if (n > 0) {
+        handler(batch)
+        hwms.groupBy(_.getString(0)).foreach { case (name, rows) =>
+          val log = topics(name)
+          val newOffsets = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+          log.commit(groupId, log.committed(groupId) ++ newOffsets)
+        }
       }
-    }
-    n
+      n
+    } finally batch.unpersist()
   }
 }

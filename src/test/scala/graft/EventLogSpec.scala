@@ -272,4 +272,112 @@ class EventLogSpec extends AnyFunSuite {
       .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1).count()
     assert(bad == 0, "relayed offsets not contiguous")
   }
+
+  test("bounded poll drains a backlog in maxMessages-sized contiguous steps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bounded").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 500)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    var polls = 0
+    var seen = Vector.empty[Long]
+    var n = -1L
+    while (n != 0L) {
+      n = log.poll(spark, "g-bounded", maxMessages = 150) { batch =>
+        seen = seen ++ batch.select($"key".cast("long")).as[Long].collect()
+      }
+      assert(n <= 150, s"poll exceeded the bound: $n")
+      if (n != 0) polls += 1
+      assert(polls <= 10, "bounded poll is not draining")
+    }
+    // the outage drains in ceil(500/150)=4 bounded steps, each message
+    // exactly once, nothing lost
+    assert(polls == 4, s"expected 4 bounded polls, got $polls")
+    assert(seen.sorted == (0L until 500L).toVector, "lost or duplicated messages")
+    // offsets committed as contiguous prefixes: after draining, the
+    // group's position is the full high-water-mark
+    assert(log.committed("g-bounded") == log.highWaterMarks(spark))
+  }
+
+  test("readStream maxFilesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mfpt").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 2)
+    def batch(from: Int, until: Int) = spark.range(from, until)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+    (0 until 4).foreach(i => log.produce(batch(i * 50, (i + 1) * 50)))
+    // each produce writes ≤2 files (2 partitions): cap of 2 files per
+    // trigger ≈ one produce batch per micro-batch
+    var batchSizes = Vector.empty[Long]
+    val q = log.readStream(spark, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batchSizes = batchSizes :+ b.count(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.sum == 200, s"lost messages: $batchSizes")
+    assert(batchSizes.length >= 4, s"backlog not split: $batchSizes")
+    assert(batchSizes.forall(_ <= 50), s"a micro-batch exceeded the cap: $batchSizes")
+  }
+
+  test("compactByKey keeps the latest record per key, honors tombstones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kcompact").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    // 3 generations of 100 keys; generation g writes payload "g:<key>"
+    (0 until 3).foreach { g =>
+      log.produce(spark.range(0, 100)
+        .select($"id".cast("string").as("key"),
+                concat(lit(s"$g:"), $"id").as("payload")))
+    }
+    // tombstone keys 0..9: null payload deletes the key
+    log.produce(spark.range(0, 10)
+      .select($"id".cast("string").as("key"),
+              lit(null).cast("string").as("payload")))
+    // a consumer group mid-log: its committed position must stay
+    // valid across compaction (offsets are preserved, like Kafka)
+    val before = log.consume(spark)
+      .filter($"payload".isNotNull)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"key").orderBy($"offset".desc)))
+      .filter($"_rn" === 1).drop("_rn")
+      .filter(!$"key".cast("long").between(0, 9))
+      .select($"partition", $"offset", $"key", $"payload")
+      .as[(Int, Long, String, String)].collect().toSet
+
+    log.compactByKey(spark)
+    val after = log.consume(spark)
+    // exactly the latest generation of the 90 surviving keys, with
+    // original (partition, offset) intact
+    assert(after.count() == 90)
+    assert(after.select($"partition", $"offset", $"key", $"payload")
+      .as[(Int, Long, String, String)].collect().toSet == before,
+      "compacted log is not the latest-per-key of the original")
+    assert(after.filter(!$"payload".startsWith("2:")).count() == 0,
+      "a stale generation survived keyed compaction")
+    // committed positions beyond retained offsets still consume cleanly
+    val mid = after.groupBy($"partition")
+      .agg(max($"offset").as("hwm")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(log.consume(spark, mid).count() == 0,
+      "fully-consumed group sees phantom messages after compaction")
+  }
+
+  test("consume self-heals a compaction crash mid-swap (.old IS the log)") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-heal").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 2)
+    log.produce(spark.range(0, 40)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    // the swap crash window: live moved aside, replacement not yet in
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+    assert(log.consume(spark).count() == 40,
+      "consume did not restore the moved-aside log")
+    assert(java.nio.file.Files.exists(Paths.get(dir)) &&
+           !java.nio.file.Files.exists(Paths.get(dir + ".old")))
+  }
 }
