@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Avro
+import graft.streaming.EventLog
+
+/** Avro interchange built on avro-core: container-file round trips
+  * (typed, nullable, timestamped), Kafka-style single-record value
+  * encode/decode, and the envelope⇄Avro-wire path next to
+  * KafkaBridge's UTF-8 one.
+  */
+class AvroSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("container files round-trip the documents table exactly") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-avro").toString + "/docs"
+    Avro.writeAvro(docs, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.schema == docs.schema,
+      s"schema drifted: ${back.schema} vs ${docs.schema}")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 &&
+           docs.exceptAll(back).count() == 0, "rows drifted through Avro")
+    // one container file per input partition — write-side parallelism
+    // is the read-side task count
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro"))
+    assert(nFiles == docs.rdd.getNumPartitions)
+  }
+
+  test("nullable, binary, and timestamp fields survive the container round trip") {
+    import spark.implicits._
+    val df = spark.range(0, 100)
+      .select(
+        $"id",
+        when($"id" % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), $"id")).as("s"),
+        when($"id" % 4 === 0, lit(null).cast("double"))
+          .otherwise($"id" * 1.5).as("d"),
+        ($"id" % 2 === 0).as("b"),
+        unhex(lpad(hex($"id"), 6, "0")).as("bin"),
+        timestamp_micros($"id" * 1000000L + $"id").as("ts"))
+    val dir = Files.createTempDirectory("graft-avro-typed").toString + "/t"
+    Avro.writeAvro(df, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // micros precision exact (the logical type is timestamp-micros)
+    assert(back.filter($"ts" === timestamp_micros($"id" * 1000000L + $"id"))
+      .count() == 100)
+  }
+
+  test("single-record codec: encode to avro_value bytes, decode restores fields") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro-wire").toString + "/topic"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 200)
+      .select($"id".cast("string").as("key"),
+        when($"id" % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("#"), $"id")).as("payload")))
+    val envelope = log.consume(spark)
+    // producer side: the message value is the Avro-encoded
+    // (key, payload, produced_at) record; partition/offset stay as
+    // routing columns exactly as a format("kafka") sink wants them
+    val payloadSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("payload", StringType),
+      StructField("produced_at", TimestampType)))
+    val wire = Avro.encodeRecords(envelope,
+      Seq("key", "payload", "produced_at"))
+    assert(wire.schema.fieldNames.toSet ==
+      Set("partition", "offset", "avro_value"))
+    assert(wire.filter(length($"avro_value") <= 0).count() == 0)
+    // consumer side: decode restores the exact envelope
+    val decoded = Avro.decodeRecords(wire, payloadSchema)
+      .select("partition", "offset", "key", "payload", "produced_at")
+    val original = envelope
+      .select("partition", "offset", "key", "payload", "produced_at")
+    assert(decoded.exceptAll(original).count() == 0 &&
+           original.exceptAll(decoded).count() == 0,
+      "envelope drifted through the Avro wire codec")
+  }
+
+  test("unsupported nested types are rejected loudly, not mis-encoded") {
+    import spark.implicits._
+    val nested = spark.range(0, 3).select(array($"id", $"id" + 1).as("a"))
+    val e = intercept[IllegalArgumentException] {
+      Avro.avroSchemaFor(nested.schema)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+}
