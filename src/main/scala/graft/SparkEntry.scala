@@ -106,6 +106,7 @@ object SparkEntry {
     "txt_tfidf"            -> (graft.text.TextAnalysis.txtTfidf _),
     "txt_repetition"       -> (graft.text.TextAnalysis.txtRepetition _),
     "txt_pii_scrub"        -> (graft.text.TextAnalysis.txtPiiScrub _),
+    "txt_contamination_bloom" -> (graft.text.TextAnalysis.txtContaminationBloom _),
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
@@ -122,6 +123,8 @@ object SparkEntry {
     "pipeline_curate"      -> (Analytics.pipelineCurate _),
     "pipeline_split"       -> (Analytics.pipelineSplit _),
     "pipeline_shard"       -> (Analytics.pipelineShard _),
+    "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
+    "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
     // similarity search
     "sim_brute_topk"       -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simBruteTopk(s, d)),
@@ -151,7 +154,12 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the bloom-pruned variant is EXACT by construction (no false
+    // negatives; false positives die in the equi-join) — same oracle
+    ("txt_contamination_bloom" -> oracleSqlBase("txt_contamination"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -793,6 +801,43 @@ object SparkEntry {
         |      WHEN h < 9500 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // Morton spread replayed stepwise with <<, |, & — bit-identical
+    // to Layout.spread16's mask cascade
+    "pipeline_zorder" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST((md5_number_lower(lang) % 9223372036854775808) % 65536
+        |     AS BIGINT) AS lang_code,
+        |   CAST(least(n_chars, 65535) AS BIGINT) AS len_clip
+        |  FROM documents),
+        |s1 AS (SELECT *, ((lang_code | (lang_code << 8)) & 16711935) AS xa,
+        |   ((len_clip | (len_clip << 8)) & 16711935) AS ya FROM d),
+        |s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+        |   ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+        |   ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
+        |   ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+        |SELECT doc_id, lang_code, len_clip,
+        | CAST(xd | (yd << 1) AS BIGINT) AS zkey,
+        | CAST((xd | (yd << 1)) // 262144 AS BIGINT) AS zbucket
+        |FROM s4""".stripMargin,
+    // stride = (10^7 * n_s) // (wbp_s * N): pure integer arithmetic,
+    // same floor division both engines
+    "pipeline_mixture" ->
+      """WITH w AS (SELECT * FROM (VALUES
+        |  ('src0', 4000), ('src1', 2500), ('src2', 2000),
+        |  ('src3', 1000), ('src4', 500)) t(s_source, wbp)),
+        |n AS (SELECT source AS c_source, count(*) AS ns
+        |  FROM documents JOIN w ON source = s_source GROUP BY 1),
+        |tot AS (SELECT sum(ns) AS nt FROM n),
+        |strides AS (SELECT s_source,
+        |   (10000000 * ns) // (wbp * nt) AS stride
+        |  FROM w JOIN n ON s_source = c_source CROSS JOIN tot)
+        |SELECT doc_id, documents.source,
+        | CAST((md5_number_lower('mix:' || CAST(doc_id AS VARCHAR))
+        |     % 4294967296)
+        |   * stride AS BIGINT) AS mix_pos
+        |FROM documents JOIN strides ON documents.source = s_source""".stripMargin,
     "pipeline_shard" ->
       """WITH d AS (SELECT doc_id,
         |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens,

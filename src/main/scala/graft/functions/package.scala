@@ -87,4 +87,14 @@ package object functions {
     */
   def cellSimPairs(vecs: Column, minCos: Double): Column =
     Bridge.column(CellSimPairs(Bridge.expression(vecs), minCos))
+
+  /** Membership probe of a LongType column against a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] — the broadcast
+    * runtime-filter primitive (see
+    * [[org.apache.spark.sql.graft.BloomMightContain]]).
+    */
+  def bloomMightContain(sketchBytes: Array[Byte], value: Column): Column =
+    Bridge.column(org.apache.spark.sql.graft.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(sketchBytes),
+      Bridge.expression(value)))
 }

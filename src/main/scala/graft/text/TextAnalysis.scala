@@ -245,6 +245,53 @@ object TextAnalysis {
            coalesce(sum($"nd"), lit(0L)).cast("long").as("n_corpus_matches"))
   }
 
+  /** [[txtContamination]] with an explicit broadcast runtime filter:
+    * a Bloom sketch of the eval shingle set (built driver-side from
+    * the benchmark-sized eval side, ~1.2 MB per million shingles at
+    * 1% fpp) prunes the corpus side BEFORE the join. Identical
+    * output to the exact operator — Bloom has no false negatives, so
+    * every true match survives the prune, and false positives are
+    * dropped by the exact equi-join that follows.
+    *
+    * Why it matters at 100 TB: the eval/corpus join keys on shingle
+    * hashes, and a LEFT OUTER join cannot broadcast its left
+    * (eval) side — Spark would shuffle ALL corpus shingles (~10¹²
+    * rows) to line them up against a few million eval shingles. The
+    * sketch rides the task closure instead, so ~99% of corpus
+    * shingles die in the scan stage and the shuffle carries only
+    * plausible matches. Same contract as Catalyst's own
+    * `InjectRuntimeFilter`, made explicit and composable. The two
+    * driver-side actions (count + sketch aggregate) run on the
+    * persisted benchmark-sized side only.
+    */
+  def txtContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shingled = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("g", explode(expr(
+        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
+          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
+          "& 9223372036854775807))")))
+      .select($"doc_id", $"g")
+    val eval = shingled.filter($"doc_id" % 29 === 0).persist()
+    val sketchBytes =
+      try {
+        val sketch = eval.stat.bloomFilter("g", math.max(eval.count(), 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        sketch.writeTo(bos); bos.toByteArray
+      } finally eval.unpersist() // sketch built; final plan recomputes the small side
+    val corpus = shingled.filter($"doc_id" % 29 =!= 0)
+      .select($"doc_id".as("corpus_doc"), $"g")
+      .filter(graft.functions.bloomMightContain(sketchBytes, $"g"))
+    eval.join(corpus, Seq("g"), "left_outer")
+      .groupBy($"doc_id", $"g")
+      .agg(countDistinct($"corpus_doc").as("nd"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when($"nd" > 0, 1)).as("n_contaminated"),
+           coalesce(sum($"nd"), lit(0L)).cast("long").as("n_corpus_matches"))
+  }
+
   /** Intra-document repetition profile (the Gopher/C4-style quality
     * gate): duplicate word-trigram and -bigram fractions per document.
     * A single narrow codegen pass — shingles are built, deduplicated,

@@ -556,3 +556,56 @@ case class CellSimPairs(child: Expression, minCos: Double)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_cell_sim_pairs"
 }
+
+/** Bloom-filter membership probe over a pre-built sketch: `sketch` is
+  * a BinaryType literal holding a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] (built driver-side
+  * from the SMALL side of a semi-join via `df.stat.bloomFilter`) and
+  * `value` is the LongType probe key. This is the runtime-filter /
+  * semi-join-reduction primitive: a few-MB sketch rides the closure
+  * to every executor and prunes the BIG side at scan time, before
+  * any shuffle — the pattern Spark's own `InjectRuntimeFilter` uses
+  * for shuffle joins, made explicit so it composes with arbitrary
+  * downstream plans. No false negatives, so exact operators built on
+  * it (prune → exact join) stay exact.
+  *
+  * The sketch deserializes once per executor (transient lazy), and
+  * codegen binds it as a referenced object — the probe itself is one
+  * `mightContainLong` call inside whole-stage codegen.
+  */
+case class BloomMightContain(sketch: Expression, value: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(sketch.foldable, "bloom sketch must be a literal")
+  override def left: Expression = sketch
+  override def right: Expression = value
+  override def dataType: DataType = BooleanType
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = sketch.eval(null).asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(b: Any, v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // only the probe side generates code; the sketch is bound as a
+    // reference object so the serialized bytes never enter the
+    // generated source
+    val f = ctx.addReferenceObj("graftBloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val vc = value.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      ${vc.code}
+      boolean ${ev.isNull} = ${vc.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) { ${ev.value} = $f.mightContainLong(${vc.value}); }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(sketch = l, value = r)
+  override def prettyName: String = "graft_bloom_might_contain"
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.text.TextAnalysis
+
+/** Layout operators: the Z-order key must actually cluster BOTH
+  * dimensions (that is its entire point vs a single-column sort),
+  * the mixture position must realize the configured source weights
+  * in every prefix, and the bloom-pruned contamination must be
+  * bit-identical to the exact operator while genuinely pruning.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  /** Chunk rows in `sortCol` order into groups of `chunk` (stand-ins
+    * for output files) and return the mean normalized per-chunk span
+    * of `dim` — 1.0 means every "file" spans the whole dimension
+    * (no pruning possible), small means min/max file stats prune.
+    */
+  private def meanSpan(df: org.apache.spark.sql.DataFrame,
+                       sortCol: String, dim: String, chunk: Int): Double = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(sortCol), $"doc_id")
+    val spans = df
+      .withColumn("file_id", ((row_number().over(w) - 1) / chunk).cast("long"))
+      .groupBy($"file_id")
+      .agg((max(col(dim)) - min(col(dim))).cast("double").as("span"))
+    val full = df.agg((max(col(dim)) - min(col(dim))).cast("double")).head.getDouble(0)
+    spans.agg(avg($"span")).head.getDouble(0) / full
+  }
+
+  test("z-order files stay narrow on BOTH dims; single-dim sort does not") {
+    val z = Layout.pipelineZorder(spark, sf).persist()
+    try {
+      val n = z.count()
+      val chunk = math.max(16, (n / 16).toInt)
+      // z-order: both dimensions' per-file spans well under the full range
+      val zLang = meanSpan(z, "zkey", "lang_code", chunk)
+      val zLen  = meanSpan(z, "zkey", "len_clip", chunk)
+      // length-only sort: perfect on length, useless on lang
+      val lLang = meanSpan(z, "len_clip", "lang_code", chunk)
+      val lLen  = meanSpan(z, "len_clip", "len_clip", chunk)
+      assert(zLang < 0.6 && zLen < 0.6,
+        s"z-order span fractions lang=$zLang len=$zLen — not clustering both dims")
+      assert(zLang < lLang * 0.75,
+        s"z-order lang span $zLang not better than length-sort's $lLang")
+      assert(lLen <= zLen,
+        s"sanity: single-dim sort must win on its own dim ($lLen vs $zLen)")
+    } finally z.unpersist()
+  }
+
+  test("mixture prefixes realize the configured weights, no shuffle in the plan") {
+    import spark.implicits._
+    val m = Layout.pipelineMixture(spark, sf).persist()
+    try {
+      val n = m.count()
+      val weights = Map("src0" -> 0.40, "src1" -> 0.25, "src2" -> 0.20,
+                        "src3" -> 0.10, "src4" -> 0.05)
+      // the mixture is an allowlist: only configured sources appear
+      val extra = m.filter(!$"source".isInCollection(weights.keys.toSeq)).count()
+      assert(extra == 0, s"$extra docs from sources outside the mixture spec")
+      // every prefix (here: half and a fifth of the stream) carries
+      // the sources in target proportion — the stride invariant
+      for (frac <- Seq(0.5, 0.2)) {
+        val k = (n * frac).toLong
+        val prefix = m.orderBy($"mix_pos", $"doc_id").limit(k.toInt)
+          .groupBy($"source").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        weights.foreach { case (s, w) =>
+          val got = prefix.getOrElse(s, 0L).toDouble / k
+          // 3σ binomial band around the target, floor 0.02 — small
+          // prefixes are legitimately noisy, bias is not
+          val tol = math.max(0.02, 3.0 * math.sqrt(w * (1 - w) / k))
+          assert(math.abs(got - w) < tol,
+            s"prefix $frac (k=$k): source $s at ${got} vs target $w ± $tol")
+        }
+      }
+      // the position assignment itself is a pure projection + broadcast
+      // join: no exchange anywhere in the plan
+      val plan = Layout.pipelineMixture(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") || plan.contains("BroadcastExchange"),
+        s"mixture plan shuffles:\n$plan")
+      assert(!plan.contains("ShuffleExchange"), s"mixture plan shuffles:\n$plan")
+    } finally m.unpersist()
+  }
+
+  test("bloom-pruned contamination == exact contamination, and it prunes") {
+    import spark.implicits._
+    val exact = TextAnalysis.txtContamination(spark, sf)
+      .orderBy($"doc_id").collect().toSeq
+    val bloom = TextAnalysis.txtContaminationBloom(spark, sf)
+      .orderBy($"doc_id").collect().toSeq
+    assert(exact == bloom, "bloom variant diverged from exact contamination")
+
+    // the sketch really prunes: corpus shingles surviving the filter
+    // are a small fraction of all corpus shingles (overlap + ~1% fp)
+    val shingled = graft.core.Tables.documents(spark, sf)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("g", explode(expr(
+        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
+          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
+          "& 9223372036854775807))")))
+      .select($"doc_id", $"g")
+    val eval = shingled.filter($"doc_id" % 29 === 0).persist()
+    val sketch = eval.stat.bloomFilter("g", math.max(eval.count(), 1L), 0.01)
+    eval.unpersist()
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos); bos.toByteArray }
+    val corpus = shingled.filter($"doc_id" % 29 =!= 0)
+    val total = corpus.count()
+    val kept = corpus
+      .filter(graft.functions.bloomMightContain(bytes, $"g")).count()
+    assert(kept < total / 2,
+      s"bloom kept $kept of $total corpus shingles — not pruning")
+  }
+
+  test("bloom sketch has no false negatives and a sane fp rate") {
+    import spark.implicits._
+    val members = (0L until 2000L).map(i => i * 2654435761L)
+    val sketch = members.toDF("v").stat.bloomFilter("v", 2000, 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos); bos.toByteArray }
+    val hits = members.toDF("v")
+      .filter(graft.functions.bloomMightContain(bytes, $"v")).count()
+    assert(hits == members.size, s"false negatives: $hits/${members.size}")
+    val strangers = (1L to 20000L).map(i => i * 7046029254386353131L + 13L)
+    val fps = strangers.toDF("v")
+      .filter(graft.functions.bloomMightContain(bytes, $"v")).count()
+    assert(fps < 1000, s"fp rate ${fps / 20000.0} way over the 1% target")
+  }
+}
