@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""Assemble a BENCH_SCALING artifact from two bench trace files.
+"""Assemble a BENCH_SCALING artifact from N bench trace files (N >= 2).
 
-Usage: python3 tools/mergescaling.py <trace_small> <trace_large> <out.json> [label_small label_large]
+Usage:
+  python3 tools/mergescaling.py out.json trace1 label1 trace2 label2 [trace3 label3 ...]
+
 Each trace is the [bench-seq] file Bench writes (SPARK_GRAFT_TRACE_OUT):
 one line per pass `idx pass sec s heap=N MB name`. Per query and SF the
-kept time is min over passes, matching the bench JSON. Labels default
-to sf0.1/sf1 (the per-round pair); pass e.g. `sf1 sf10` for the
-second-decade pair.
+kept time is min over passes, matching the bench JSON. Labels are the
+SF names in ascending size order (e.g. sf0.1 sf1 sf10); per-query
+ratios are emitted per adjacent pair, so a three-point artifact shows
+BOTH decades.
 """
 import sys, json, re
 
@@ -26,36 +29,41 @@ def times(path):
         best[name] = min(best.get(name, sec), sec)
     return best
 
-small, large, out = sys.argv[1], sys.argv[2], sys.argv[3]
-ls = sys.argv[4] if len(sys.argv) > 4 else "sf0.1"
-ll = sys.argv[5] if len(sys.argv) > 5 else "sf1"
-ts, tl = times(small), times(large)
-common = sorted(set(ts) & set(tl))
+argv = sys.argv[1:]
+if len(argv) < 5 or len(argv) % 2 == 0:
+    sys.exit(__doc__)
+out = argv[0]
+pairs = list(zip(argv[1::2], argv[2::2]))
+labels = [l for _, l in pairs]
+ts = {l: times(p) for p, l in pairs}
+common = sorted(set.intersection(*(set(t) for t in ts.values())))
 if not common:
-    sys.exit(f"no common queries between {small} and {large}")
+    sys.exit("no common queries across traces")
 queries = {}
 for name in common:
-    queries[name] = {
-        ls: round(ts[name], 2),
-        ll: round(tl[name], 2),
-        "ratio": round(tl[name] / ts[name], 2),
-    }
-tot_s = sum(ts[n] for n in queries)
-tot_l = sum(tl[n] for n in queries)
-ratios = sorted(q["ratio"] for q in queries.values())
+    row = {l: round(ts[l][name], 2) for l in labels}
+    for a, b in zip(labels, labels[1:]):
+        row[f"ratio_{b}/{a}"] = round(ts[b][name] / ts[a][name], 2)
+    queries[name] = row
 doc = {
-    "note": "min over passes per query per SF; single-run pair, "
-            "multi-second dedup queries vary +-25% run-to-run",
-    f"total_{ls}": round(tot_s, 2),
-    f"total_{ll}": round(tot_l, 2),
-    "total_ratio": round(tot_l / tot_s, 2),
-    "median_ratio": ratios[len(ratios) // 2],
-    "max_ratio": ratios[-1],
+    "note": "min over passes per query per SF; multi-second dedup "
+            "queries vary +-25% run-to-run",
     "n_queries": len(queries),
-    "queries": queries,
 }
+for l in labels:
+    doc[f"total_{l}"] = round(sum(ts[l][n] for n in common), 2)
+for a, b in zip(labels, labels[1:]):
+    key = f"{b}/{a}"
+    ratios = sorted(queries[n][f"ratio_{key}"] for n in common)
+    doc[f"total_ratio_{key}"] = round(doc[f"total_{b}"] / doc[f"total_{a}"], 2)
+    doc[f"median_ratio_{key}"] = ratios[len(ratios) // 2]
+    doc[f"max_ratio_{key}"] = ratios[-1]
+doc["queries"] = queries
 with open(out, "w") as f:
     json.dump(doc, f, indent=1, sort_keys=False)
-print(f"{out}: total {doc[f'total_{ls}']}s -> {doc[f'total_{ll}']}s "
-      f"({doc['total_ratio']}x), median {doc['median_ratio']}x, "
-      f"max {doc['max_ratio']}x over {len(queries)} queries")
+parts = [f"{l} {doc[f'total_{l}']}s" for l in labels]
+rat = [f"{b}/{a} {doc[f'total_ratio_{b}/{a}']}x (median "
+       f"{doc[f'median_ratio_{b}/{a}']}x, max {doc[f'max_ratio_{b}/{a}']}x)"
+       for a, b in zip(labels, labels[1:])]
+print(f"{out}: " + " -> ".join(parts) + " | " + "; ".join(rat) +
+      f" over {len(common)} queries")
