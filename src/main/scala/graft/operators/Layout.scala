@@ -97,6 +97,7 @@ object Layout {
       .groupBy($"source").agg(count(lit(1)).as("ns"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val total = counts.map(_._2).sum
+    require(total > 0, "no documents from any source in the mixture spec")
     val strides = spark.createDataFrame(
       counts.toSeq.flatMap { case (s, ns) =>
         wbp.get(s).map(w => (s, (10000000L * ns) / (w * total))) })

@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions._
   *    (more traffic over the same period), not a longer history.
   *  - `region`/`nation` stay fixed: they are bounded dimension tables
   *    at any SF (as in TPC-H).
+  *  - Output files are BOUNDED in rows-per-file. The first sf10 run
+  *    wrote `documents` as ONE file with ONE 500k-row row group —
+  *    parquet splits at row-group granularity, so every per-document
+  *    operator's scan (and its md5/minhash/shingle arithmetic, the
+  *    expensive part) serialized into a single task on a 32-core box
+  *    and read as a 30–80× "superlinear blowup" that was really the
+  *    DATA's layout. A writer at 100 TB must bound file/row-group
+  *    size for exactly this reason; the generator now repartitions
+  *    each table to a per-table rows-per-file budget before writing.
   *
   * Usage: runMain graft.tools.GenScale <inSfDir> <outDir> [copies=10]
   */
@@ -58,8 +67,20 @@ object GenScale {
     import spark.implicits._
     def in(name: String): DataFrame =
       spark.read.parquet(s"$inDir/$name.parquet")
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    // rows-per-file budgets (≈4–32 MB files): scan parallelism of the
+    // OUTPUT is files × row groups, so the write side must bound them
+    val rowsPerFile = Map(
+      "customer" -> 500000L, "supplier" -> 500000L, "part" -> 500000L,
+      "orders" -> 500000L, "lineitem" -> 2000000L, "events" -> 400000L,
+      "documents" -> 16000L, "embeddings" -> 8000L)
+    def write(df: DataFrame, name: String, expectedRows: Long = 0L): Unit = {
+      val sized = rowsPerFile.get(name)
+        .filter(_ => expectedRows > 0)
+        .map(rpf => df.repartition(
+          math.max(1L, (expectedRows + rpf - 1) / rpf).toInt))
+        .getOrElse(df)
+      sized.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    }
     // one stride per ENTITY, taken from its home table, so foreign
     // keys in fact tables shift consistently with their dimensions
     def stride(df: DataFrame, key: String): Long =
@@ -81,24 +102,28 @@ object GenScale {
         d.withColumn(k, col(k) + $"copy" * s)
       }
 
+    def cnt(name: String): Long = in(name).count()
     write(in("region"), "region")
     write(in("nation"), "nation")
     write(shifted(in("customer"), "c_custkey" -> custS).drop("copy"),
-      "customer")
+      "customer", cnt("customer") * copies)
     write(shifted(in("supplier"), "s_suppkey" -> suppS).drop("copy"),
-      "supplier")
-    write(shifted(in("part"), "p_partkey" -> partS).drop("copy"), "part")
+      "supplier", cnt("supplier") * copies)
+    write(shifted(in("part"), "p_partkey" -> partS).drop("copy"), "part",
+      cnt("part") * copies)
     write(shifted(in("orders"),
-        "o_orderkey" -> ordS, "o_custkey" -> custS).drop("copy"), "orders")
+        "o_orderkey" -> ordS, "o_custkey" -> custS).drop("copy"), "orders",
+      cnt("orders") * copies)
     write(shifted(in("lineitem"), "l_orderkey" -> ordS,
-        "l_partkey" -> partS, "l_suppkey" -> suppS).drop("copy"), "lineitem")
+        "l_partkey" -> partS, "l_suppkey" -> suppS).drop("copy"), "lineitem",
+      cnt("lineitem") * copies)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = in("events") // ts arrives as BIGINT nanos under the conf
     val userS = stride(ev, "user_id")
     val evS = stride(ev, "event_id")
     write(shifted(ev, "event_id" -> evS, "user_id" -> userS)
-      .drop("copy"), "events")
+      .drop("copy"), "events", ev.count() * copies)
 
     write(fanOut(in("documents"))
       .withColumn("doc_id", $"doc_id" + $"copy" * docS)
@@ -111,7 +136,7 @@ object GenScale {
             "filter(split(trim(text), ' +'), w -> w != ''), " +
             "w -> concat(w, '~', copy)), ' ')")))
       .withColumn("n_chars", length($"text"))
-      .drop("copy"), "documents")
+      .drop("copy"), "documents", cnt("documents") * copies)
 
     // label stride derived like every other key (max+1), not a fixed
     // literal: labels >= the literal would collide across copies and
@@ -124,6 +149,6 @@ object GenScale {
         "concat(slice(embedding, r + 1, 64 - r), slice(embedding, 1, r))"))
       .withColumn("label",
         ($"label" + $"copy" * labS).cast("int"))
-      .drop("copy", "r"), "embeddings")
+      .drop("copy", "r"), "embeddings", cnt("embeddings") * copies)
   }
 }

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Quiet-box three-point scaling run: sf0.1 -> sf1 -> sf10, two full
+# passes each (Bench keeps min per query), traces committed and merged
+# into BENCH_SCALING_r{N}.json. Run ONLY with nothing else on the box
+# (no DuckDB compare, no parallel sbt).
+set -e
+cd /root/repo
+R=${1:?round tag, e.g. r08}
+run () {
+  local dir=$1 label=$2 mem=$3
+  SPARK_DRIVER_MEM=$mem SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_PASSES=2 SPARK_GRAFT_TRACE=1 \
+  SPARK_GRAFT_TRACE_OUT=BENCH_TRACE_${label}_${R}.txt \
+  sbt -batch "runMain graft.Bench" > /tmp/bench_${label}_${R}.log 2>&1
+  grep '"metric"' /tmp/bench_${label}_${R}.log | tail -1
+}
+run /root/testdata/sf0.1      sf0.1 16g
+run /root/repo/bench-data/sf1 sf1   32g
+run /root/repo/bench-data/sf10 sf10 96g
+python3 tools/mergescaling.py BENCH_SCALING_${R}.json \
+  BENCH_TRACE_sf0.1_${R}.txt sf0.1 \
+  BENCH_TRACE_sf1_${R}.txt sf1 \
+  BENCH_TRACE_sf10_${R}.txt sf10
