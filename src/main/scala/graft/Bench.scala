@@ -55,8 +55,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       // persisted intermediates (minhash/simhash band relations) would
-      // otherwise accumulate in executor storage across ~100 queries
-      if (!noClear) spark.catalog.clearCache()
+      // otherwise accumulate in executor storage across ~100 queries.
+      // clearCache alone is NOT enough: localCheckpoint blocks (the
+      // fixpoint loops' lineage cuts) are pinned RDDs, not catalog
+      // cache, and only die when the driver GCs the RDD object —
+      // under a large -Xmx that can be never, and the sf10 run
+      // measured later heavy queries inflated ~5× by the storage +
+      // garbage residue. Between queries every block is dead by
+      // construction (the query's action completed), so drop them
+      // all and hint a GC so the next query starts clean.
+      if (!noClear) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       idx += 1
       // execution-order trace: position-dependent slowdowns (cleaner
