@@ -14,9 +14,11 @@ run () {
   sbt -batch "runMain graft.Bench" > /tmp/bench_${label}_${R}.log 2>&1
   grep '"metric"' /tmp/bench_${label}_${R}.log | tail -1
 }
-run /root/testdata/sf0.1      sf0.1 16g
-run /root/repo/bench-data/sf1 sf1   32g
-run /root/repo/bench-data/sf10 sf10 96g
+# moderate heaps on purpose: a 96g heap let garbage pile up between
+# GCs and inflated heavy queries even with the between-query hygiene
+run /root/testdata/sf0.1      sf0.1 8g
+run /root/repo/bench-data/sf1 sf1   16g
+run /root/repo/bench-data/sf10 sf10 48g
 python3 tools/mergescaling.py BENCH_SCALING_${R}.json \
   BENCH_TRACE_sf0.1_${R}.txt sf0.1 \
   BENCH_TRACE_sf1_${R}.txt sf1 \
