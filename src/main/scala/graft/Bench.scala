@@ -54,6 +54,12 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // stopwatch stops HERE, before the hygiene below: clearCache +
+      // unpersist + the GC hint are inter-query housekeeping, not part
+      // of the measured plan (round-8 verdict: timing them charged
+      // every query ~0.25 s of the PREVIOUS query's cleanup and faked
+      // a 63.5→96.4 s sf0.1 cross-round regression)
+      val sec = (System.nanoTime() - t0) / 1e9
       // persisted intermediates (minhash/simhash band relations) would
       // otherwise accumulate in executor storage across ~100 queries.
       // clearCache alone is NOT enough: localCheckpoint blocks (the
@@ -70,7 +76,6 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         System.gc()
       }
-      val sec = (System.nanoTime() - t0) / 1e9
       idx += 1
       // execution-order trace: position-dependent slowdowns (cleaner
       // backlog, GC pressure, a co-running process) are invisible in

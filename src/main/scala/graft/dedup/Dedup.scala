@@ -353,8 +353,22 @@ object Dedup {
     val gate = BigInt(spark.conf
       .get("spark.graft.incrementalBroadcastBytes", (256L << 20).toString)
       .toLong)
+    // A streaming micro-batch's plan is LogicalRDD-backed and has NO
+    // stats: Catalyst reports the spark.sql.defaultSizeInBytes
+    // sentinel (Long.MaxValue), which read naively would disable the
+    // designed BuildLeft broadcast for EVERY DedupIngest micro-batch
+    // (the batch tests only passed because their batch side was
+    // parquet-backed). On the sentinel, measure instead of trusting
+    // the estimate: count the band relation — an action over the
+    // increment, which the ingest path has already persisted, so the
+    // count doubles as the cache materialization — and bound bytes as
+    // rows × a conservative row width (doc_id 8 + 32-hex content_hash
+    // ~40 + band_idx 4 + band_hash 8 + row overhead « 128).
+    val statsSize = batchBands.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
     val batchIsSmall =
-      batchBands.queryExecution.optimizedPlan.stats.sizeInBytes <= gate
+      if (statsSize < sentinel) statsSize <= gate
+      else BigInt(batchBands.count()) * 128 <= gate
     def hinted(df: DataFrame): DataFrame =
       if (batchIsSmall) broadcast(df) else df
     val corpus = corpusBands.select($"band_idx", $"band_hash",

@@ -20,12 +20,14 @@ import org.apache.spark.sql.types._
   * Kafka wire format, closing the bridge gap next to
   * [[graft.streaming.KafkaBridge]]'s UTF-8 path.
   *
-  * Scope: flat record schemas over Spark's scalar types (string,
+  * Scope: record schemas over Spark's scalar types (string,
   * int/long, float/double, boolean, binary, timestamp as the
   * `timestamp-micros` logical type), nullable fields as
-  * `union(null, T)` — the shape message envelopes and interchange
-  * tables actually have. Nested/array schemas stay on parquet/ORC,
-  * the system-of-record formats.
+  * `union(null, T)`, plus ONE level of nesting: array-of-scalar,
+  * map<string, scalar> and struct-of-scalar fields — the
+  * `props`-style envelope shape Kafka messages actually carry
+  * (headers map, tags array, a small metadata struct). Deeper
+  * nesting stays on parquet/ORC, the system-of-record formats.
   *
   * Scale notes (100 TB): both directions are embarrassingly
   * parallel — the writer emits one container file per partition
@@ -45,7 +47,13 @@ object Avro {
     * nullables as `union(null, T)`).
     */
   def avroSchemaFor(schema: StructType, recordName: String = "row"): Schema = {
-    def base(dt: DataType): Schema = dt match {
+    def nullable(s: Schema, isNullable: Boolean): Schema =
+      if (isNullable)
+        Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+      else s
+    // depth 0 = top-level record fields; containers are admitted only
+    // there (one nesting level: their elements must be scalars)
+    def base(dt: DataType, depth: Int, name: String): Schema = dt match {
       case StringType => Schema.create(Schema.Type.STRING)
       case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
       case LongType => Schema.create(Schema.Type.LONG)
@@ -56,14 +64,23 @@ object Avro {
       case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
+      case ArrayType(et, containsNull) if depth == 0 =>
+        Schema.createArray(nullable(base(et, depth + 1, name), containsNull))
+      case MapType(StringType, vt, hasNullValues) if depth == 0 =>
+        Schema.createMap(nullable(base(vt, depth + 1, name), hasNullValues))
+      case st: StructType if depth == 0 =>
+        Schema.createRecord(s"${recordName}_$name", null, "graft", false,
+          st.fields.map { f =>
+            val t = nullable(base(f.dataType, depth + 1, s"${name}_${f.name}"), f.nullable)
+            new Schema.Field(f.name, t, null,
+              if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+          }.toList.asJava)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported type for Avro interchange: $other (use parquet/ORC)")
+          s"unsupported type for Avro interchange at depth $depth: $other (use parquet/ORC)")
     }
     val fields = schema.fields.map { f =>
-      val t = if (f.nullable)
-        Schema.createUnion(List(Schema.create(Schema.Type.NULL), base(f.dataType)).asJava)
-      else base(f.dataType)
+      val t = nullable(base(f.dataType, 0, f.name), f.nullable)
       new Schema.Field(f.name, t, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
@@ -77,7 +94,7 @@ object Avro {
         require(nonNull.size == 1, s"only union(null, T) supported: $s")
         (nonNull.head, true)
       } else (s, false)
-    def dt(s: Schema): DataType = s.getType match {
+    def dt(s: Schema, depth: Int): DataType = s.getType match {
       case Schema.Type.STRING => StringType
       case Schema.Type.INT => IntegerType
       case Schema.Type.LONG =>
@@ -88,25 +105,65 @@ object Avro {
       case Schema.Type.DOUBLE => DoubleType
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.BYTES => BinaryType
+      case Schema.Type.ARRAY if depth == 0 =>
+        val (inner, n) = unpack(s.getElementType)
+        ArrayType(dt(inner, depth + 1), n)
+      case Schema.Type.MAP if depth == 0 =>
+        val (inner, n) = unpack(s.getValueType)
+        MapType(StringType, dt(inner, depth + 1), n)
+      case Schema.Type.RECORD if depth == 0 =>
+        StructType(s.getFields.asScala.map { f =>
+          val (inner, n) = unpack(f.schema())
+          StructField(f.name(), dt(inner, depth + 1), n)
+        }.toSeq)
       case other =>
-        throw new IllegalArgumentException(s"unsupported Avro type: $other")
+        throw new IllegalArgumentException(
+          s"unsupported Avro type at depth $depth: $other")
     }
     StructType(schema.getFields.asScala.map { f =>
       val (inner, nullable) = unpack(f.schema())
-      StructField(f.name(), dt(inner), nullable)
+      StructField(f.name(), dt(inner, 0), nullable)
     }.toSeq)
   }
 
-  private def toAvroValue(v: Any): Any = v match {
-    case null => null
-    case t: java.sql.Timestamp =>
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    case i: java.time.Instant =>
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case s: Short => s.toInt
-    case b: Byte => b.toInt
-    case other => other
+  /** Resolve `union(null, T)` to its `T` branch (identity for
+    * non-union schemas) — the writers need the concrete container
+    * schema to build nested array/map/record values.
+    */
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  private def toAvroValue(v: Any, dt: DataType, schema0: Schema): Any = {
+    val schema = nonNullBranch(schema0)
+    (v, dt) match {
+      case (null, _) => null
+      case (t: java.sql.Timestamp, _) =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case (i: java.time.Instant, _) =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case (b: Array[Byte], _) => java.nio.ByteBuffer.wrap(b)
+      case (s: Short, _) => s.toInt
+      case (b: Byte, _) => b.toInt
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        seq.map(x => toAvroValue(x, et, schema.getElementType)).asJava
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        val out = new java.util.HashMap[String, Any](m.size)
+        m.foreach { case (k, x) =>
+          out.put(k.toString, toAvroValue(x, vt, schema.getValueType)) }
+        out
+      case (r: Row, st: StructType) =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < st.length) {
+          rec.put(i, toAvroValue(r.get(i), st(i).dataType,
+            schema.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case (other, _) => other
+    }
   }
 
   private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
@@ -119,6 +176,15 @@ object Avro {
     case (s: CharSequence, _) => s.toString
     case (b: java.nio.ByteBuffer, _) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (l: java.util.Collection[_], ArrayType(et, _)) =>
+      l.asScala.map(fromAvroValue(_, et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, x) =>
+        k.toString -> fromAvroValue(x, vt) }.toMap
+    case (rec: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
+        fromAvroValue(rec.get(i), f.dataType)
+      }.toSeq)
     case (other, _) => other
   }
 
@@ -140,10 +206,22 @@ object Avro {
     df.rdd.foreachPartition { rows =>
       val hconf = new org.apache.hadoop.conf.Configuration()
       hconf.set("fs.defaultFS", defaultFs)
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val schema = new Schema.Parser().parse(schemaJson)
-      val out = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-      val os = out.getFileSystem(hconf).create(out, true)
+      // task-commit protocol: write to an attempt-unique temp name,
+      // rename into place on success. Two attempts of the same task
+      // (retry, speculation) can run concurrently — writing the final
+      // name directly would interleave their bytes into one corrupt
+      // container that only fails at decode time. With the temp name
+      // each attempt owns its bytes; the rename is the commit, and a
+      // lost rename race means a twin already committed this
+      // partition's identical output.
+      val fin = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+      val tmp = new org.apache.hadoop.fs.Path(
+        path, f"part-$pid%05d.avro.${tc.taskAttemptId()}.tmp")
+      val tfs = tmp.getFileSystem(hconf)
+      val os = tfs.create(tmp, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
@@ -152,10 +230,17 @@ object Avro {
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < sparkSchema.length) {
-          rec.put(i, toAvroValue(row.get(i))); i += 1
+          rec.put(i, toAvroValue(row.get(i), sparkSchema(i).dataType,
+            schema.getFields.get(i).schema()))
+          i += 1
         }
         writer.append(rec)
       } finally writer.close()
+      if (!tfs.rename(tmp, fin)) {
+        tfs.delete(tmp, false)
+        if (!tfs.exists(fin))
+          throw new java.io.IOException(s"commit failed for $fin")
+      }
     }
   }
 
@@ -221,7 +306,8 @@ object Avro {
         val enc = EncoderFactory.get().binaryEncoder(buf, null)
         val rec = new GenericData.Record(schema)
         fieldIdx.zipWithIndex.foreach { case (src, dst) =>
-          rec.put(dst, toAvroValue(row.get(src)))
+          rec.put(dst, toAvroValue(row.get(src), payload(dst).dataType,
+            schema.getFields.get(dst).schema()))
         }
         writer.write(rec, enc); enc.flush()
         Row.fromSeq(keepIdx.map(row.get).toSeq :+ buf.toByteArray)

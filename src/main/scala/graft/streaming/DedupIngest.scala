@@ -67,7 +67,15 @@ object DedupIngest {
     import java.nio.file.{Files, Paths}
     val live = Paths.get(indexPath)
     val old = Paths.get(indexPath + ".old")
-    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    if (!Files.exists(live) && Files.exists(old)) {
+      // two readers can both observe the crashed window and race the
+      // move; the loser's exception means the winner healed it —
+      // treat a lost race as success if the live path now exists
+      try Files.move(old, live)
+      catch { case e: java.nio.file.FileSystemException =>
+        if (!Files.exists(live)) throw e
+      }
+    }
   }
 
   /** Fold the accumulated per-batch index partitions back into the

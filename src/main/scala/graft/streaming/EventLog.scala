@@ -69,7 +69,16 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     import java.nio.file.{Files, Paths}
     val live = Paths.get(dir)
     val old = Paths.get(dir + ".old")
-    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    if (!Files.exists(live) && Files.exists(old)) {
+      // concurrent readers can both observe the crashed window and
+      // race the move; the loser's exception means the winner already
+      // healed it — losing the race IS success, as long as the live
+      // path exists afterwards
+      try Files.move(old, live)
+      catch { case e: java.nio.file.FileSystemException =>
+        if (!Files.exists(live)) throw e
+      }
+    }
   }
 
   /** Committed high-water-mark (max offset) per partition. */
@@ -208,13 +217,21 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * (`maxMessages(10)` per 100 ms poll): consume at most
     * `maxMessages` messages, allocated across partitions in
     * proportion to their backlog (the same split Kafka's
-    * `maxOffsetsPerTrigger` makes), as a CONTIGUOUS offset prefix per
-    * partition so the commit stays a plain high-water-mark. Repeated
-    * polls drain the backlog in bounded steps — a consumer restarted
-    * after downtime processes the outage in `maxMessages`-sized
-    * batches instead of one unbounded one. The backlog sizing
-    * aggregate is metadata-sized (≤ P rows) and its scan prunes to
-    * uncommitted offsets, so the bound costs one cheap pre-pass.
+    * `maxOffsetsPerTrigger` makes), taking each partition's k
+    * SMALLEST uncommitted offsets. The cutoff is the k-th smallest
+    * offset actually present — NOT `committed + k` arithmetic, which
+    * assumed contiguous offsets and stalled forever when
+    * [[compactByKey]] left a gap wider than the allocation (the batch
+    * filtered to empty, nothing committed, every retry identical).
+    * The commit is the max offset actually taken ([[runPoll]]), so
+    * positions stay valid across compaction. Repeated polls drain the
+    * backlog in bounded steps — a consumer restarted after downtime
+    * processes the outage in `maxMessages`-sized batches instead of
+    * one unbounded one. Costs two metadata-sized pre-passes over the
+    * pruned uncommitted tail (sizing aggregate, then per-partition
+    * rank for the cutoffs — ≤ P rows collected each); the final batch
+    * predicate is plain `offset <= cutoff` per partition, which
+    * pushes to the parquet scan.
     */
   def poll(spark: SparkSession, groupId: String, maxMessages: Long)
           (handler: DataFrame => Unit): Long = {
@@ -240,10 +257,21 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
           alloc(p) += 1; left -= 1
         }
       }
-      val pred = alloc.filter(_._2 > 0).foldLeft(lit(false)) {
+      // cutoff per partition = its alloc(p)-th smallest uncommitted
+      // offset (row_number over the pruned tail; ≤ P rows collected)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("partition").orderBy("offset")
+      val rankPred = alloc.filter(_._2 > 0).foldLeft(lit(false)) {
         case (acc, (p, k)) =>
-          acc || (col("partition") === p &&
-            col("offset") <= lit(base.getOrElse(p, -1L) + k))
+          acc || (col("partition") === p && col("_rk") === lit(k))
+      }
+      val cutoffs = consume(spark, base).select("partition", "offset")
+        .withColumn("_rk", row_number().over(wr))
+        .filter(rankPred)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pred = cutoffs.foldLeft(lit(false)) {
+        case (acc, (p, cut)) =>
+          acc || (col("partition") === p && col("offset") <= lit(cut))
       }
       runPoll(consume(spark, base).filter(pred), groupId, base, handler)
     }

@@ -89,11 +89,53 @@ class AvroSpec extends AnyFunSuite {
       "envelope drifted through the Avro wire codec")
   }
 
-  test("unsupported nested types are rejected loudly, not mis-encoded") {
+  test("props-style envelope round-trips: array, map, and struct fields") {
     import spark.implicits._
-    val nested = spark.range(0, 3).select(array($"id", $"id" + 1).as("a"))
+    // the Kafka message shapes one nesting level buys: a headers map,
+    // a tags array, and a small metadata struct — alongside scalars
+    val df = spark.range(0, 120)
+      .select(
+        $"id",
+        concat(lit("#"), $"id").as("payload"),
+        array(concat(lit("t"), $"id" % 3), lit("all")).as("tags"),
+        map(lit("source"), concat(lit("s"), $"id" % 5),
+            lit("trace"), when($"id" % 4 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("tr-"), $"id"))).as("props"),
+        struct($"id".as("seq"),
+               ($"id" % 2 === 0).as("retained"),
+               concat(lit("v"), $"id" % 7).as("version")).as("meta"))
+    val dir = Files.createTempDirectory("graft-avro-nested").toString + "/n"
+    Avro.writeAvro(df, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.schema == df.schema,
+      s"nested schema drifted: ${back.schema} vs ${df.schema}")
+    // set-ops reject MAP columns — compare on sorted entry arrays
+    // (order-insensitive, exactly the map's semantics)
+    def cmp(d: org.apache.spark.sql.DataFrame) = d.select(
+      $"id", $"payload", $"tags",
+      array_sort(map_entries($"props")).as("props_e"), $"meta")
+    assert(cmp(back).exceptAll(cmp(df)).count() == 0 &&
+           cmp(df).exceptAll(cmp(back)).count() == 0,
+      "nested rows drifted through the container round trip")
+    // and through the single-record wire codec too
+    val wire = Avro.encodeRecords(df, Seq("payload", "tags", "props", "meta"))
+    val payloadSchema = StructType(Seq(
+      df.schema("payload"), df.schema("tags"),
+      df.schema("props"), df.schema("meta")))
+    val decoded = Avro.decodeRecords(wire, payloadSchema)
+      .select(df.columns.map(col).toSeq: _*)
+    assert(cmp(decoded).exceptAll(cmp(df)).count() == 0 &&
+           cmp(df).exceptAll(cmp(decoded)).count() == 0,
+      "nested envelope drifted through the Avro wire codec")
+  }
+
+  test("unsupported deep nesting is rejected loudly, not mis-encoded") {
+    import spark.implicits._
+    // one level is in scope; two (array inside a struct) is not
+    val deep = spark.range(0, 3)
+      .select(struct(array($"id", $"id" + 1).as("a")).as("s"))
     val e = intercept[IllegalArgumentException] {
-      Avro.avroSchemaFor(nested.schema)
+      Avro.avroSchemaFor(deep.schema)
     }
     assert(e.getMessage.contains("unsupported"))
   }

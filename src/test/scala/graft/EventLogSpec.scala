@@ -299,6 +299,40 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("g-bounded") == log.highWaterMarks(spark))
   }
 
+  test("bounded poll drains a compacted log with offset gaps (no stall)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bounded-gap").toString + "/event-stream"
+    val log = new EventLog(dir, numPartitions = 4)
+    // 3 generations of the same 100 keys: compaction keeps only the
+    // last generation, so every partition's surviving offsets START
+    // ~2/3 of the way up its range — a gap far wider than the poll
+    // allocation. The old `committed + k` arithmetic filtered such a
+    // batch to empty, committed nothing, and every retry was
+    // identical: a permanent silent stall with backlog remaining.
+    (0 until 3).foreach { g =>
+      log.produce(spark.range(0, 100)
+        .select($"id".cast("string").as("key"),
+                concat(lit(s"$g:"), $"id").as("payload")))
+    }
+    log.compactByKey(spark)
+    var polls = 0
+    var seen = Vector.empty[String]
+    var n = -1L
+    while (n != 0L) {
+      n = log.poll(spark, "g-gap", maxMessages = 30) { batch =>
+        seen = seen ++ batch.select($"payload").as[String].collect()
+      }
+      assert(n <= 30, s"poll exceeded the bound: $n")
+      if (n != 0) polls += 1
+      assert(polls <= 10, "bounded poll stalled on an offset gap")
+    }
+    // all 100 surviving records (latest generation), exactly once
+    assert(seen.sorted == (0 until 100).map(i => s"2:$i").sorted.toVector,
+      s"lost or duplicated messages across gaps: ${seen.size}")
+    assert(polls == 4, s"expected ceil(100/30)=4 bounded polls, got $polls")
+    assert(log.committed("g-gap") == log.highWaterMarks(spark))
+  }
+
   test("readStream maxFilesPerTrigger bounds each micro-batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mfpt").toString + "/event-stream"

@@ -80,12 +80,23 @@ class LayoutSpec extends AnyFunSuite {
         }
       }
       // the position assignment itself is a pure projection + broadcast
-      // join: no exchange anywhere in the plan
-      val plan = Layout.pipelineMixture(spark, sf)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange") || plan.contains("BroadcastExchange"),
-        s"mixture plan shuffles:\n$plan")
-      assert(!plan.contains("ShuffleExchange"), s"mixture plan shuffles:\n$plan")
+      // join: assert NO shuffle exchange node in the physical plan
+      // (typed collect, not string matching — Spark renders shuffles
+      // as "Exchange hashpartitioning(...)", so the old
+      // `contains("ShuffleExchange")` check could never fail)
+      val executed = Layout.pipelineMixture(spark, sf)
+        .queryExecution.executedPlan
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val shuffles = allNodes(executed).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"mixture plan has ${shuffles.size} shuffle(s):\n$executed")
     } finally m.unpersist()
   }
 
