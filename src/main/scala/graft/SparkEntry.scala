@@ -139,6 +139,7 @@ object SparkEntry {
                                  graft.similarity.Similarity.simPqRerank(s, d)),
     "sim_ivfpq_ann"        -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simIvfPqAnn(s, d)),
+    "sim_ivfpq_stored"     -> (graft.similarity.AnnIndex.simIvfPqStored _),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
@@ -157,7 +158,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the bloom-pruned variant is EXACT by construction (no false
     // negatives; false positives die in the equi-join) — same oracle
-    ("txt_contamination_bloom" -> oracleSqlBase("txt_contamination"))
+    ("txt_contamination_bloom" -> oracleSqlBase("txt_contamination")) +
+    // the stored-index query replays the identical IVFADC pipeline
+    // from the persisted artifacts (seeded on this corpus), so the
+    // recompute oracle is its oracle too
+    ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -1,0 +1,162 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF+PQ index — the build-once/search-many artifact the
+  * per-query [[Similarity.simIvfPqAnn]] path recomputes inline (the
+  * FAISS production contract: `train` + `add` build a stored index,
+  * queries touch only the index). Re-expresses the reference's
+  * durable-log-plus-consumers shape (joshlong-attic/spring-and-kafka,
+  * jc/DemoApplication.java:95-160) for the ANN family the way
+  * [[graft.streaming.DedupIngest]] already does for the band index.
+  *
+  * Artifact layout under `indexPath` (all parquet):
+  *   - `centroids/` — (cell, cv): coarse-quantizer cell centroids,
+  *     FROZEN at [[seed]] time
+  *   - `codebook/`  — (m, code, cv): per-subspace PQ sub-centroids,
+  *     FROZEN at [[seed]] time
+  *   - `codes/ingest_batch=N/` — (vec_id, label, m, code): M rows per
+  *     vector, the only part that grows; partitioned by append batch
+  *     so an at-least-once replay overwrites its own partition
+  *     (idempotent, same recovery story as DedupIngest decisions)
+  *
+  * The quantizers freeze at seed time because the sign-pattern encode
+  * ([[Similarity.signCodes]]) is corpus-independent: an appended
+  * vector's codes are identical whether the index was seeded before
+  * or after it arrived, so `seed(S); append(B)` holds exactly the
+  * same code rows as `seed(S ∪ B)` — only the trained means differ,
+  * and re-training those is the scheduled job, not the ingest path
+  * (spec-asserted in AnnIndexSpec). At 100 TB the index build is a
+  * batch job writing ~M bytes/vector (32× compression), appends are
+  * per-micro-batch parquet writes, and a query reads the two tiny
+  * frozen artifacts plus only the probed cells' codes.
+  */
+object AnnIndex {
+
+  private def centroidsPath(p: String) = p + "/centroids"
+  private def codebookPath(p: String) = p + "/codebook"
+  private def codesPath(p: String) = p + "/codes"
+
+  /** Build the index from a (vec_id, label, v: array&lt;double&gt;)
+    * corpus: train and persist the coarse centroids and the PQ
+    * codebook, and write the seed corpus's codes as the base
+    * partition (ingest_batch = -1, mirroring DedupIngest.seedIndex).
+    */
+  def seed(vecs: DataFrame, indexPath: String): Unit = {
+    // one pass trains both quantizer artifacts and emits the codes —
+    // persist the exploded subvectors once (pqEncode's pin)
+    val (subs, codebook, codes) = Similarity.pqEncode(vecs)
+    try {
+      Similarity.centroidsOf(vecs)
+        .write.mode("overwrite").parquet(centroidsPath(indexPath))
+      codebook.write.mode("overwrite").parquet(codebookPath(indexPath))
+      codes.withColumn("ingest_batch", lit(-1L))
+        .write.partitionBy("ingest_batch")
+        .mode("overwrite").parquet(codesPath(indexPath))
+    } finally subs.unpersist()
+  }
+
+  /** Append a batch of vectors to a seeded index: sign-pattern encode
+    * (codebook-free — see the class doc) and write the batch's code
+    * partition. Dynamic partition overwrite makes an at-least-once
+    * replay of the same `batchId` idempotent. The frozen quantizers
+    * are untouched — re-training them is the scheduled job.
+    */
+  def append(vecs: DataFrame, indexPath: String, batchId: Long): Unit =
+    Similarity.signCodes(vecs)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(codesPath(indexPath))
+
+  /** The stored code rows (vec_id, label, m, code, ingest_batch). */
+  def readCodes(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(codesPath(indexPath))
+
+  /** IVFADC query against the STORED artifacts only — no raw-vector
+    * read, no re-derivation: centroids → probe, codebook → broadcast
+    * ADC tables, probed cells' codes → score. Identical output to
+    * [[Similarity.simIvfPqAnn]] when the index was seeded on the same
+    * corpus (shared [[Similarity.adcTop5]] tail; spec-asserted).
+    */
+  def query(spark: SparkSession, indexPath: String, queries: DataFrame,
+            excludeSelf: Boolean = false, nprobe: Int = 5): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(centroidsPath(indexPath))
+    val codebook = spark.read.parquet(codebookPath(indexPath))
+    val codes = readCodes(spark, indexPath)
+      .select($"vec_id", $"label", $"m", $"code")
+    val probes = Similarity.probeFrom(centroids, queries, nprobe)
+    val lookups = codes
+      .join(broadcast(probes), $"label" === $"cell")
+      .join(broadcast(Similarity.pqAdcTables(queries, codebook)),
+        Seq("query_id", "m", "code"))
+    Similarity.adcTop5(Similarity.adcScore(lookups, excludeSelf))
+  }
+
+  /** The `sim_ivfpq_stored` bench/oracle entry: the default query set
+    * answered from the STORED index — seeded once per corpus under
+    * the JVM temp dir ([[ensureSeeded]]), then every run (and every
+    * bench pass past the first) touches only the artifacts. Output is
+    * identical to [[Similarity.simIvfPqAnn]]; the build/query split
+    * is the operator.
+    */
+  def simIvfPqStored(spark: SparkSession, sfDir: String): DataFrame =
+    query(spark, ensureSeeded(spark, sfDir),
+      Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
+
+  /** Seed-once per corpus: the index lives under the JVM temp dir
+    * keyed by (corpus path, corpus row count) — the count guards a
+    * stale artifact if the corpus dir is regenerated in place. The
+    * production twin of this helper is a real scheduled build job
+    * writing to a durable store path.
+    */
+  def ensureSeeded(spark: SparkSession, sfDir: String): String = {
+    val vecs = Similarity.vectors(spark, sfDir)
+    val n = vecs.count()
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(sfDir).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ann-index/${key}_$n"
+    val marker = new java.io.File(path, "_SEEDED")
+    if (!marker.exists()) {
+      seed(vecs, path)
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** Fold accumulated per-batch code partitions back into the base
+    * partition — the same small-file compaction as
+    * [[graft.streaming.DedupIngest.compactIndex]] (a long-lived
+    * ingest accretes one directory per micro-batch until scan
+    * planning dominates the probe join). Run between streaming
+    * queries, as the owner. Codes co-locate by cell (`label`) — the
+    * probe join's restriction key — in files of ~8M code rows.
+    */
+  def compactCodes(spark: SparkSession, indexPath: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val live = Paths.get(codesPath(indexPath))
+    val old = Paths.get(codesPath(indexPath) + ".old")
+    val tmp = Paths.get(codesPath(indexPath) + ".compacting")
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete)
+      finally walk.close()
+    }
+    rmTree(old); rmTree(tmp)
+    val codes = readCodes(spark, indexPath)
+      .select($"vec_id", $"label", $"m", $"code")
+    val nFiles = math.max(1, (codes.count() / 8000000L).toInt)
+    codes.withColumn("ingest_batch", lit(-1L))
+      .repartition(nFiles, $"label")
+      .write.partitionBy("ingest_batch").parquet(tmp.toString)
+    Files.move(live, old)
+    Files.move(tmp, live)
+    rmTree(old)
+  }
+}

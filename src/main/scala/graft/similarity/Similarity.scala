@@ -17,7 +17,7 @@ import graft.core.Tables
   */
 object Similarity {
 
-  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+  private[similarity] def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"), col("v"))
@@ -218,10 +218,33 @@ object Similarity {
   // plain element_at arithmetic — codegen'd. Normalizing the corpus
   // is unnecessary: positive scaling never flips a sign code, and
   // the score already divides by the reconstruction's norm.
-  private def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private[similarity] def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     (0 until 8).map(d => element_at(a, d + 1) * element_at(b, d + 1)).reduce(_ + _)
-  private def subSlices(v: org.apache.spark.sql.Column) =
+  private[similarity] def subSlices(v: org.apache.spark.sql.Column) =
     array((0 until 8).map(m => slice(v, m * 8 + 1, 8)): _*)
+
+  /** 8-bit sign-pattern PQ code of the `subv` column — intrinsic to
+    * the subvector (no codebook lookup), which is what makes encoding
+    * free AND corpus-independent: an appended vector's codes are the
+    * same whether the index was seeded before or after it arrived.
+    */
+  private[similarity] def signCodeExpr: org.apache.spark.sql.Column =
+    (0 until 8)
+      .map(d => when(element_at(col("subv"), d + 1) > 0d, 1 << d).otherwise(0))
+      .reduce(_ + _).cast("int")
+
+  /** Per-vector PQ codes of a (vec_id, label, v) frame: one row per
+    * (vec_id, subspace) with the 8-bit sign code, label carried for
+    * IVF cell restriction. The encode arm shared by [[pqEncode]] and
+    * the stored-index append path ([[AnnIndex.append]]).
+    */
+  private[similarity] def signCodes(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.withColumn("subvs", subSlices($"v"))
+      .select($"vec_id", $"label", posexplode($"subvs").as(Seq("m", "subv")))
+      .withColumn("code", signCodeExpr)
+      .select($"vec_id", $"label", $"m", $"code")
+  }
 
   /** PQ encode of a (vec_id, label, v) corpus: `subs` (persisted —
     * codes and codebook both reference it), the ≤ 256-entry-per-
@@ -233,11 +256,8 @@ object Similarity {
     * long-lived session can `unpersist()` the returned handle once
     * the derived frames are materialized.
     */
-  private def pqEncode(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[similarity] def pqEncode(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import vecs.sparkSession.implicits._
-    val signCode = (0 until 8)
-      .map(d => when(element_at($"subv", d + 1) > 0d, 1 << d).otherwise(0))
-      .reduce(_ + _).cast("int")
     // two consumers (codes, codebook) reference this subtree — persist
     // once instead of re-slicing the corpus per reference (the same
     // pin-the-edge-set pattern as minhash's band relation)
@@ -250,7 +270,7 @@ object Similarity {
       .select($"vec_id", $"label",
         posexplode($"subvs").as(Seq("m", "subv")))
       // 8-bit sign-pattern code per subvector (free encode, no search)
-      .withColumn("code", signCode)
+      .withColumn("code", signCodeExpr)
       .persist()
     // codebook: per (subspace, code) mean subvector — ≤ 256 entries
     // per subspace regardless of corpus size, broadcast. The mean is
@@ -276,7 +296,7 @@ object Similarity {
     * Query subvectors are sliced from the caller's `qv` directly, so
     * the query set need not exist in the corpus.
     */
-  private def pqAdcTables(queries: DataFrame, codebook: DataFrame): DataFrame = {
+  private[similarity] def pqAdcTables(queries: DataFrame, codebook: DataFrame): DataFrame = {
     import queries.sparkSession.implicits._
     queries
       .withColumn("subvs", subSlices($"qv"))
@@ -291,8 +311,8 @@ object Similarity {
   /** Sum a frame of per-(query, vec, subspace) ADC lookups into the
     * rounded cosine-ADC score per (query, vec).
     */
-  private def adcScore(lookups: DataFrame,
-                       excludeSelf: Boolean): DataFrame = {
+  private[similarity] def adcScore(lookups: DataFrame,
+                                   excludeSelf: Boolean): DataFrame = {
     import lookups.sparkSession.implicits._
     (if (excludeSelf) lookups.filter($"vec_id" =!= $"query_id")
      else lookups)
@@ -418,7 +438,16 @@ object Similarity {
       .join(broadcast(probes), $"label" === $"cell")
       .join(broadcast(pqAdcTables(queries, codebook)),
         Seq("query_id", "m", "code"))
-    adcScore(lookups, excludeSelf)
+    adcTop5(adcScore(lookups, excludeSelf))
+  }
+
+  /** Final top-5 projection over an [[adcScore]] frame — shared by
+    * [[simIvfPqAnn]] and [[AnnIndex.query]] so the recompute-per-query
+    * and stored-index paths emit byte-identical shapes.
+    */
+  private[similarity] def adcTop5(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(5)($"vec_id", $"rscore").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
@@ -434,14 +463,30 @@ object Similarity {
     * query touches. Output is queries × nprobe rows: broadcast-sized.
     */
   def probeCells(spark: SparkSession, sfDir: String, queries: DataFrame,
-                 nprobe: Int = 5): DataFrame = {
-    import spark.implicits._
-    val centroids = vectors(spark, sfDir)
+                 nprobe: Int = 5): DataFrame =
+    probeFrom(centroidsOf(vectors(spark, sfDir)), queries, nprobe)
+
+  /** Coarse-quantizer centroids of a (vec_id, label, v) corpus as a
+    * `(cell, cv)` frame — the trainable artifact [[AnnIndex.seed]]
+    * persists and [[probeFrom]] probes against.
+    */
+  private[similarity] def centroidsOf(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs
       .select($"label", posexplode($"v").as(Seq("dim", "x")))
       .groupBy($"label", $"dim").agg(avg($"x").as("m"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"dim", $"m"))).as("pairs"))
       .select($"label".as("cell"), expr("transform(pairs, p -> p.m)").as("cv"))
+  }
+
+  /** The probe against an explicit `(cell, cv)` centroid frame —
+    * recomputed per query in [[probeCells]], read from the stored
+    * artifact in [[AnnIndex.query]].
+    */
+  private[similarity] def probeFrom(centroids: DataFrame, queries: DataFrame,
+                                    nprobe: Int): DataFrame = {
+    import centroids.sparkSession.implicits._
     queries.join(broadcast(centroids))
       .withColumn("ccos", cosineSim($"qv", $"cv"))
       .withColumn("crank", row_number().over(

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{AnnIndex, Similarity}
+import graft.streaming.AnnIngest
+
+/** Persisted ANN index (round-8 verdict item 4+5): the stored IVFADC
+  * artifact must answer queries identically to the recompute-per-query
+  * operator, appends must be batching-invariant and corpus-independent
+  * (the frozen-quantizer contract), and the streaming ingest twin must
+  * leave exactly the batch-built index state at every prefix.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def vecs(): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.embeddings(spark, sf)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .select($"vec_id", $"label", $"v")
+  }
+
+  private def codeRows(idx: String) = {
+    import spark.implicits._
+    AnnIndex.readCodes(spark, idx)
+      .select($"vec_id", $"label", $"m", $"code")
+      .as[(Long, Long, Int, Int)].collect().toSet
+  }
+
+  private def assertSameResult(got: DataFrame, want: DataFrame,
+                               clue: String): Unit = {
+    assert(got.count() == want.count(), s"$clue: row counts differ")
+    assert(got.exceptAll(want).count() == 0 &&
+           want.exceptAll(got).count() == 0, s"$clue: results differ")
+  }
+
+  test("stored-index query == recompute-per-query simIvfPqAnn") {
+    val idx = Files.createTempDirectory("graft-ann").toString + "/index"
+    AnnIndex.seed(vecs(), idx)
+    val got = AnnIndex.query(spark, idx,
+      Similarity.defaultQueries(spark, sf), excludeSelf = true)
+    val want = Similarity.simIvfPqAnn(spark, sf)
+    assertSameResult(got, want, "stored vs recompute")
+    // the query path reads ONLY the stored artifacts: it must work
+    // with the raw corpus gone (the build/query split IS the operator)
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("query_id", "neighbor_id", "rank", "approx_score"))
+  }
+
+  test("appends are batching-invariant and codes corpus-independent") {
+    import spark.implicits._
+    val all = vecs()
+    val seedPart = all.filter($"vec_id" % 4 =!= 0)
+    val b1 = all.filter($"vec_id" % 8 === 0)
+    val b2 = all.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 =!= 0)
+    assert(b1.count() > 0 && b2.count() > 0)
+
+    val root = Files.createTempDirectory("graft-ann-append").toString
+    // grown two ways: two appends vs one
+    AnnIndex.seed(seedPart, s"$root/a")
+    AnnIndex.append(b1, s"$root/a", 0)
+    AnnIndex.append(b2, s"$root/a", 1)
+    AnnIndex.seed(seedPart, s"$root/b")
+    AnnIndex.append(b1.union(b2), s"$root/b", 0)
+    assert(codeRows(s"$root/a") == codeRows(s"$root/b"),
+      "append batching changed the stored codes")
+    // sign codes are corpus-independent: the grown index holds exactly
+    // the code rows a from-scratch seed of the full corpus would
+    // (only the trained means differ — re-training is the scheduled
+    // job, not the ingest path)
+    AnnIndex.seed(all, s"$root/c")
+    assert(codeRows(s"$root/a") == codeRows(s"$root/c"),
+      "grown codes differ from a from-scratch build")
+    // same frozen quantizers + same codes → identical query answers
+    val q = Similarity.defaultQueries(spark, sf)
+    assertSameResult(
+      AnnIndex.query(spark, s"$root/a", q, excludeSelf = true),
+      AnnIndex.query(spark, s"$root/b", q, excludeSelf = true),
+      "batching-dependent query answers")
+  }
+
+  test("streamed ingest == batch-appended index at each prefix; replay idempotent") {
+    import spark.implicits._
+    val all = vecs()
+    val seedPart = all.filter($"vec_id" % 4 =!= 0)
+    val b1 = all.filter($"vec_id" % 8 === 0)
+    val b2 = all.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 =!= 0)
+
+    val root = Files.createTempDirectory("graft-ann-stream").toString
+    val (inDir, idx, ckpt) = (s"$root/in", s"$root/index", s"$root/ckpt")
+    AnnIndex.seed(seedPart, idx)
+    val seedRows = AnnIndex.readCodes(spark, idx).count()
+    assert(seedRows == seedPart.count() * 8) // 8 code rows per vector
+
+    // batch twin grown with the same prefixes
+    AnnIndex.seed(seedPart, s"$root/twin")
+
+    b1.coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val q1 = AnnIngest.start(
+      spark.readStream.schema(schema).parquet(inDir), idx, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    AnnIndex.append(b1, s"$root/twin", 0)
+    assert(codeRows(idx) == codeRows(s"$root/twin"),
+      "streamed state diverged from batch append after batch 1")
+
+    // replay: a second stream over the SAME input with a fresh
+    // checkpoint re-runs micro-batch 0 (the post-crash recovery
+    // shape: sink committed, checkpoint didn't) — dynamic partition
+    // overwrite rewrites identical rows, never double-appends
+    val rows = AnnIndex.readCodes(spark, idx).count()
+    val q2 = AnnIngest.start(
+      spark.readStream.schema(schema).parquet(inDir), idx, s"$root/ckpt2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(AnnIndex.readCodes(spark, idx).count() == rows,
+      "replay double-appended code rows")
+
+    // resume from the ORIGINAL checkpoint: new data arrives as the
+    // next micro-batch and only that batch is processed
+    b2.coalesce(1).write.mode("append").parquet(inDir)
+    val q3 = AnnIngest.start(
+      spark.readStream.schema(schema).parquet(inDir), idx, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    AnnIndex.append(b2, s"$root/twin", 1)
+    assert(codeRows(idx) == codeRows(s"$root/twin"),
+      "streamed state diverged from batch append after batch 2")
+
+    // queries against the streamed index == the full-corpus stored
+    // answer (same frozen quantizers? no — the twin froze on seedPart;
+    // assert against the twin, the like-for-like comparison)
+    assertSameResult(
+      AnnIndex.query(spark, idx, Similarity.defaultQueries(spark, sf),
+        excludeSelf = true),
+      AnnIndex.query(spark, s"$root/twin", Similarity.defaultQueries(spark, sf),
+        excludeSelf = true),
+      "streamed-index query answers")
+  }
+
+  test("code compaction folds batch partitions, preserves rows, answers unchanged") {
+    import spark.implicits._
+    val all = vecs()
+    val seedPart = all.filter($"vec_id" % 4 =!= 0)
+    val b1 = all.filter($"vec_id" % 4 === 0)
+    val root = Files.createTempDirectory("graft-ann-compact").toString
+    val idx = s"$root/index"
+    AnnIndex.seed(seedPart, idx)
+    AnnIndex.append(b1, idx, 0)
+    val before = codeRows(idx)
+    val beforeAnswer = AnnIndex.query(spark, idx,
+      Similarity.defaultQueries(spark, sf), excludeSelf = true)
+      .collect().toSet
+    AnnIndex.compactCodes(spark, idx)
+    assert(codeRows(idx) == before, "compaction lost or mutated code rows")
+    assert(AnnIndex.readCodes(spark, idx)
+      .select($"ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L),
+      "compaction left non-base partitions")
+    assert(AnnIndex.query(spark, idx,
+      Similarity.defaultQueries(spark, sf), excludeSelf = true)
+      .collect().toSet == beforeAnswer, "compaction changed query answers")
+  }
+}
