@@ -1,0 +1,27 @@
+#!/bin/bash
+# sf10 oracle spot-gate (round-8 verdict item 6): hash-compare a
+# tractable subset of queries at sf10 to guard against scale-dependent
+# correctness drift (integer overflow, float accumulation order).
+# Subset = cheap-output aggregates / top-ks over the big fact tables —
+# NOT the dedup/minhash family, whose DuckDB replay is interpreted
+# HUGEINT arithmetic (the full sf0.1 compare already costs ~2 h).
+# Run AFTER any bench, never alongside one (DuckDB takes all cores).
+set -e
+cd /root/repo
+R=${1:?round tag, e.g. r09}
+SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q6_forecast_revenue,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q_conditional_agg,q_distinct,q_having,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist"
+OUT=/tmp/verify_sf10_${R}
+SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
+  sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
+  > /tmp/verify_sf10_${R}.log 2>&1
+# Verify dumps the FULL oracle map; prune to the subset so the
+# artifact reports only what actually ran
+python3 - "$OUT" "$SUBSET" <<'EOF'
+import json, sys
+out, subset = sys.argv[1], set(sys.argv[2].split(","))
+p = f"{out}/oracle_sql.json"
+d = {k: v for k, v in json.load(open(p)).items() if k in subset}
+json.dump(d, open(p, "w"), indent=1)
+EOF
+python3 tools/localverify.py /root/repo/bench-data/sf10 $OUT \
+  CORRECTNESS_SF10_${R}.json
