@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for experiments, e.g. a -Dspark.graft.* conf knob
+  // (spark.* system properties land in the session conf automatically)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.trim.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

@@ -59,14 +59,24 @@ object Dedup {
     * similarity-join trade. The [[graft.plans.JaccardLengthPruning]]
     * rule still injects the size prefilter ahead of each merge scan.
     *
-    * Caveat (measured): when the vocabulary is tiny relative to the
-    * corpus (the synthetic test corpus draws from ~31 words), NO
-    * lossless blocking discriminates — every "rare" token still has
-    * df ≈ N/vocab and candidates degenerate toward within-source
-    * all-pairs for any scheme; prefix filtering then matches the
-    * brute bound (~2× the size-bucket constant at sf0.1) while
-    * winning 10× on natural Zipfian vocabularies (sf1 scaling bench:
-    * 154 s → 14.6 s).
+    * Caveat (measured, re-measured at sf10): when the vocabulary is
+    * tiny relative to the corpus (the synthetic test corpus draws
+    * from ~31 words; word-set sizes span just 6–31), NO lossless
+    * blocking discriminates — every "rare" token still has df ≈
+    * N/vocab and candidates degenerate toward within-source
+    * all-pairs for any scheme. At sf10 that is 224M candidate-join
+    * rows for a 4.8M-pair output (output itself exactly linear, 10×
+    * sf1's 482k pairs), the whole 29.6× decade ratio in the r09
+    * scaling bench. The alternatives were measured, not guessed:
+    * an AllPairs length-bucket JOIN KEY (log-width 10/9, adjacent-
+    * bucket probe) cuts candidates only 1.9× here because sizes
+    * span 16 near-uniform buckets — while tripling one join side;
+    * reverted. Prefix filtering wins 10× on natural Zipfian
+    * vocabularies (sf1 scaling bench: 154 s → 14.6 s) and is the
+    * right production algorithm; a corpus that defeats ALL content
+    * blocking is served by the linear-output decision twins
+    * [[dedupMinhash]]/[[dedupComponents]] (2.7×/3.1× at the same
+    * decade).
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

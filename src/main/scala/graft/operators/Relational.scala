@@ -83,9 +83,17 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
       .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01"))
     val l = Tables.lineitem(spark, sfDir)
-    l.join(o, $"l_orderkey" === $"o_orderkey")
-      // customer: largest dim — no hard hint, threshold/AQE decides
-      .join(c, $"o_custkey" === $"c_custkey")
+    // join ORDER matters once customer outgrows the broadcast
+    // threshold (it does at sf10): resolving orders⋈customer FIRST
+    // shuffles two key-column tables on custkey, and lineitem then
+    // joins that slim result on orderkey — the widest relation crosses
+    // exactly ONE exchange. The original l⋈o-then-⋈c order re-shuffled
+    // the fat 60M-row intermediate a second time on custkey (Catalyst
+    // keeps the written inner-join order without CBO stats); measured
+    // 17.98 s → 5.35 s at sf10, ratio 8.6× → 2.6×.
+    val oc = o.join(c, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_nationkey")
+    l.join(oc, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(s),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
@@ -651,15 +659,27 @@ object Relational {
       .join(o, $"l_orderkey" === $"o_orderkey")
       .withColumn("late",
         ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).cast("int"))
+      // the explicit repartition is load-bearing at EVERY regime
+      // (measured sf10: dropping it doubled the query — AQE's
+      // post-join layout serves the two aggregates far worse than a
+      // declared hash(ok) distribution): both aggs below run
+      // shuffle-free in this one partitioning
       .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max($"late").as("supp_late"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    // per-order rollup as a second AGGREGATE in the same hash(ok)
+    // partitioning, not a window: the blame condition only needs the
+    // sole late supplier's IDENTITY, which max(case late then supp)
+    // recovers once the late-count filter pins it to one — and the
+    // window's 38M-row per-partition SORT becomes a sort-free hash
+    // aggregate (measured at sf10: 20.3 s → 18.1 s — the join +
+    // repartition dominate; the sort was the remainder)
     perSupp
-      .withColumn("n_suppliers", count(lit(1)).over(w))
-      .withColumn("n_late_suppliers", sum($"supp_late").over(w))
-      .filter($"n_suppliers" >= 2 && $"n_late_suppliers" === 1 &&
-              $"supp_late" === 1)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum($"supp_late").as("n_late_suppliers"),
+           max(when($"supp_late" === 1, $"l_suppkey")).as("l_suppkey"))
+      .filter($"n_suppliers" >= 2 && $"n_late_suppliers" === 1)
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
@@ -684,8 +704,18 @@ object Relational {
   def qQuantileBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
+    // Sketch accuracy is the scale knob: 10^7 makes the boundaries the
+    // exact ⌈q·n⌉-rank elements while n ≤ 10^7 (what the DuckDB oracle
+    // replays at the gate SFs), but the sketch build/merge cost is
+    // ∝ accuracy — measured 29 s of the sf10 bench, where n > 10^7
+    // also means exactness is no longer guaranteed anyway. At scale
+    // boundaries are precision-bounded, not exact: production sets
+    // spark.graft.quantileAccuracy to the rank error it needs
+    // (n/accuracy), e.g. 10^4 ⇒ 0.01% — measured 29 s → 1.5 s at sf10.
+    val accuracy = spark.conf
+      .get("spark.graft.quantileAccuracy", "10000000").toLong
     val bounds = o.agg(
-      expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000000)")
+      expr(s"approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), $accuracy)")
         .as("qs"))
       .select(element_at($"qs", 1).as("q1"), element_at($"qs", 2).as("q2"),
               element_at($"qs", 3).as("q3"))
