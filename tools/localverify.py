@@ -20,7 +20,24 @@ report = {}
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # driver testdata tables are single files; GenScale bench data is
+    # a Spark-written DIRECTORY of part files — glob in that case
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    if t == "events":
+        # driver testdata stores ts as TIMESTAMP(NANOS); GenScale
+        # bench data stores the Spark-side representation (BIGINT
+        # nanos). Normalize the view to what the Spark side computes:
+        # timestamp_micros(ts div 1000), integer division
+        (ts_type,) = [r[1] for r in con.execute(
+            "DESCRIBE events").fetchall() if r[0] == "ts"]
+        if ts_type == "BIGINT":
+            con.execute("DROP VIEW events")
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
