@@ -71,7 +71,13 @@ object Dedup {
     * an AllPairs length-bucket JOIN KEY (log-width 10/9, adjacent-
     * bucket probe) cuts candidates only 1.9× here because sizes
     * span 16 near-uniform buckets — while tripling one join side;
-    * reverted. Prefix filtering wins 10× on natural Zipfian
+    * reverted. Identical-set collapse (dedupe exact word sets to
+    * representatives before the candidate join, the standard
+    * exact-before-fuzzy production trick) was also measured and
+    * rejected: 92–97% of documents have DISTINCT (source, word-set)
+    * at sf0.01/sf0.1 — the near-dup clusters are distinct-but-
+    * similar sets, so the collapse shrinks the candidate stage <10%.
+    * Prefix filtering wins 10× on natural Zipfian
     * vocabularies (sf1 scaling bench: 154 s → 14.6 s) and is the
     * right production algorithm; a corpus that defeats ALL content
     * blocking is served by the linear-output decision twins
@@ -79,6 +85,25 @@ object Dedup {
     * decade).
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (r, cands) = ngramCandidates(spark, sfDir)
+    cands
+      .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
+        Seq("doc_id_1"))
+      .join(r.select($"doc_id".as("doc_id_2"), $"wset".as("w2")),
+        Seq("doc_id_2"))
+      .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
+      .filter($"jaccard" >= 0.9)
+      .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
+  }
+
+  /** Candidate stage of [[dedupNgram]], split out so the scaling
+    * probe (tools/ProbeNgram) can time candidates vs verify
+    * separately. Returns (pinned doc+prefix relation, candidate id
+    * pairs).
+    */
+  private[graft] def ngramCandidates(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val d = withWordSet(Tables.documents(spark, sfDir))
       // sort once per doc so the pairwise step is a merge scan
@@ -117,14 +142,7 @@ object Dedup {
               least($"s1", $"s2").cast("double") >=
                 lit(0.9) * greatest($"s1", $"s2"))
       .select($"doc_id_1", $"doc_id_2").distinct()
-    cands
-      .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
-        Seq("doc_id_1"))
-      .join(r.select($"doc_id".as("doc_id_2"), $"wset".as("w2")),
-        Seq("doc_id_2"))
-      .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
-      .filter($"jaccard" >= 0.9)
-      .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
+    (r, cands)
   }
 
   /** (doc_id, band_idx, band_hash) minhash LSH band relation — the
