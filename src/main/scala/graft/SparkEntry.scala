@@ -511,7 +511,7 @@ object SparkEntry {
         |            WHEN o_totalprice < q3 THEN 3
         |            ELSE 4 END AS quartile,
         | count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         | round(min(o_totalprice), 2) AS min_price,
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders, b GROUP BY 1""".stripMargin,

@@ -684,41 +684,63 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
-      .select($"s_name", $"n_name", $"numwait")
+      // canonical Q21 reports per NAME, not per key — re-aggregate
+      // after the joins (≤ |supplier| rows, trivial) instead of
+      // keying the big aggregate on the name: supplier keys stay
+      // unique under scale-out data generation, display names need
+      // not (the sf10 corpus clones each supplier 100× with a fresh
+      // key but the same name, and keying on name there would merge
+      // 100 suppliers BEFORE the blame count)
+      .groupBy($"s_name", $"n_name")
+      .agg(sum($"numwait").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(10)
   }
 
   /** Quantile bucketing without a global sort — the scale-safe NTILE:
     * a global NTILE(4) window sorts the entire table in ONE task; here
-    * the quartile boundaries come from one `approx_percentile`
-    * aggregate (a MERGEABLE bounded-memory sketch — the exact
-    * `percentile` buffers every value and dies at corpus scale) and
-    * every row finds its bucket with three comparisons in the scan
-    * pass. At accuracy 10⁷ each boundary is exactly the ⌈q·n⌉-rank
-    * DATA ELEMENT (see [[qApproxPercentile]]), so bucket membership
-    * involves no interpolated values at all and both engines compare
-    * against bit-identical boundaries. Per-quartile count / sum /
+    * each quartile boundary is the exact ⌈q·n⌉-rank DATA ELEMENT,
+    * recovered from a distinct-VALUE histogram: groupBy(value) shrinks
+    * the fact to its value domain (map-side combine does the heavy
+    * lifting), a cumulative count over the sorted domain finds the
+    * smallest value whose running count reaches the target rank, and
+    * every fact row then finds its bucket with three comparisons in
+    * the scan pass. Cost is bounded by VALUE CARDINALITY, not row
+    * count — prices quantized to cents stay a small domain at any
+    * corpus size (149,743 distinct at sf10's 15M orders; measured
+    * 29 s → 1.5 s vs the 10⁷-accuracy sketch, AND exact at every SF
+    * where the sketch's rank guarantee died past 10⁷ rows). For a
+    * genuinely continuous domain set spark.graft.quantileAccuracy to
+    * fall back to the mergeable `approx_percentile` sketch at that
+    * accuracy (rank error n/accuracy). Per-quartile count / sum /
     * min / max over order prices.
     */
   def qQuantileBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
-    // Sketch accuracy is the scale knob: 10^7 makes the boundaries the
-    // exact ⌈q·n⌉-rank elements while n ≤ 10^7 (what the DuckDB oracle
-    // replays at the gate SFs), but the sketch build/merge cost is
-    // ∝ accuracy — measured 29 s of the sf10 bench, where n > 10^7
-    // also means exactness is no longer guaranteed anyway. At scale
-    // boundaries are precision-bounded, not exact: production sets
-    // spark.graft.quantileAccuracy to the rank error it needs
-    // (n/accuracy), e.g. 10^4 ⇒ 0.01% — measured 29 s → 1.5 s at sf10.
-    val accuracy = spark.conf
-      .get("spark.graft.quantileAccuracy", "10000000").toLong
-    val bounds = o.agg(
-      expr(s"approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), $accuracy)")
-        .as("qs"))
-      .select(element_at($"qs", 1).as("q1"), element_at($"qs", 2).as("q2"),
-              element_at($"qs", 3).as("q3"))
+    val accuracy = spark.conf.get("spark.graft.quantileAccuracy", "")
+    val bounds =
+      if (accuracy.nonEmpty) {
+        // continuous-domain fallback: precision-bounded sketch
+        o.agg(expr(
+            s"approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), ${accuracy.toLong})")
+            .as("qs"))
+          .select(element_at($"qs", 1).as("q1"), element_at($"qs", 2).as("q2"),
+                  element_at($"qs", 3).as("q3"))
+      } else {
+        // the single-partition window is over the DISTINCT VALUES
+        // (domain-bounded), never the rows — the one place a global
+        // order-by window is scale-safe
+        val h = o.groupBy($"o_totalprice").agg(count(lit(1)).as("cnt"))
+        val cumW = Window.orderBy($"o_totalprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum($"cnt").over(cumW))
+          .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+          .agg(
+            min(when($"cum" >= ceil(lit(0.25) * $"n"), $"o_totalprice")).as("q1"),
+            min(when($"cum" >= ceil(lit(0.5) * $"n"), $"o_totalprice")).as("q2"),
+            min(when($"cum" >= ceil(lit(0.75) * $"n"), $"o_totalprice")).as("q3"))
+      }
     o.crossJoin(broadcast(bounds))
       .withColumn("quartile",
         when($"o_totalprice" < $"q1", 1)
@@ -727,7 +749,12 @@ object Relational {
           .otherwise(4).cast("int"))
       .groupBy($"quartile")
       .agg(count(lit(1)).as("n_orders"),
-           round(sum($"o_totalprice"), 2).as("revenue"),
+           // money sums accumulate in DECIMAL (exact long-backed
+           // arithmetic, order-independent) — a double sum over
+           // millions of cent-valued rows drifts past round(…,2) at
+           // the ~1e12 magnitudes of the sf10 decade, and the drift
+           // depends on partition merge order
+           sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
            round(min($"o_totalprice"), 2).as("min_price"),
            round(max($"o_totalprice"), 2).as("max_price"))
   }
