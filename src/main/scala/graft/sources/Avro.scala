@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
   * Scope: record schemas over Spark's scalar types (string,
   * int/long, float/double, boolean, binary, timestamp as the
   * `timestamp-micros` logical type), nullable fields as
-  * `union(null, T)`, plus ONE level of nesting: array-of-scalar,
-  * map<string, scalar> and struct-of-scalar fields — the
-  * `props`-style envelope shape Kafka messages actually carry
-  * (headers map, tags array, a small metadata struct). Deeper
-  * nesting stays on parquet/ORC, the system-of-record formats.
+  * `union(null, T)`, and arbitrarily nested containers — arrays,
+  * `map<string, T>`, and structs compose to any depth (the
+  * `props`-envelope, array-of-record event-batch, and
+  * struct-in-struct metadata shapes Kafka messages actually carry).
+  * Nested record names stay unique by carrying the field path.
+  * Unions beyond `union(null, T)`, non-string map keys, and Avro
+  * fixed/enum stay out of scope — parquet/ORC remain the
+  * system-of-record formats.
   *
   * Scale notes (100 TB): both directions are embarrassingly
   * parallel — the writer emits one container file per partition
@@ -51,8 +54,9 @@ object Avro {
       if (isNullable)
         Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
       else s
-    // depth 0 = top-level record fields; containers are admitted only
-    // there (one nesting level: their elements must be scalars)
+    // containers recurse to any depth (array-of-record envelopes,
+    // map-of-struct props, …); record names stay unique because the
+    // field PATH is threaded through `name`
     def base(dt: DataType, depth: Int, name: String): Schema = dt match {
       case StringType => Schema.create(Schema.Type.STRING)
       case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
@@ -64,11 +68,11 @@ object Avro {
       case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
-      case ArrayType(et, containsNull) if depth == 0 =>
+      case ArrayType(et, containsNull) =>
         Schema.createArray(nullable(base(et, depth + 1, name), containsNull))
-      case MapType(StringType, vt, hasNullValues) if depth == 0 =>
+      case MapType(StringType, vt, hasNullValues) =>
         Schema.createMap(nullable(base(vt, depth + 1, name), hasNullValues))
-      case st: StructType if depth == 0 =>
+      case st: StructType =>
         Schema.createRecord(s"${recordName}_$name", null, "graft", false,
           st.fields.map { f =>
             val t = nullable(base(f.dataType, depth + 1, s"${name}_${f.name}"), f.nullable)
@@ -105,13 +109,13 @@ object Avro {
       case Schema.Type.DOUBLE => DoubleType
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.BYTES => BinaryType
-      case Schema.Type.ARRAY if depth == 0 =>
+      case Schema.Type.ARRAY =>
         val (inner, n) = unpack(s.getElementType)
         ArrayType(dt(inner, depth + 1), n)
-      case Schema.Type.MAP if depth == 0 =>
+      case Schema.Type.MAP =>
         val (inner, n) = unpack(s.getValueType)
         MapType(StringType, dt(inner, depth + 1), n)
-      case Schema.Type.RECORD if depth == 0 =>
+      case Schema.Type.RECORD =>
         StructType(s.getFields.asScala.map { f =>
           val (inner, n) = unpack(f.schema())
           StructField(f.name(), dt(inner, depth + 1), n)
@@ -245,7 +249,7 @@ object Avro {
   }
 
   /** Read a [[writeAvro]] directory (or any directory of Avro
-    * container files sharing one flat schema). One file = one task:
+    * container files sharing one schema). One file = one task:
     * the `binaryFile` source hands each container to its decoder
     * whole, schema taken from the first file's header.
     */

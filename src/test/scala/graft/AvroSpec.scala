@@ -129,13 +129,60 @@ class AvroSpec extends AnyFunSuite {
       "nested envelope drifted through the Avro wire codec")
   }
 
-  test("unsupported deep nesting is rejected loudly, not mis-encoded") {
+  test("deep nesting round-trips: record batches, map-of-struct, array-of-array") {
     import spark.implicits._
-    // one level is in scope; two (array inside a struct) is not
-    val deep = spark.range(0, 3)
-      .select(struct(array($"id", $"id" + 1).as("a")).as("s"))
+    // the shapes arbitrary-depth nesting buys: an array-of-record
+    // event batch (the Kafka batch-envelope value), map<string,
+    // struct> context, array-of-array, and a struct whose field is
+    // itself an array of records (depth 3)
+    val df = spark.range(0, 90)
+      .select(
+        $"id",
+        array(
+          struct($"id".as("seq"), lit("open").as("kind"),
+                 when($"id" % 3 === 0, lit(null).cast("string"))
+                   .otherwise(concat(lit("d"), $"id")).as("detail")),
+          struct(($"id" + 1).as("seq"), lit("close").as("kind"),
+                 lit(null).cast("string").as("detail"))).as("events"),
+        map(lit("ctx"),
+            struct(concat(lit("h"), $"id" % 4).as("host"),
+                   array($"id" % 2, $"id" % 5).as("codes"))).as("ctx_by_name"),
+        array(array($"id", $"id" + 1), array($"id" * 2)).as("pairs"),
+        struct(concat(lit("b"), $"id" % 6).as("batch"),
+               array(struct(lit("x").as("k"), ($"id" % 7).as("v"))).as("kvs"))
+          .as("meta"))
+    val dir = Files.createTempDirectory("graft-avro-deep").toString + "/d"
+    Avro.writeAvro(df, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.schema == df.schema,
+      s"deep schema drifted: ${back.schema} vs ${df.schema}")
+    // set-ops reject MAP columns — compare maps as sorted entry arrays
+    def cmp(d: org.apache.spark.sql.DataFrame) = d.select(
+      $"id", $"events", array_sort(map_entries($"ctx_by_name")).as("ctx_e"),
+      $"pairs", $"meta")
+    assert(cmp(back).exceptAll(cmp(df)).count() == 0 &&
+           cmp(df).exceptAll(cmp(back)).count() == 0,
+      "deep rows drifted through the container round trip")
+    // and through the single-record wire codec
+    val wire = Avro.encodeRecords(df,
+      Seq("events", "ctx_by_name", "pairs", "meta"))
+    val payloadSchema = StructType(Seq(
+      df.schema("events"), df.schema("ctx_by_name"),
+      df.schema("pairs"), df.schema("meta")))
+    val decoded = Avro.decodeRecords(wire, payloadSchema)
+      .select(df.columns.map(col).toSeq: _*)
+    assert(cmp(decoded).exceptAll(cmp(df)).count() == 0 &&
+           cmp(df).exceptAll(cmp(decoded)).count() == 0,
+      "deep envelope drifted through the Avro wire codec")
+  }
+
+  test("genuinely unsupported shapes are rejected loudly, not mis-encoded") {
+    import spark.implicits._
+    // non-string map keys have no Avro representation
+    val badKeys = spark.range(0, 3)
+      .select(map($"id", concat(lit("v"), $"id")).as("m"))
     val e = intercept[IllegalArgumentException] {
-      Avro.avroSchemaFor(deep.schema)
+      Avro.avroSchemaFor(badKeys.schema)
     }
     assert(e.getMessage.contains("unsupported"))
   }
