@@ -19,15 +19,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as raw nanos and convert to a
-    * microsecond TimestampType with integer division (epoch values
-    * exceed 2^53, so floating-point division would lose precision).
+  /** `events.ts` has shipped under several parquet encodings: plain
+    * TIMESTAMP(µs) (with or without UTC adjustment — the normal event-log
+    * layout), and historically TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects unless read back as raw nanos. Adapt to whatever the
+    * file actually contains instead of assuming one encoding:
+    *   - LongType (nanosAsLong fallback): integer-divide to µs
+    *     (epoch nanos exceed 2^53, so float division would lose precision);
+    *   - TIMESTAMP_NTZ: reinterpret in the session zone (UTC) as the
+    *     session TimestampType, value-preserving;
+    *   - TimestampType: use directly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    withEventTs(load(s, d, "events"))
+  }
+
+  /** Normalize an events relation's `ts` to the session TimestampType,
+    * whatever physical type it loaded as. Works on batch AND streaming
+    * DataFrames (schema is static either way) — the streaming specs
+    * route their file-source reads through here too.
+    */
+  def withEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

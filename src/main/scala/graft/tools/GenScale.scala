@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   *    per copy — cell count ×N at constant cell size, which is
   *    exactly the k ∝ √N coarse-quantizer contract the Σ|cell|² ops
   *    (sim_knn_graph, graph_triangles, dedup_embed) document.
-  *  - `events.ts` is read as raw nanos (the TIMESTAMP(NANOS) footer
-  *    Spark's vectorized reader rejects) and written back as plain
-  *    BIGINT nanos — `Tables.events` reads both identically. The time
-  *    RANGE is kept, so windowed aggregates see N× denser windows
-  *    (more traffic over the same period), not a longer history.
+  *  - `events.ts` is passed through in whatever encoding the input
+  *    uses (TIMESTAMP(µs) today; BIGINT nanos under the legacy conf
+  *    for old TIMESTAMP(NANOS) inputs) — `Tables.events` normalizes
+  *    all of them on read. The time RANGE is kept, so windowed
+  *    aggregates see N× denser windows (more traffic over the same
+  *    period), not a longer history.
   *  - `region`/`nation` stay fixed: they are bounded dimension tables
   *    at any SF (as in TPC-H).
   *  - Output files are BOUNDED in rows-per-file. The first sf10 run
@@ -119,7 +120,7 @@ object GenScale {
       cnt("lineitem") * copies)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = in("events") // ts arrives as BIGINT nanos under the conf
+    val ev = in("events") // ts passes through as-loaded; readers adapt
     val userS = stride(ev, "user_id")
     val evS = stride(ev, "event_id")
     write(shifted(ev, "event_id" -> evS, "user_id" -> userS)

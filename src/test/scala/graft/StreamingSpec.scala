@@ -26,7 +26,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = stageEventsDir()
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.withEventTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
@@ -54,7 +54,7 @@ class StreamingSpec extends AnyFunSuite {
     // tiny, ≤ #types per window) sink table. Same split a production
     // job makes: heavy reduction in-stream, cheap rank downstream.
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.withEventTs)
       .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
     val q = stream.writeStream.outputMode("complete")
@@ -106,7 +106,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = stageEventsDir()
     val schema = spark.read.parquet(dir).schema
     def streamEvents() = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.withEventTs)
     val clicks = streamEvents().filter($"event_type" === "click")
       .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -144,7 +144,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = stageEventsDir()
     val schema = spark.read.parquet(dir).schema
     def streamEvents() = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.withEventTs)
     val clicks = streamEvents().filter($"event_type" === "click")
       .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -167,9 +167,13 @@ class StreamingSpec extends AnyFunSuite {
       // corpus with one click and one purchase, on users that cannot
       // match each other (the pusher rows park in state, unemitted).
       val ev = graft.core.Tables.events(spark, sf)
-      val maxNs = spark.read.parquet(dir).agg(max($"ts")).head().getLong(0)
-      Seq((9000001L, maxNs + 3L * 3600 * 1000000000L, 9000001L, "click", 0.0, "{}"),
-          (9000002L, maxNs + 3L * 3600 * 1000000000L, 9000002L, "purchase", 0.0, "{}"))
+      // ts is TIMESTAMP_NTZ in the staged files: read the max as a
+      // LocalDateTime and append pusher rows with the same NTZ encoding
+      // so the directory schema stays homogeneous for the file source
+      val maxTs = spark.read.parquet(dir).agg(max($"ts")).head()
+        .getAs[java.time.LocalDateTime](0)
+      Seq((9000001L, maxTs.plusHours(3), 9000001L, "click", 0.0, "{}"),
+          (9000002L, maxTs.plusHours(3), 9000002L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
@@ -200,7 +204,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = stageEventsDir()
     val schema = spark.read.parquet(dir).schema
     def streamEvents() = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.withEventTs)
     val clicks = streamEvents().filter($"event_type" === "click")
       .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -221,9 +225,13 @@ class StreamingSpec extends AnyFunSuite {
       // sides' null-complemented rows only emit once the watermark
       // passes their interval bound; the pusher pair parks in state
       val ev = graft.core.Tables.events(spark, sf)
-      val maxNs = spark.read.parquet(dir).agg(max($"ts")).head().getLong(0)
-      Seq((9000001L, maxNs + 3L * 3600 * 1000000000L, 9000001L, "click", 0.0, "{}"),
-          (9000002L, maxNs + 3L * 3600 * 1000000000L, 9000002L, "purchase", 0.0, "{}"))
+      // ts is TIMESTAMP_NTZ in the staged files: read the max as a
+      // LocalDateTime and append pusher rows with the same NTZ encoding
+      // so the directory schema stays homogeneous for the file source
+      val maxTs = spark.read.parquet(dir).agg(max($"ts")).head()
+        .getAs[java.time.LocalDateTime](0)
+      Seq((9000001L, maxTs.plusHours(3), 9000001L, "click", 0.0, "{}"),
+          (9000002L, maxTs.plusHours(3), 9000002L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
@@ -264,7 +272,7 @@ class StreamingSpec extends AnyFunSuite {
     val distinctIds = spark.read.parquet(dir).select("event_id").distinct().count()
     assert(n == 2 * distinctIds)
     val q = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.withEventTs)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy().count()
