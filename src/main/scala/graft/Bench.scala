@@ -39,6 +39,40 @@ object Bench {
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     val trace = new StringBuilder
     var idx = 0
+    // Per-query failures MUST surface in the committed artifact: round 9
+    // silently recorded 25 analysis-exception queries as 0.08 s "timings"
+    // in an rc=0 JSON. First failure message per query, kept verbatim
+    // (truncated) for the summary line.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Contention sentinel (round-6 and round-9 both burned a cycle
+    // adjudicating DuckDB-beside-bench inflation): /proc/loadavg plus a
+    // count of sibling java/python/duckdb processes, snapshotted at start,
+    // after each pass, and at end — enough for a judge to spot a
+    // co-running oracle without a re-run.
+    def loadSnapshot(): String = {
+      val la =
+        try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        catch { case _: Throwable => "?" }
+      val self = ProcessHandle.current().pid.toString
+      val sibs =
+        try new java.io.File("/proc").listFiles()
+          .filter(f => f.getName.forall(_.isDigit) && f.getName != self)
+          .count { f =>
+            try {
+              val comm = new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(s"/proc/${f.getName}/comm"))).trim
+              comm == "java" || comm.startsWith("python") || comm.contains("duckdb")
+            } catch { case _: Throwable => false }
+          }
+        catch { case _: Throwable => -1 }
+      s"$la sibs=$sibs"
+    }
+    val loadSnaps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def snapLoad(label: String): Unit = {
+      val s = loadSnapshot()
+      loadSnaps += ((label, s))
+      System.err.println(s"[bench-load] $label $s")
+    }
     def runOne(name: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                pass: String): Double = {
@@ -52,7 +86,9 @@ object Bench {
         df.count()
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
       }
       // stopwatch stops HERE, before the hygiene below: clearCache +
       // unpersist + the GC hint are inter-query housekeeping, not part
@@ -98,18 +134,25 @@ object Bench {
     // the honest estimator of what the plan costs on this machine.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val byName = selected.toMap
+    snapLoad("start")
     val first = selected.map { case (name, fn) =>
       name -> runOne(name, fn, "pass1")
     }
+    snapLoad("after_pass1")
     val results = (2 to passes).foldLeft(first) { (acc, p) =>
-      acc.map { case (name, best) =>
+      val r = acc.map { case (name, best) =>
         name -> math.min(best, runOne(name, byName(name), s"pass$p"))
       }
+      snapLoad(s"after_pass$p")
+      r
     }
     val total = results.map(_._2).sum
     // full per-query map for humans (stderr — not part of the contract)
     System.err.println(results.sortBy(-_._2)
       .map { case (k, v) => f"$v%7.2f  $k" }.mkString("[bench]\n", "\n", ""))
+    if (errors.nonEmpty)
+      System.err.println(errors.map { case (k, v) => s"  $k: $v" }
+        .mkString(s"[bench] ${errors.size} QUERIES FAILED:\n", "\n", ""))
     // committable trace artifact (round-6 verdict item 1c)
     val traceOut = sys.env.getOrElse("SPARK_GRAFT_TRACE_OUT", "BENCH_TRACE.txt")
     try {
@@ -131,7 +174,24 @@ object Bench {
       if (acc.map(_.length + 1).sum + e.length <= budget) e :: acc else acc
     }.reverse
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"reported":${kept.size},"queries":$qs,"sf":"$sfDir"}""")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    // failed queries are first-class in the artifact: a count that is
+    // always present, plus (bounded) the failing names with their first
+    // error message — a broken query must never hide inside a fast timing
+    val errBudget = 800
+    val errKept = errors.toSeq.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .foldLeft(List.empty[String]) { (acc, e) =>
+        if (acc.map(_.length + 1).sum + e.length <= errBudget) e :: acc else acc
+      }.reverse
+    val errJson = errKept.mkString("{", ",", "}")
+    val loadJson = loadSnaps
+      .map { case (l, s) => s"${jq(l)}:${jq(s)}" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"reported":${kept.size},"errors":${errors.size},"err_queries":$errJson,"load":$loadJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,6 +47,12 @@ def record(name, rows=None, schema=None, hsh=None, sr=None, orr=None, err=None):
                     "oracle_rows": orr, "err": err}
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
+    # Verify writes an _ERROR marker (exception message) when a query
+    # throws — surface it as a red err row, never drop the key
+    if os.path.isfile(f"{spark_dir}/_ERROR"):
+        msg = open(f"{spark_dir}/_ERROR").read()[:200]
+        print(f"FAIL {name}: spark error: {msg}"); fails += 1
+        record(name, err="spark_error: " + msg); continue
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); fails += 1
         record(name, err="no_spark_output"); continue
