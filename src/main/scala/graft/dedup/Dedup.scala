@@ -86,18 +86,105 @@ object Dedup {
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (r, cands) = ngramCandidates(spark, sfDir)
-    cands
-      .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
-        Seq("doc_id_1"))
-      .join(r.select($"doc_id".as("doc_id_2"), $"wset".as("w2")),
-        Seq("doc_id_2"))
-      .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
-      .filter($"jaccard" >= 0.9)
-      .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
+    val d = withWordSet(Tables.documents(spark, sfDir))
+      // sort once per doc so the pairwise step is a merge scan
+      .select($"doc_id", $"source", array_sort($"wset").as("wset"))
+    // global document frequency = the AllPairs canonical token order
+    // (rarest-first prefixes minimize candidate bucket population);
+    // ties broken by token string so the order is total and stable.
+    // Materialized once (persist + count) because the vocabulary SIZE
+    // picks the execution path below; both paths then reuse the cached
+    // relation (vocab-sized — even a web corpus's distinct-token table
+    // is ~1e7 rows, trivially cacheable). Reclaimed by the caller's
+    // clearCache like the other pinned band relations.
+    val tokenDf = d.select(explode($"wset").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .persist()
+    // Degenerate-vocabulary guardrail (round-9 scaling disposition,
+    // SCALING_NOTES_r09.md): when the corpus vocabulary is tiny, every
+    // token's df ≈ N/|vocab| and prefix filtering stops discriminating —
+    // the candidate join degenerates toward within-source all-pairs
+    // (224M joined rows at sf10, 25% of the whole bench). No candidate
+    // SCHEME fixes that (length buckets: 1.9×, measured; LSH bands catch
+    // the corpus's quadratic J≥0.8 background mass AND miss ~1% of
+    // borderline true pairs — measured worse on both axes). What CAN
+    // collapse is the cost per candidate: with ≤64 distinct tokens a
+    // word set is one 64-bit mask, Jaccard is two bit_counts and a
+    // divide inside whole-stage codegen, and verification runs INLINE
+    // in the candidate join — no ids-only distinct shuffle of the
+    // quadratic candidate stream and no two word-set rejoins. Output is
+    // bit-identical to the merge-scan path (same prefix blocking, same
+    // int→double division). Natural Zipfian corpora (vocab ≫ 64) take
+    // the prefix+merge-scan path below, where prefix filtering is the
+    // measured 10× win.
+    // spark.graft.ngram.maskVocabMax: vocab-size cutoff for the mask
+    // path (≤64 fits one long; 0 disables — the plan-audit specs use
+    // that to pin the merge-scan plan shape)
+    val maskVocabMax = spark.conf
+      .get("spark.graft.ngram.maskVocabMax", "64").toInt
+    if (tokenDf.count() <= math.min(maskVocabMax, 64)) {
+      ngramPairsBitmask(d, tokenDf)
+    } else {
+      val (r, cands) = prefixCandidates(d, tokenDf)
+      cands
+        .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
+          Seq("doc_id_1"))
+        .join(r.select($"doc_id".as("doc_id_2"), $"wset".as("w2")),
+          Seq("doc_id_2"))
+        .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
+        .filter($"jaccard" >= 0.9)
+        .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
+    }
   }
 
-  /** Candidate stage of [[dedupNgram]], split out so the scaling
+  /** Small-vocabulary exact path of [[dedupNgram]]: identical prefix
+    * blocking (df-ascending canonical order, same ⌈0.9s⌉ prefix
+    * length), but word sets ride as 64-bit masks so the verify step is
+    * `bit_count(m1&m2) / bit_count(m1|m2)` — a few ALU ops fused into
+    * the candidate join's codegen stage. The quadratic candidate
+    * stream is never shuffled (no ids-only distinct, no wset rejoins);
+    * only the accepted pairs (linear in output, ≤ prefix-length
+    * multiplicity) reach the final distinct.
+    */
+  private def ngramPairsBitmask(d: DataFrame, tokenDf: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // bit i = the token at rank i of the same (df, tok) total order the
+    // prefix path uses; ≤64 rows, so the single-partition window is a
+    // driver-scale sort, not a scale hazard (guarded by the branch)
+    val idx = tokenDf.select($"tok", $"df",
+      (row_number().over(Window.orderBy($"df", $"tok")) - 1).as("bit"))
+    val docs = d.select($"doc_id", $"source", explode($"wset").as("tok"))
+      .join(broadcast(idx), Seq("tok"))
+      .groupBy($"doc_id", $"source")
+      // wset is distinct, so bit_or == the set's characteristic mask;
+      // (df, bit) sorts identically to (df, tok) because bit IS the
+      // rank of (df, tok) — same canonical prefix as the array path
+      .agg(expr("bit_or(shiftleft(1L, cast(bit as int)))").as("mask"),
+           count(lit(1)).cast("int").as("s"),
+           array_sort(collect_list(struct($"df", $"bit"))).as("byRarity"))
+      .select($"doc_id", $"source", $"mask", $"s",
+        expr("transform(slice(byRarity, 1, " +
+          "cast(s - ((9*s + 9) div 10) + 1 as int)), x -> x.bit)")
+          .as("pbits"))
+      .persist() // two join sides below; reclaimed by caller's clearCache
+    val a = docs.select($"source", explode($"pbits").as("pb"),
+      $"doc_id".as("doc_id_1"), $"mask".as("m1"), $"s".as("s1"))
+    val b = docs.select($"source", explode($"pbits").as("pb"),
+      $"doc_id".as("doc_id_2"), $"mask".as("m2"), $"s".as("s2"))
+    a.join(b, Seq("source", "pb"))
+      .filter($"doc_id_1" < $"doc_id_2" &&
+              least($"s1", $"s2").cast("double") >=
+                lit(0.9) * greatest($"s1", $"s2"))
+      // same int/int→double division as SortedJaccard — bit-identical
+      .withColumn("jaccard", expr(
+        "cast(bit_count(m1 & m2) as double) / cast(bit_count(m1 | m2) as double)"))
+      .filter($"jaccard" >= 0.9)
+      .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
+      .distinct()
+  }
+
+  /** Candidate stage of the merge-scan path, split out so the scaling
     * probe (tools/ProbeNgram) can time candidates vs verify
     * separately. Returns (pinned doc+prefix relation, candidate id
     * pairs).
@@ -106,13 +193,15 @@ object Dedup {
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val d = withWordSet(Tables.documents(spark, sfDir))
-      // sort once per doc so the pairwise step is a merge scan
       .select($"doc_id", $"source", array_sort($"wset").as("wset"))
-    // global document frequency = the AllPairs canonical token order
-    // (rarest-first prefixes minimize candidate bucket population);
-    // ties broken by token string so the order is total and stable
     val tokenDf = d.select(explode($"wset").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("df"))
+    prefixCandidates(d, tokenDf)
+  }
+
+  private def prefixCandidates(
+      d: DataFrame, tokenDf: DataFrame): (DataFrame, DataFrame) = {
+    import d.sparkSession.implicits._
     val prefixes = d.select($"doc_id", explode($"wset").as("tok"))
       .join(tokenDf, Seq("tok"))
       .groupBy($"doc_id")

@@ -29,10 +29,15 @@ object ProbeNgram {
       spark.sharedState.cacheManager.clearCache()
     }
     timed("full")(graft.dedup.Dedup.dedupNgram(spark, sfDir).count())
+    // merge-scan path forced (the default dispatch takes the bitmask
+    // path on the small-vocab test corpus) — the A/B for the guardrail
+    spark.conf.set("spark.graft.ngram.maskVocabMax", "0")
+    timed("full-array")(graft.dedup.Dedup.dedupNgram(spark, sfDir).count())
     timed("candidates") {
       val (_, cands) = graft.dedup.Dedup.ngramCandidates(spark, sfDir)
       cands.count()
     }
+    spark.conf.unset("spark.graft.ngram.maskVocabMax")
     spark.stop()
   }
 }

@@ -51,6 +51,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  /** Force dedupNgram onto the merge-scan (large-vocab) path for plan
+    * audits: the test corpus's 31-word vocabulary takes the bitmask
+    * path by default.
+    */
+  private def forcingArrayNgram[A](body: => A): A = {
+    spark.conf.set("spark.graft.ngram.maskVocabMax", "0")
+    try body finally spark.conf.unset("spark.graft.ngram.maskVocabMax")
+  }
+
   test("dedup_ngram self-join at scale: pinned prefix relation, no cartesian") {
     // at 100 TB documents won't broadcast; the word-set + prefix
     // relation feeds 4 subtrees (two candidate sides, two verify
@@ -58,7 +67,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // in-memory scan — and no join may degenerate to a cartesian
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try forcingArrayNgram {
       val df = graft.dedup.Dedup.dedupNgram(spark, sf)
       df.collect() // AQE finalizes the plan on execution
       val p = df.queryExecution.executedPlan.toString
@@ -73,23 +82,47 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("JaccardLengthPruning injects the size prefilter ahead of the merge scan") {
-    val df = graft.dedup.Dedup.dedupNgram(spark, sf)
-    val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.contains("least(") && opt.contains("greatest(") && opt.contains("size("),
-      s"length prefilter not injected\n$opt")
-    // the original jaccard bound is still there (rule only adds an
-    // implied conjunct, never replaces the exact predicate)
-    assert(opt.toLowerCase.contains("sortedjaccard"), opt)
+    forcingArrayNgram {
+      val df = graft.dedup.Dedup.dedupNgram(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("least(") && opt.contains("greatest(") && opt.contains("size("),
+        s"length prefilter not injected\n$opt")
+      // the original jaccard bound is still there (rule only adds an
+      // implied conjunct, never replaces the exact predicate)
+      assert(opt.toLowerCase.contains("sortedjaccard"), opt)
+    }
   }
 
   test("JaccardLengthPruning is semantics-preserving (same rows with rule excluded)") {
-    val withRule = graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "graft.plans.JaccardLengthPruning")
-    try {
-      val withoutRule = graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
-      assert(withRule == withoutRule)
-    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    forcingArrayNgram {
+      val withRule = graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "graft.plans.JaccardLengthPruning")
+      try {
+        val withoutRule = graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
+        assert(withRule == withoutRule)
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  test("dedup_ngram small-vocab bitmask path: inline bit_count verify, no merge scan") {
+    // the degenerate-vocabulary guardrail (vocab ≤ 64 → word sets ride
+    // as 64-bit masks): verification fuses into the candidate join —
+    // no SortedJaccard, no ids-only distinct of the quadratic
+    // candidate stream — and the output matches the merge-scan path
+    // EXACTLY (same blocking, same int→double division)
+    val masked = graft.dedup.Dedup.dedupNgram(spark, sf)
+    val opt = masked.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("bit_count"), s"mask path not taken\n$opt")
+    assert(!opt.contains("sortedjaccard"),
+      "mask path still carries the array verify")
+    val a = masked.collect().toSet
+    val b = forcingArrayNgram {
+      graft.dedup.Dedup.dedupNgram(spark, sf).collect().toSet
+    }
+    assert(a == b, s"bitmask path diverges from merge-scan path " +
+      s"(${a.size} vs ${b.size} rows, ${(a diff b).size}+${(b diff a).size} asymmetric)")
+    spark.catalog.clearCache()
   }
 
   test("q_promo_effect: part dim broadcast, date filter pushed to fact scan") {
