@@ -101,6 +101,29 @@ for name, sql in sorted(oracle.items()):
         print(f"OK   {name}: {len(g)} rows")
         record(name, rows=True, schema=True, hsh=True,
                sr=len(g), orr=len(w))
+# keys Verify dumped that have NO oracle SQL (declared non-replayable,
+# e.g. the HLL sketch query): record the driver-style rows-only check so
+# the artifact carries every SparkEntry.queries key, not just the
+# SQL-expressible ones
+for name in sorted(os.listdir(out)):
+    spark_dir = f"{out}/{name}"
+    if name in oracle or not os.path.isdir(spark_dir):
+        continue
+    if os.path.isfile(f"{spark_dir}/_ERROR"):
+        msg = open(f"{spark_dir}/_ERROR").read()[:200]
+        print(f"FAIL {name}: spark error: {msg}"); fails += 1
+        record(name, err="spark_error: " + msg); continue
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM parquet_scan('{spark_dir}/*.parquet')"
+        ).fetchone()[0]
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1
+        record(name, err=str(e)[:200]); continue
+    ok = n > 0
+    if not ok: fails += 1
+    print(f"{'OK  ' if ok else 'FAIL'} {name}: {n} rows (rows-only, no_oracle)")
+    record(name, rows=ok, sr=n, err=None if ok else "empty_result")
 if json_out:
     with open(json_out, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
