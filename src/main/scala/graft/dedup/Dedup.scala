@@ -108,22 +108,26 @@ object Dedup {
     // SCHEME fixes that (length buckets: 1.9×, measured; LSH bands catch
     // the corpus's quadratic J≥0.8 background mass AND miss ~1% of
     // borderline true pairs — measured worse on both axes). What CAN
-    // collapse is the cost per candidate: with ≤64 distinct tokens a
-    // word set is one 64-bit mask, Jaccard is two bit_counts and a
-    // divide inside whole-stage codegen, and verification runs INLINE
-    // in the candidate join — no ids-only distinct shuffle of the
-    // quadratic candidate stream and no two word-set rejoins. Output is
-    // bit-identical to the merge-scan path (same prefix blocking, same
-    // int→double division). Natural Zipfian corpora (vocab ≫ 64) take
-    // the prefix+merge-scan path below, where prefix filtering is the
-    // measured 10× win.
+    // collapse is the cost per candidate: with a bounded vocabulary a
+    // word set is a fixed-width bitmask, Jaccard is a popcount loop
+    // ([[org.apache.spark.sql.graft.MaskJaccard]]), and verification
+    // runs INLINE in the candidate join — no ids-only distinct shuffle
+    // of the quadratic candidate stream and, decisively, no rejoining
+    // the corpus twice to fetch ~300-byte word-set arrays per candidate
+    // pair (the measured dominant cost of the merge-scan verify at
+    // sf10). Output is bit-identical to the merge-scan path (same
+    // prefix blocking, same int→double division). Natural corpora
+    // (vocab ≫ 4096) take the prefix+merge-scan path below, where
+    // prefix filtering is the measured 10× win and masks would be
+    // corpus-width bitsets.
     // spark.graft.ngram.maskVocabMax: vocab-size cutoff for the mask
-    // path (≤64 fits one long; 0 disables — the plan-audit specs use
-    // that to pin the merge-scan plan shape)
+    // path (≤4096 = ≤64 mask words; 0 disables — the plan-audit specs
+    // use that to pin the merge-scan plan shape)
     val maskVocabMax = spark.conf
-      .get("spark.graft.ngram.maskVocabMax", "64").toInt
-    if (tokenDf.count() <= math.min(maskVocabMax, 64)) {
-      ngramPairsBitmask(d, tokenDf)
+      .get("spark.graft.ngram.maskVocabMax", "4096").toInt
+    val nVocab = tokenDf.count()
+    if (nVocab <= math.min(maskVocabMax, 4096)) {
+      ngramPairsBitmask(d, tokenDf, ((nVocab + 63) / 64).toInt)
     } else {
       val (r, cands) = prefixCandidates(d, tokenDf)
       cands
@@ -139,31 +143,33 @@ object Dedup {
 
   /** Small-vocabulary exact path of [[dedupNgram]]: identical prefix
     * blocking (df-ascending canonical order, same ⌈0.9s⌉ prefix
-    * length), but word sets ride as 64-bit masks so the verify step is
-    * `bit_count(m1&m2) / bit_count(m1|m2)` — a few ALU ops fused into
-    * the candidate join's codegen stage. The quadratic candidate
+    * length), but word sets ride as fixed-width `array<long>` bitmasks
+    * (width = ⌈vocab/64⌉ words, ≤64) so the verify step is a popcount
+    * loop fused into the candidate join stage. The quadratic candidate
     * stream is never shuffled (no ids-only distinct, no wset rejoins);
     * only the accepted pairs (linear in output, ≤ prefix-length
     * multiplicity) reach the final distinct.
     */
-  private def ngramPairsBitmask(d: DataFrame, tokenDf: DataFrame): DataFrame = {
+  private def ngramPairsBitmask(
+      d: DataFrame, tokenDf: DataFrame, width: Int): DataFrame = {
     import d.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     // bit i = the token at rank i of the same (df, tok) total order the
-    // prefix path uses; ≤64 rows, so the single-partition window is a
+    // prefix path uses; ≤4096 rows, so the single-partition window is a
     // driver-scale sort, not a scale hazard (guarded by the branch)
     val idx = tokenDf.select($"tok", $"df",
       (row_number().over(Window.orderBy($"df", $"tok")) - 1).as("bit"))
     val docs = d.select($"doc_id", $"source", explode($"wset").as("tok"))
       .join(broadcast(idx), Seq("tok"))
       .groupBy($"doc_id", $"source")
-      // wset is distinct, so bit_or == the set's characteristic mask;
-      // (df, bit) sorts identically to (df, tok) because bit IS the
-      // rank of (df, tok) — same canonical prefix as the array path
-      .agg(expr("bit_or(shiftleft(1L, cast(bit as int)))").as("mask"),
+      // wset is distinct so the bits are distinct; (df, bit) sorts
+      // identically to (df, tok) because bit IS the rank of (df, tok) —
+      // same canonical prefix as the array path
+      .agg(collect_list($"bit".cast("int")).as("bits"),
            count(lit(1)).cast("int").as("s"),
            array_sort(collect_list(struct($"df", $"bit"))).as("byRarity"))
-      .select($"doc_id", $"source", $"mask", $"s",
+      .select($"doc_id", $"source",
+        graft.functions.bitsToMask($"bits", width).as("mask"), $"s",
         expr("transform(slice(byRarity, 1, " +
           "cast(s - ((9*s + 9) div 10) + 1 as int)), x -> x.bit)")
           .as("pbits"))
@@ -177,8 +183,7 @@ object Dedup {
               least($"s1", $"s2").cast("double") >=
                 lit(0.9) * greatest($"s1", $"s2"))
       // same int/int→double division as SortedJaccard — bit-identical
-      .withColumn("jaccard", expr(
-        "cast(bit_count(m1 & m2) as double) / cast(bit_count(m1 | m2) as double)"))
+      .withColumn("jaccard", graft.functions.maskJaccard($"m1", $"m2"))
       .filter($"jaccard" >= 0.9)
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
       .distinct()

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{Bridge, CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
+  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -33,6 +33,18 @@ package object functions {
   /** Jaccard similarity of two sorted, deduplicated string arrays. */
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Pack bit positions (`array<int>`) into a width-word `array<long>`
+    * bitmask (small-vocabulary word-set encoding).
+    */
+  def bitsToMask(bits: Column, width: Int): Column =
+    Bridge.column(BitsToMask(Bridge.expression(bits), width))
+
+  /** Jaccard similarity of two equal-width `array<long>` bitmasks —
+    * bit-identical to [[sortedJaccard]] on the same sets.
+    */
+  def maskJaccard(a: Column, b: Column): Column =
+    Bridge.column(MaskJaccard(Bridge.expression(a), Bridge.expression(b)))
 
   /** MinHash LSH band hashes for an `array<string>` token set
     * (xxhash64 base pair — fastest, Spark-only bit pattern).

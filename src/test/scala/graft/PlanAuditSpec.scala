@@ -105,15 +105,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_ngram small-vocab bitmask path: inline bit_count verify, no merge scan") {
-    // the degenerate-vocabulary guardrail (vocab ≤ 64 → word sets ride
-    // as 64-bit masks): verification fuses into the candidate join —
-    // no SortedJaccard, no ids-only distinct of the quadratic
-    // candidate stream — and the output matches the merge-scan path
-    // EXACTLY (same blocking, same int→double division)
+  test("dedup_ngram small-vocab bitmask path: inline popcount verify, no merge scan") {
+    // the degenerate-vocabulary guardrail (vocab ≤ 4096 → word sets
+    // ride as fixed-width long-array masks): verification fuses into
+    // the candidate join — no SortedJaccard, no ids-only distinct of
+    // the quadratic candidate stream — and the output matches the
+    // merge-scan path EXACTLY (same blocking, same int→double division)
     val masked = graft.dedup.Dedup.dedupNgram(spark, sf)
     val opt = masked.queryExecution.optimizedPlan.toString.toLowerCase
-    assert(opt.contains("bit_count"), s"mask path not taken\n$opt")
+    assert(opt.contains("maskjaccard"), s"mask path not taken\n$opt")
     assert(!opt.contains("sortedjaccard"),
       "mask path still carries the array verify")
     val a = masked.collect().toSet
