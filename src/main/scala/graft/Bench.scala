@@ -167,13 +167,6 @@ object Bench {
     // pushed its own head out of the window every round — so the line
     // reports the total plus the SLOWEST queries that fit a ~1500-char
     // budget (the fast tail adds no perf signal; full map above).
-    val budget = 1500
-    val slowest = results.sortBy(-_._2)
-      .map { case (k, v) => f""""$k":$v%.2f""" }
-    val kept = slowest.foldLeft(List.empty[String]) { (acc, e) =>
-      if (acc.map(_.length + 1).sum + e.length <= budget) e :: acc else acc
-    }.reverse
-    val qs = kept.mkString("{", ",", "}")
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -183,7 +176,7 @@ object Bench {
     // failed queries are first-class in the artifact: a count that is
     // always present, plus (bounded) the failing names with their first
     // error message — a broken query must never hide inside a fast timing
-    val errBudget = 800
+    val errBudget = 600
     val errKept = errors.toSeq.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .foldLeft(List.empty[String]) { (acc, e) =>
         if (acc.map(_.length + 1).sum + e.length <= errBudget) e :: acc else acc
@@ -191,6 +184,16 @@ object Bench {
     val errJson = errKept.mkString("{", ",", "}")
     val loadJson = loadSnaps
       .map { case (l, s) => s"${jq(l)}:${jq(s)}" }.mkString("{", ",", "}")
+    // the queries map gets whatever fits AFTER the err/load fields: the
+    // driver keeps only the tail window of the output and the JSON line
+    // must survive it whole (~2000 chars minus sbt's trailer)
+    val budget = math.max(600, 1650 - errJson.length - loadJson.length)
+    val slowest = results.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.2f""" }
+    val kept = slowest.foldLeft(List.empty[String]) { (acc, e) =>
+      if (acc.map(_.length + 1).sum + e.length <= budget) e :: acc else acc
+    }.reverse
+    val qs = kept.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"reported":${kept.size},"errors":${errors.size},"err_queries":$errJson,"load":$loadJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
