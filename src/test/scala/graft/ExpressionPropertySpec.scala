@@ -158,4 +158,43 @@ class ExpressionPropertySpec extends AnyFunSuite {
         |""".stripMargin).count()
     assert(viaSql == packedTopK.size)
   }
+
+  test("BitsToMask + MaskJaccard == SortedJaccard on random sets (any mask width)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random subsets of a 0..4095 bit universe, compared through BOTH
+    // verify paths: the mask pair (bits → fixed-width long-array mask →
+    // popcount loop) must be bit-identical to the string merge scan on
+    // the corresponding zero-padded token strings (zero-padding makes
+    // lexicographic order == numeric order, so the arrays are sorted
+    // for SortedJaccard by construction)
+    val universe = Gen.choose(0, 4095)
+    val setGen = Gen.chooseNum(1, 200)
+      .flatMap(n => Gen.listOfN(n, universe)).map(_.distinct.sorted)
+    val pairs = samples(setGen, 60).grouped(2).collect {
+      case Seq(a, b) => (a, b)
+    }.toSeq
+    val df = pairs.toDF("xa", "xb")
+      .withColumn("wa", expr("transform(xa, b -> lpad(cast(b as string), 4, '0'))"))
+      .withColumn("wb", expr("transform(xb, b -> lpad(cast(b as string), 4, '0'))"))
+      .withColumn("mask_j", graft.functions.maskJaccard(
+        graft.functions.bitsToMask($"xa", 64),
+        graft.functions.bitsToMask($"xb", 64)))
+      .withColumn("scan_j", graft.functions.sortedJaccard($"wa", $"wb"))
+    val rows = df.select($"mask_j", $"scan_j").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"mask ${r.getDouble(0)} != scan ${r.getDouble(1)}")
+    }
+    // degenerate edges: disjoint sets → 0, identical sets → 1
+    val edge = Seq((Seq(0, 63, 64, 127), Seq(0, 63, 64, 127)),
+                   (Seq(0, 1), Seq(4000, 4095)))
+      .toDF("xa", "xb")
+      .select(graft.functions.maskJaccard(
+        graft.functions.bitsToMask($"xa", 64),
+        graft.functions.bitsToMask($"xb", 64)).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(edge == Seq(1.0, 0.0))
+  }
 }
