@@ -40,8 +40,12 @@ object Verify {
         }
       }
       // drop persisted intermediates (band relations etc.) so caches
-      // don't accumulate across the ~100-query run
+      // don't accumulate across the ~100-query run; localCheckpoint
+      // blocks are pinned RDDs outside the catalog cache, so drop them
+      // too (same hygiene as Bench)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     if (failed.nonEmpty)
       System.err.println(failed.map { case (k, v) => s"  $k: $v" }
