@@ -981,39 +981,70 @@ object SparkEntry {
         |      WHEN n_corpus_matches > 0 THEN 'near_dup'
         |      ELSE 'keep' END AS decision
         |FROM j""".stripMargin,
-    "dedup_components" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id,
-        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
-        |  FROM documents),
-        |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
-        |   list_min(list_transform(w, t ->
-        |     CAST(xor(md5_number_lower(t),
-        |       CASE WHEN i = 0 THEN md5_number_upper(t)
-        |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
-        |              * CAST(power(2, i) AS HUGEINT))
-        |             % 18446744073709551616)
-        |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
-        |               AS HUGEINT) AS UBIGINT)
-        |       END) % 9223372036854775808 AS BIGINT))))
-        |   AS s
-        |  FROM d),
-        |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
-        |   md5_number_lower(array_to_string(
-        |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
-        |   AS bh
-        |  FROM sig CROSS JOIN range(0, 8) t(b)),
-        |edges AS (SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
-        |  FROM bands b1 JOIN bands b2
-        |    ON b1.band_idx = b2.band_idx AND b1.bh = b2.bh
-        |  WHERE b1.doc_id != b2.doc_id),
-        |reach(src, dst) AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM documents
-        |  UNION
-        |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
-        |SELECT src AS doc_id, min(dst) AS component,
-        | min(dst) != src AS is_dup
-        |FROM reach GROUP BY src""".stripMargin,
+    // Closure oracle over the band graph. The naive formulation (doc-doc
+    // clique edges per bucket + full transitive closure) is Σk² reach
+    // pairs × clique degree — the regenerated corpus chains 96% of docs
+    // into ONE component and the old oracle ran >75 min at sf0.1 without
+    // finishing. Exact reformulation: (1) star-rewire each band bucket
+    // through its min member (components-invariant quotient of the same
+    // graph), (2) 16 unrolled min-label + pointer-jump rounds (each
+    // label provably stays inside its component and only decreases;
+    // displacement doubles per round, so 2^16 covers any diameter
+    // here), (3) finish with the reach recursion on the CONTRACTED
+    // label graph — exact for ANY number of rounds by the quotient
+    // argument, and trivially small once the rounds have collapsed the
+    // giant component.
+    "dedup_components" -> {
+      val rounds = (1 to 16).map { k =>
+        s"""n$k AS MATERIALIZED (SELECT v, min(l) AS l FROM (
+           |  SELECT v, l FROM l${k - 1}
+           |  UNION ALL
+           |  SELECT e.b AS v, p.l FROM edges e JOIN l${k - 1} p ON p.v = e.a)
+           | GROUP BY v),
+           |l$k AS MATERIALIZED (SELECT n.v, m.l FROM n$k n JOIN n$k m ON m.v = n.l)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id,
+         |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+         |  FROM documents),
+         |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+         |   list_min(list_transform(w, t ->
+         |     CAST(xor(md5_number_lower(t),
+         |       CASE WHEN i = 0 THEN md5_number_upper(t)
+         |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
+         |              * CAST(power(2, i) AS HUGEINT))
+         |             % 18446744073709551616)
+         |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
+         |               AS HUGEINT) AS UBIGINT)
+         |       END) % 9223372036854775808 AS BIGINT))))
+         |   AS s
+         |  FROM d),
+         |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
+         |   md5_number_lower(array_to_string(
+         |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
+         |   AS bh
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |star AS MATERIALIZED (SELECT band_idx, bh, min(doc_id) AS hub
+         |  FROM bands GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT DISTINCT s.hub AS a, b.doc_id AS b
+         |  FROM bands b JOIN star s USING (band_idx, bh)
+         |  WHERE s.hub != b.doc_id),
+         |edges AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM d),
+         |$rounds,
+         |cedges AS MATERIALIZED (SELECT DISTINCT la.l AS a, lb.l AS b
+         |  FROM edges e JOIN l16 la ON la.v = e.a JOIN l16 lb ON lb.v = e.b
+         |  WHERE la.l != lb.l),
+         |reach(src, dst) AS (
+         |  SELECT l AS src, l AS dst FROM (SELECT DISTINCT l FROM l16)
+         |  UNION
+         |  SELECT r.src, c.b AS dst FROM reach r JOIN cedges c ON r.dst = c.a),
+         |cmin AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+         |SELECT l16.v AS doc_id, cmin.m AS component,
+         | cmin.m != l16.v AS is_dup
+         |FROM l16 JOIN cmin ON cmin.src = l16.l""".stripMargin
+    },
     "dedup_ngram" ->
       """WITH d AS (SELECT doc_id, source,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w
