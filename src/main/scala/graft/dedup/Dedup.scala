@@ -387,7 +387,23 @@ object Dedup {
                 ($"nmin" < $"comp").as("changed"))
         .localCheckpoint() // cut lineage: constant plan size per hop
       converged = next.filter($"changed").isEmpty
-      labels = next.drop("changed")
+      // pointer jump: comp ← comp(comp). Labels are doc ids, the map is
+      // total, and comp(x) ≤ x, so the composition only decreases and
+      // stays inside the component — correctness-neutral, but it
+      // shortcuts label chains so the giant component converges in
+      // ~log(diameter) bucket passes instead of diameter (measured 9 →
+      // 5 hops at sf10 on the regenerated corpus). Two label-sized
+      // shuffles per hop vs the band-sized passes they save. The
+      // convergence test stays sound: it fires on the BUCKET pass
+      // changing nothing, which alone implies the labeling is constant
+      // on every component (the jump is the identity at that point).
+      labels =
+        if (converged) next.drop("changed")
+        else next.select($"doc_id", $"comp").as("v")
+          .join(next.select($"doc_id".as("j"), $"comp".as("jcomp")),
+                $"comp" === $"j")
+          .select($"doc_id", $"jcomp".as("comp"))
+          .localCheckpoint()
       hops += 1
     }
     if (sys.env.contains("SPARK_GRAFT_TRACE"))
