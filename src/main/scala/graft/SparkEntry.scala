@@ -108,8 +108,11 @@ object SparkEntry {
     "txt_pii_scrub"        -> (graft.text.TextAnalysis.txtPiiScrub _),
     "txt_contamination_bloom" -> (graft.text.TextAnalysis.txtContaminationBloom _),
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
+    "txt_surprisal"        -> (graft.text.TextAnalysis.txtSurprisal _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
+    "dedup_paragraph"      -> (graft.dedup.Dedup.dedupParagraph _),
+    "dedup_semantic"       -> (graft.dedup.Dedup.dedupSemantic _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
     "dedup_incremental"    -> (graft.dedup.Dedup.dedupIncremental _),
@@ -165,6 +168,54 @@ object SparkEntry {
     ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann"))
 
   private def oracleSqlBase: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, t.bi AS bi,
+        |   CAST(md5_number_lower(array_to_string(list_slice(ws,
+        |     CAST(t.bi*10+1 AS INT), CAST(t.bi*10+10 AS INT)), ' '))
+        |     % 9223372036854775808 AS BIGINT) AS h
+        |  FROM w, LATERAL unnest(range(len(ws)//10)) AS t(bi)
+        |  WHERE len(ws) >= 10),
+        |r AS (SELECT doc_id, bi, h,
+        |   row_number() OVER (PARTITION BY h ORDER BY doc_id, bi) AS rn
+        |  FROM b),
+        |agg AS (SELECT doc_id, count(*) AS n_blocks,
+        |   count(CASE WHEN rn > 1 THEN 1 END) AS removed_blocks
+        |  FROM r GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(agg.n_blocks, 0) AS n_blocks,
+        | coalesce(agg.removed_blocks, 0) AS removed_blocks,
+        | CASE WHEN coalesce(agg.n_blocks, 0) = 0 THEN 0
+        |   ELSE (10000 * agg.removed_blocks) // agg.n_blocks END AS removed_bp
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        |m AS (SELECT b AS vec_id, min(a) AS dup_of FROM p GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        | CASE WHEN m.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action,
+        | m.dup_of
+        |FROM e LEFT JOIN m ON e.vec_id = m.vec_id""".stripMargin,
+    "txt_surprisal" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |   unnest(string_split_regex(trim(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM t GROUP BY 1,2,3),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS total FROM t),
+        |s AS (SELECT tf.doc_id, tf.lang, tf.tf,
+        |   CAST(round(10000 * ln(n.total::DOUBLE / c.cnt)) AS BIGINT) AS term_e4
+        |  FROM tf JOIN c USING(term) CROSS JOIN n)
+        |SELECT doc_id, lang,
+        | CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | CAST(sum(tf * term_e4) AS BIGINT) AS surprisal_e4,
+        | CAST(sum(tf * term_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+        |   AS mean_surprisal_e4
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

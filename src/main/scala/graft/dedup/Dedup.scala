@@ -637,4 +637,90 @@ object Dedup {
       .filter(round($"cos", 4) >= 0.35)
       .select($"vec_id_1", $"vec_id_2", round($"cos", 4).as("cosine"))
   }
+
+  /** Passage-level exact dedup — the C4 / RefinedWeb LINE-dedup gate,
+    * the sub-document twin of [[dedupExact]]: split every document
+    * into consecutive non-overlapping 10-word blocks, hash each block
+    * to a 63-bit key, keep only the globally FIRST occurrence of each
+    * block under the total (doc_id, block index) order, and report
+    * per document how much of it would be removed (basis points —
+    * integer, no float ratio in the hashed output). Documents shorter
+    * than one block pass through untouched with n_blocks = 0.
+    *
+    * Scale notes (100 TB): the exploded block relation is ~|corpus
+    * words|/10 rows carrying 8-byte hashes, never block strings (the
+    * same 63-bit md5 reduction as
+    * [[graft.text.TextAnalysis.txtContamination]]); first-occurrence
+    * is ONE row_number window partitioned by block hash — partition
+    * population = the duplication factor of a single passage, so no
+    * skyscraper partitions short of a corpus-wide boilerplate string,
+    * which is precisely the row this operator exists to flag — then
+    * one per-doc aggregate. Two linear shuffles, no pair
+    * materialization, output exactly |documents| rows.
+    */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+    val blocks = docs
+      .filter(size($"words") >= 10)
+      .select($"doc_id",
+        posexplode(expr(
+          "transform(sequence(0, cast(size(words) div 10 as int) - 1), " +
+            "b -> graft_md5lower64(array_join(slice(words, b*10+1, 10), ' ')))"))
+          .as(Seq("bi", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id", $"bi")
+    val agg = blocks
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("b_blocks"),
+           count(when($"rn" > 1, 1)).as("b_removed"))
+    docs.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"b_blocks", lit(0L)).as("n_blocks"),
+        coalesce($"b_removed", lit(0L)).as("removed_blocks"))
+      .withColumn("removed_bp", expr(
+        "CASE WHEN n_blocks = 0 THEN 0L " +
+          "ELSE (10000 * removed_blocks) div n_blocks END"))
+  }
+
+  /** SemDeDup-style semantic dedup decision (Abbas et al. 2023,
+    * arXiv:2303.09540): within each embedding cluster (the corpus
+    * `label`, the same coarse-quantizer cells the ANN family probes),
+    * DROP every vector that has a LOWER-id cluster neighbor at
+    * rounded cosine ≥ 0.35, blaming the smallest such id. This is the
+    * per-item keep/drop rule a curation pipeline applies directly —
+    * first-in-cluster-wins, deliberately NOT the transitive closure
+    * ([[graft.graph.Graph]] components) and not the raw pair list
+    * ([[dedupEmbed]]): A~B and B~C with A≁C drops B (and C, blaming
+    * B) while closure would conflate all three.
+    *
+    * Scale notes: candidate pairs come from the packed-cell
+    * [[graft.functions.cellSimPairs]] generator — Σ|cell|² arithmetic
+    * stays in memory behind one corpus-sized pack shuffle, no
+    * vector-payload pair rows through an exchange; the min-blame
+    * aggregate and decision join are ≤ corpus-sized and linear. At
+    * 100 TB the cells are the k ∝ √N quantizer contract, so cell
+    * populations stay bounded.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dupOf = e
+      .groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select(graft.functions.cellSimPairs($"vecs", 0.35 - 1e-4)
+        .as(Seq("a", "b", "cos")))
+      .filter(round($"cos", 4) >= 0.35)
+      .groupBy($"b".as("vec_id"))
+      .agg(min($"a").as("dup_of"))
+    e.select($"vec_id", $"label")
+      .join(dupOf, Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"label",
+        when($"dup_of".isNotNull, "drop").otherwise("keep").as("action"),
+        $"dup_of")
+  }
 }

@@ -380,4 +380,40 @@ object TextAnalysis {
     piiScrub(injected)
       .select($"doc_id", $"n_emails", $"n_phones", $"n_ids", $"clean_text")
   }
+
+  /** Unigram-LM surprisal scoring — the perplexity-style quality gate
+    * (the KenLM-filter shape of CCNet/RedPajama): the corpus's own
+    * unigram counts are the language model, and each document scores
+    * Σ tf·⌊10⁴·ln(T/cnt_t)⌉ over its distinct terms. Per-term
+    * surprisal is fixed to INTEGER ten-thousandth-nats before any
+    * aggregation, so the document sum and mean are engine-exact
+    * integers — the float enters exactly once, in a single rounded
+    * ln per vocabulary term (the [[txtTfidf]] determinism recipe;
+    * summing raw doubles would hash-drift on aggregation order).
+    * High mean = rare vocabulary or noise; low mean = boilerplate.
+    *
+    * Scale notes (100 TB): the count relation is vocabulary-sized
+    * (AQE broadcasts it under the join), the total is a one-row
+    * broadcast, and the per-doc aggregate shuffles ≤ |distinct
+    * (doc, term)| rows with map-side partial aggregation. No
+    * vocabulary sort, no global window, no float accumulation.
+    */
+  def txtSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        explode(expr("split(trim(text), ' +')")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"lang", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val cnt = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    tf.join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e4", expr(
+        "cast(round(10000 * ln(cast(total as double) / cnt), 0) as bigint)"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tf").as("n_tokens"),
+           sum($"tf" * $"term_e4").as("surprisal_e4"))
+      .withColumn("mean_surprisal_e4", expr("surprisal_e4 div n_tokens"))
+  }
 }

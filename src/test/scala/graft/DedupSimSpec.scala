@@ -255,4 +255,64 @@ class DedupSimSpec extends AnyFunSuite {
         s"component $rep rep is not its smallest member")
     }
   }
+
+  test("paragraph dedup: block accounting exact, whole-doc dups fully removed") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = Dedup.dedupParagraph(spark, sf)
+    // one row per document; short docs pass through with 0 blocks
+    assert(p.count() == docs.count())
+    assert(p.filter($"removed_blocks" > $"n_blocks").count() == 0)
+    assert(p.filter($"n_blocks" === 0 && $"removed_bp" =!= 0).count() == 0)
+    // global exactness: kept blocks == distinct block hashes. Recompute
+    // the block relation with the operator's own expression and compare
+    // totals — first-occurrence-wins keeps exactly one copy per hash.
+    val blocks = docs
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .filter(size($"words") >= 10)
+      .select(explode(expr(
+        "transform(sequence(0, cast(size(words) div 10 as int) - 1), " +
+          "b -> graft_md5lower64(array_join(slice(words, b*10+1, 10), ' ')))"))
+        .as("h"))
+    val totals = p.agg(sum($"n_blocks"), sum($"removed_blocks")).head()
+    assert(totals.getLong(0) == blocks.count())
+    assert(totals.getLong(0) - totals.getLong(1) ==
+      blocks.distinct().count(),
+      "kept blocks != distinct block hashes — first-occurrence rule broken")
+    // an exact-dup document (same text as a lower doc_id) loses ALL its
+    // blocks: every block hash already occurred in the earlier copy
+    val laterExactDups = docs
+      .withColumn("content_hash", md5(lower(trim($"text"))))
+      .withColumn("first", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"content_hash")))
+      .filter($"doc_id" =!= $"first")
+      .select($"doc_id")
+    val partial = laterExactDups.join(p, "doc_id")
+      .filter($"n_blocks" > 0 && $"removed_bp" =!= 10000)
+    assert(partial.count() == 0,
+      "a later exact-duplicate doc kept some of its blocks")
+  }
+
+  test("semantic dedup: decisions agree with the embed pair list") {
+    import spark.implicits._
+    val dec = Dedup.dedupSemantic(spark, sf)
+    val pairs = Dedup.dedupEmbed(spark, sf)
+      .select($"vec_id_1", $"vec_id_2").as[(Long, Long)].collect()
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    assert(dec.count() == emb.count())
+    // drop set == exactly the ids with a lower-id neighbor at the same
+    // threshold, and the blame is the smallest such neighbor
+    val expected = pairs.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).min }
+    val got = dec.filter($"action" === "drop")
+      .select($"vec_id", $"dup_of").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"drop decisions diverge from the pair list (${got.size} vs ${expected.size})")
+    // first-in-cluster always survives: the smallest vec_id of every
+    // label has no lower-id neighbor by construction
+    val firstPerLabel = emb.groupBy($"label")
+      .agg(min($"vec_id").as("vec_id")).select($"vec_id")
+    assert(firstPerLabel.join(dec.filter($"action" === "drop"), "vec_id")
+      .count() == 0, "a cluster's first vector was dropped")
+  }
 }

@@ -98,4 +98,32 @@ class TextSpec extends AnyFunSuite {
     assert(twice.filter($"n_emails" + $"n_phones" + $"n_ids" =!= 0)
       .count() == 0, "scrub is not idempotent")
   }
+
+  test("surprisal: integer accounting is internally consistent") {
+    import spark.implicits._
+    val s = graft.text.TextAnalysis.txtSurprisal(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+    // one row per document
+    assert(s.count() == docs.count())
+    // Σ n_tokens == the corpus token count, recomputed independently
+    val totalTokens = docs
+      .select(explode(expr("split(trim(text), ' +')"))).count()
+    assert(s.agg(sum($"n_tokens")).head().getLong(0) == totalTokens)
+    // the mean really is the integer quotient, and scores are
+    // non-negative (every term's cnt ≤ T so ln(T/cnt) ≥ 0)
+    assert(s.filter($"mean_surprisal_e4" =!=
+      expr("surprisal_e4 div n_tokens")).count() == 0)
+    assert(s.filter($"surprisal_e4" < 0).count() == 0)
+    // a document made ONLY of the corpus's most common term must
+    // score the minimum possible mean: every doc's mean ≥ the most
+    // common term's own surprisal
+    val minTerm = docs
+      .select(explode(expr("split(trim(text), ' +')")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .agg(max($"cnt")).head().getLong(0)
+    val total = totalTokens.toDouble
+    val floorE4 = math.round(10000 * math.log(total / minTerm))
+    assert(s.filter($"mean_surprisal_e4" < floorE4).count() == 0,
+      "a document scored below the most-common-term floor")
+  }
 }
