@@ -148,6 +148,7 @@ object SparkEntry {
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
+    "graph_pagerank"       -> (graft.graph.Graph.graphPagerank _),
     "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
@@ -200,6 +201,34 @@ object SparkEntry {
         | CASE WHEN m.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action,
         | m.dup_of
         |FROM e LEFT JOIN m ON e.vec_id = m.vec_id""".stripMargin,
+    "graph_pagerank" -> {
+      // 10 integer power-iteration rounds, materialized (recursive
+      // CTEs cannot aggregate in the recursive member) — the same
+      // codegen-CTE technique as dedup_components' oracle
+      val rounds = (1 to 10).map { k =>
+        s"""r$k AS MATERIALIZED (SELECT dg.a AS v,
+           |  150000000 + (85 * CAST(s.in_sum AS BIGINT)) // 100 AS r
+           | FROM dg JOIN (
+           |   SELECT e.b AS v, CAST(sum(p.r // d2.deg) AS BIGINT) AS in_sum
+           |   FROM sym e JOIN r${k - 1} p ON p.v = e.a
+           |   JOIN dg d2 ON d2.a = e.a
+           |   GROUP BY e.b) s ON s.v = dg.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+         |sym AS MATERIALIZED (SELECT a, b FROM p
+         |  UNION ALL SELECT b AS a, a AS b FROM p),
+         |dg AS MATERIALIZED (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT a AS v, CAST(1000000000 AS BIGINT) AS r
+         |  FROM dg),
+         |$rounds
+         |SELECT emb.vec_id,
+         | coalesce(r10.r, CAST(150000000 AS BIGINT)) AS rank_e9
+         |FROM embeddings emb LEFT JOIN r10 ON r10.v = emb.vec_id""".stripMargin
+    },
     "txt_surprisal" ->
       """WITH t AS (SELECT doc_id, lang,
         |   unnest(string_split_regex(trim(text), ' +')) AS term

@@ -76,6 +76,70 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Fixed-point PageRank over the near-dup similarity graph: 10
+    * power-iteration hops in INTEGER e9 arithmetic —
+    *
+    *   rank₀(v)   = 10⁹
+    *   rankₖ₊₁(v) = 0.15·10⁹ + ⌊85 · Σ_{u∈N(v)} ⌊rankₖ(u)/deg(u)⌋ / 100⌋
+    *
+    * with floor division at both steps, so every engine replays the
+    * exact same bigint ranks (no float mass to drift; the cost is a
+    * little probability mass truncated away, irrelevant for RANKING,
+    * which is what the score exists for — the centrality ordering of
+    * dup-cluster members, e.g. picking the most-connected canonical
+    * doc instead of min-id). The hop count is FIXED at 10, not
+    * convergence-tested: a deterministic 10-hop rank is oracle-
+    * checkable; "converged to 1e-9" is not.
+    *
+    * Scale notes (100 TB): the standard Spark PageRank shape — the
+    * symmetric edge relation is pinned once with out-degrees attached,
+    * each hop is ONE edge⋈rank join (shuffle on node id) + one
+    * per-node integer sum (map-side combinable), and `localCheckpoint`
+    * per hop keeps the plan constant-size across iterations. Only
+    * edge ENDPOINTS iterate; isolated vectors take the closed-form
+    * no-inlink rank (0.15·10⁹) on the way out, so a mostly-unique
+    * corpus doesn't drag through 10 hops.
+    */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pagerankOnEdges(
+      nearDupEdges(spark, sfDir),
+      Tables.embeddings(spark, sfDir).select($"vec_id"))
+  }
+
+  /** The iteration core, over any SYMMETRIC (a, b) edge relation and
+    * node universe — split out so the spec can pin the integer
+    * recurrence against a plain-Scala replay on a hand-built graph.
+    */
+  private[graft] def pagerankOnEdges(sym: DataFrame,
+                                     allNodes: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    val deg = sym.groupBy($"a").agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, Seq("a")).persist()
+    var ranks = deg.select($"a".as("vec_id"))
+      .withColumn("rank_e9", lit(1000000000L))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to 10) {
+        val in = edges
+          .join(ranks.select($"vec_id".as("a"), $"rank_e9"), Seq("a"))
+          .select($"b".as("vec_id"), expr("rank_e9 div deg").as("c"))
+          .groupBy($"vec_id").agg(sum($"c").as("in_sum"))
+        // the graph is symmetric, so every iterating node has ≥1
+        // in-edge and the join stays inner — no rank row disappears
+        ranks = ranks.select($"vec_id")
+          .join(in, Seq("vec_id"))
+          .select($"vec_id", expr(
+            "150000000L + ((85 * in_sum) div 100)").as("rank_e9"))
+          .localCheckpoint() // cut lineage: constant plan size per hop
+      }
+      allNodes
+        .join(ranks, Seq("vec_id"), "left_outer")
+        .select($"vec_id",
+          coalesce($"rank_e9", lit(150000000L)).as("rank_e9"))
+    } finally edges.unpersist()
+  }
+
   /** Per-node triangle counts in the similarity graph (τ = 0.2 keeps
     * the graph dense enough to have triangles at every test SF).
     * Standard distributed triangle enumeration: edges oriented

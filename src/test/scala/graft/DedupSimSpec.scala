@@ -293,6 +293,45 @@ class DedupSimSpec extends AnyFunSuite {
       "a later exact-duplicate doc kept some of its blocks")
   }
 
+  test("pagerank: integer recurrence matches a plain-Scala replay") {
+    import spark.implicits._
+    // star hub 1 → leaves 2,3,4 (degree asymmetry — a REGULAR graph
+    // sits exactly at the 10⁹ fixed point: rank' = 0.15e9+0.85·rank),
+    // a disjoint 1-regular pair (5-6), isolated nodes 7..9
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val symSeq = pairs ++ pairs.map(p => (p._2, p._1))
+    val got = graft.graph.Graph.pagerankOnEdges(
+      symSeq.toDF("a", "b"), (1L to 9L).toDF("vec_id"))
+      .as[(Long, Long)].collect().toMap
+    // replay the exact integer recurrence in plain Scala
+    val adj = symSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = adj.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 10) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) in(v) += r(u) / deg(u)
+      r = adj.keys.map(v => v -> (150000000L + 85 * in(v) / 100)).toMap
+    }
+    val expected =
+      (1L to 9L).map(v => v -> r.getOrElse(v, 150000000L)).toMap
+    assert(got == expected,
+      s"distributed ranks diverge from the scalar replay: $got vs $expected")
+    // structure sanity: the hub collects three whole leaf ranks per
+    // hop and outranks its leaves; leaves tie; the 1-regular pair
+    // sits at the 10⁹ fixed point; isolated = closed-form no-inlink
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got(1L) > got(2L), s"hub ${got(1L)} !> leaf ${got(2L)}")
+    assert(got(5L) == 1000000000L && got(6L) == 1000000000L)
+    assert(got(7L) == 150000000L && got(8L) == 150000000L)
+    // corpus run: one row per vector, isolated vectors at the
+    // closed-form rank, everything at or above it
+    val corpus = graft.graph.Graph.graphPagerank(spark, sf)
+    assert(corpus.count() ==
+      graft.core.Tables.embeddings(spark, sf).count())
+    assert(corpus.filter($"rank_e9" < 150000000L).count() == 0)
+  }
+
   test("semantic dedup: decisions agree with the embed pair list") {
     import spark.implicits._
     val dec = Dedup.dedupSemantic(spark, sf)
