@@ -109,6 +109,7 @@ object SparkEntry {
     "txt_contamination_bloom" -> (graft.text.TextAnalysis.txtContaminationBloom _),
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
     "txt_surprisal"        -> (graft.text.TextAnalysis.txtSurprisal _),
+    "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_paragraph"      -> (graft.dedup.Dedup.dedupParagraph _),
@@ -229,6 +230,21 @@ object SparkEntry {
          | coalesce(r10.r, CAST(150000000 AS BIGINT)) AS rank_e9
          |FROM embeddings emb LEFT JOIN r10 ON r10.v = emb.vec_id""".stripMargin
     },
+    "txt_entropy" ->
+      """WITH d AS (SELECT doc_id, lang, trim(text) AS t FROM documents),
+        |b AS (SELECT doc_id, lang, c.ch AS ch,
+        |   length(t) - length(replace(t, c.ch, '')) AS cnt
+        |  FROM d, LATERAL unnest(
+        |    string_split('abcdefghijklmnopqrstuvwxyz ', '')) AS c(ch)),
+        |nz AS (SELECT doc_id, lang, cnt FROM b WHERE cnt > 0),
+        |n AS (SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_modeled
+        |  FROM nz GROUP BY 1, 2)
+        |SELECT n.doc_id, n.lang, n.n_modeled,
+        | CAST(sum(nz.cnt * CAST(round(10000 *
+        |   ln(n.n_modeled::DOUBLE / nz.cnt)) AS BIGINT)) AS BIGINT)
+        |   // n.n_modeled AS entropy_e4
+        |FROM nz JOIN n USING (doc_id, lang)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "txt_surprisal" ->
       """WITH t AS (SELECT doc_id, lang,
         |   unnest(string_split_regex(trim(text), ' +')) AS term

@@ -398,6 +398,38 @@ object TextAnalysis {
     * (doc, term)| rows with map-side partial aggregation. No
     * vocabulary sort, no global window, no float accumulation.
     */
+  /** Character-class Shannon entropy — the classic gibberish / noise
+    * gate (low entropy = repeated-character junk or boilerplate, high
+    * entropy = encrypted/binary paste): per document,
+    * H = Σ_c (cnt_c/n)·ln(n/cnt_c) over the 27 modeled classes
+    * (a–z + space), emitted as integer e4-nats via the
+    * [[txtSurprisal]] recipe — each class's ln is rounded to an
+    * integer BEFORE the weighted sum, so the result is engine-exact.
+    *
+    * Scale notes (100 TB): a pure PROJECTION — class counts come from
+    * 27 `length(replace(text, c, ''))` scans of the row's own text
+    * (no per-character explode: that would multiply the relation
+    * ~250×, all of it through any downstream exchange), the entropy
+    * folds over a 27-element array in the same projection, and there
+    * is NO shuffle anywhere: output is one row per input row,
+    * pipelined inside whole-stage scan processing.
+    */
+  def txtEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("t", trim($"text"))
+      .withColumn("cnts", expr(
+        "filter(transform(split('abcdefghijklmnopqrstuvwxyz ', ''), " +
+          "c -> length(t) - length(replace(t, c, ''))), x -> x > 0)"))
+      .withColumn("n_modeled", expr(
+        "aggregate(cnts, 0L, (a, x) -> a + x)"))
+      .withColumn("entropy_e4", expr(
+        "aggregate(cnts, 0L, (a, x) -> a + x * cast(round(" +
+          "10000 * ln(cast(n_modeled as double) / x), 0) as bigint)) " +
+          "div n_modeled"))
+      .select($"doc_id", $"lang", $"n_modeled", $"entropy_e4")
+  }
+
   def txtSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, sfDir)

@@ -99,6 +99,33 @@ class TextSpec extends AnyFunSuite {
       .count() == 0, "scrub is not idempotent")
   }
 
+  test("char entropy: zero-shuffle projection, scalar replay, ln(27) bound") {
+    import spark.implicits._
+    val ent = graft.text.TextAnalysis.txtEntropy(spark, sf)
+    // the gate is a pure projection — any Exchange is a regression
+    val p = ent.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy gate shuffles\n$p")
+    val rows = ent.select($"doc_id", $"n_modeled", $"entropy_e4")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length ==
+      graft.core.Tables.documents(spark, sf).count().toInt)
+    // H ≤ ln(27) nats (uniform over the 27 modeled classes); rounding
+    // adds at most 1e-4 per class term
+    assert(rows.forall { case (_, n, e) => n > 0 && e >= 0 && e <= 32959 })
+    // replay the integer formula in plain Scala on the raw text
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val alphabet = ('a' to 'z') :+ ' '
+    rows.take(25).foreach { case (id, n, e) =>
+      val t = texts(id).trim
+      val cnts = alphabet.map(c => t.count(_ == c).toLong).filter(_ > 0)
+      val nS = cnts.sum
+      val eS = cnts.map(x =>
+        x * math.round(10000 * math.log(nS.toDouble / x))).sum / nS
+      assert(n == nS && e == eS, s"doc $id: ($n,$e) vs scalar ($nS,$eS)")
+    }
+  }
+
   test("surprisal: integer accounting is internally consistent") {
     import spark.implicits._
     val s = graft.text.TextAnalysis.txtSurprisal(spark, sf)
