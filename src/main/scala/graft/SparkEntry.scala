@@ -127,6 +127,7 @@ object SparkEntry {
     "pipeline_curate"      -> (Analytics.pipelineCurate _),
     "pipeline_split"       -> (Analytics.pipelineSplit _),
     "pipeline_shard"       -> (Analytics.pipelineShard _),
+    "pipeline_cap"         -> (Analytics.pipelineCap _),
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
     "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
     // similarity search
@@ -191,6 +192,21 @@ object SparkEntry {
         | CASE WHEN coalesce(agg.n_blocks, 0) = 0 THEN 0
         |   ELSE (10000 * agg.removed_blocks) // agg.n_blocks END AS removed_bp
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "pipeline_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |     AS n_tokens,
+        |   CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |     % 9223372036854775808 AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        |   PARTITION BY source ORDER BY h, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cum_before FROM d)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(cum_before AS BIGINT) AS cum_before,
+        | cum_before + n_tokens <= 800 AS admitted
+        |FROM c""".stripMargin,
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

@@ -245,6 +245,53 @@ object Analytics {
            sum($"n_tokens").as("n_tokens"))
   }
 
+  /** Per-source token-budget quota (the domain-cap stage of every
+    * large corpus recipe — C4/Dolma-style over-represented-domain
+    * throttling): documents are admitted in deterministic 63-bit
+    * md5(doc_id) hash order (an unbiased sample order, reproducible
+    * across engines/runs/partitionings) until the source's token
+    * budget is exhausted; the straddling document is rejected.
+    *
+    * Scale notes (100 TB): the naive form is ONE running-sum window
+    * per source — a handful of giant sorted partitions, the
+    * low-cardinality global sort this engine bans. This is instead
+    * the classic TWO-LEVEL parallel prefix scan: (1) hash-contiguous
+    * buckets (top bits of the hash, so bucket ranges ARE the order)
+    * get bucket-local running sums at parallelism ∝ buckets;
+    * (2) per-(source, bucket) totals — a bucket-count-sized relation
+    * — get the bucket-offset running sum in a tiny window;
+    * (3) offsets broadcast-join back. Output is bucket-invariant:
+    * offset + local cumsum ≡ the global per-source cumsum, which is
+    * exactly what the single-window DuckDB oracle computes.
+    */
+  def pipelineCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = spark.conf.get("spark.graft.sourceTokenCap", "800").toLong
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        expr("cast(size(split(trim(text), ' +')) as bigint)").as("n_tokens"))
+      .withColumn("h", expr(
+        "graft_md5lower64(cast(doc_id as string)) & 9223372036854775807"))
+      // 2^51 divisor → 4096 hash-contiguous buckets (production would
+      // size this ∝ corpus; the OUTPUT is bucket-count-invariant)
+      .withColumn("bucket", expr("h div 2251799813685248L"))
+    val wLocal = Window.partitionBy($"source", $"bucket")
+      .orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = d.withColumn("cum_local",
+      coalesce(sum($"n_tokens").over(wLocal), lit(0L)))
+    val wOffs = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy($"source", $"bucket")
+      .agg(sum($"n_tokens").as("btok"))
+      .withColumn("offset", coalesce(sum($"btok").over(wOffs), lit(0L)))
+      .select($"source", $"bucket", $"offset")
+    local.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before", $"offset" + $"cum_local")
+      .withColumn("admitted", $"cum_before" + $"n_tokens" <= cap)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before", $"admitted")
+  }
+
   /** Per-language top-10 bigram counts: adjacent word pairs via
     * slice+zip (no sequence() — its descending-on-empty behavior is
     * a footgun), explode, count, bounded-heap top-k (the bigram

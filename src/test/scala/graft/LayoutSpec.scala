@@ -144,4 +144,39 @@ class LayoutSpec extends AnyFunSuite {
       .filter(graft.functions.bloomMightContain(bytes, $"v")).count()
     assert(fps < 1000, s"fp rate ${fps / 20000.0} way over the 1% target")
   }
+
+  test("pipeline_cap: two-level prefix scan == one global window; quota binds") {
+    import spark.implicits._
+    val cap = graft.operators.Analytics.pipelineCap(spark, sf)
+    // semantic reference: the single global per-source window — the
+    // formulation that does NOT scale (one sorted partition per
+    // source), used here only as the oracle for the two-level scan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        expr("cast(size(split(trim(text), ' +')) as bigint)").as("n_tokens"))
+      .withColumn("h", expr(
+        "graft_md5lower64(cast(doc_id as string)) & 9223372036854775807"))
+      .withColumn("cum_before",
+        coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("admitted", $"cum_before" + $"n_tokens" <= 800L)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before", $"admitted")
+    assert(cap.except(ref).isEmpty && ref.except(cap).isEmpty,
+      "bucketed two-level scan diverges from the global window")
+    // the quota actually binds at this corpus: every source both
+    // admits and rejects documents
+    val per = cap.groupBy($"source")
+      .agg(sum(when($"admitted", 1).otherwise(0)).as("in"),
+           sum(when($"admitted", 0).otherwise(1)).as("out"))
+      .as[(String, Long, Long)].collect()
+    assert(per.nonEmpty && per.forall { case (_, in, out) => in > 0 && out > 0 },
+      s"cap vacuous for some source: ${per.mkString(", ")}")
+    // admitted token mass never exceeds the cap
+    val over = cap.filter($"admitted")
+      .groupBy($"source").agg(sum($"n_tokens").as("tok"))
+      .filter($"tok" > 800L).count()
+    assert(over == 0, "a source exceeded its token budget")
+  }
 }
