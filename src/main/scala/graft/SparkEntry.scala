@@ -147,6 +147,7 @@ object SparkEntry {
     "sim_ivfpq_stored"     -> (graft.similarity.AnnIndex.simIvfPqStored _),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
+    "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
@@ -168,7 +169,29 @@ object SparkEntry {
     // the stored-index query replays the identical IVFADC pipeline
     // from the persisted artifacts (seeded on this corpus), so the
     // recompute oracle is its oracle too
-    ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann"))
+    ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann")) +
+    // recall@5 composes the constituent replays verbatim as
+    // subqueries (DuckDB allows a CTE-bearing SELECT in parentheses)
+    ("sim_recall_eval" -> {
+      def sub(k: String) =
+        "(SELECT query_id, neighbor_id FROM (" + oracleSqlBase(k) + "))"
+      s"""WITH b AS ${sub("sim_brute_topk")},
+         |q AS (SELECT DISTINCT query_id FROM b),
+         |m AS (SELECT 'lsh' AS method, query_id, neighbor_id
+         |   FROM ${sub("sim_lsh_ann")}
+         | UNION ALL SELECT 'ivf', query_id, neighbor_id
+         |   FROM ${sub("sim_ivf_ann")}
+         | UNION ALL SELECT 'ivfpq', query_id, neighbor_id
+         |   FROM ${sub("sim_ivfpq_ann")}),
+         |h AS (SELECT m.method, m.query_id, count(*) AS hits
+         |  FROM m JOIN b USING (query_id, neighbor_id) GROUP BY 1, 2)
+         |SELECT q.query_id, mm.method,
+         | CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         | (10000 * CAST(coalesce(h.hits, 0) AS BIGINT)) // 5 AS recall_bp
+         |FROM q CROSS JOIN (SELECT DISTINCT method FROM m) mm
+         |LEFT JOIN h ON h.query_id = q.query_id AND h.method = mm.method"""
+        .stripMargin
+    })
 
   private def oracleSqlBase: Map[String, String] = Map(
     "dedup_paragraph" ->

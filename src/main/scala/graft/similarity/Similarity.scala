@@ -563,4 +563,37 @@ object Similarity {
               ($"i" + 1).cast("int").as("rank"),
               round($"p._2", 4).as("cosine"))
   }
+
+  /** ANN index-quality evaluation — recall@5 of each approximate
+    * method (LSH, IVF, IVF+PQ) against the exact brute-force top-5,
+    * per query and method, in integer basis points. The measurement
+    * every production retrieval deployment runs before trusting an
+    * index — here a first-class operator whose result hash-checks,
+    * because every constituent path is already deterministic.
+    *
+    * Scale notes (100 TB): the evaluation itself is query-set-sized —
+    * all joins carry (query_id, neighbor_id) pairs, k rows per query
+    * per method. The heavy lifting is the constituent operators,
+    * which keep their own scale shapes; the brute-force baseline is
+    * the one corpus-linear scan, priced per evaluation batch (a few
+    * hundred audit queries), never per corpus query.
+    */
+  def simRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val brute = simBruteTopk(spark, sfDir)
+      .select($"query_id", $"neighbor_id")
+    val queries = brute.select($"query_id").distinct()
+    def recallOf(method: String, df: DataFrame): DataFrame = {
+      val hits = df.select($"query_id", $"neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("h"))
+      queries.join(hits, Seq("query_id"), "left_outer")
+        .select($"query_id", lit(method).as("method"),
+          coalesce($"h", lit(0L)).as("hits"))
+        .withColumn("recall_bp", expr("(10000 * hits) div 5"))
+    }
+    recallOf("lsh", simLshAnn(spark, sfDir))
+      .union(recallOf("ivf", simIvfAnn(spark, sfDir)))
+      .union(recallOf("ivfpq", simIvfPqAnn(spark, sfDir)))
+  }
 }

@@ -293,6 +293,29 @@ class DedupSimSpec extends AnyFunSuite {
       "a later exact-duplicate doc kept some of its blocks")
   }
 
+  test("recall eval: agrees with a direct intersection recompute") {
+    import spark.implicits._
+    val ev = Similarity.simRecallEval(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    val nq = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id").distinct().count()
+    assert(ev.length == 3 * nq, s"${ev.length} rows for $nq queries")
+    assert(ev.forall { case (_, _, h, bp) =>
+      h >= 0 && h <= 5 && bp == 2000 * h })
+    // recompute one method's hits by hand
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.simLshAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    ev.filter(_._2 == "lsh").foreach { case (q, _, h, _) =>
+      val want = lsh.getOrElse(q, Set.empty)
+        .intersect(brute.getOrElse(q, Set.empty)).size
+      assert(h == want, s"query $q lsh hits $h != recomputed $want")
+    }
+  }
+
   test("pagerank: integer recurrence matches a plain-Scala replay") {
     import spark.implicits._
     // star hub 1 → leaves 2,3,4 (degree asymmetry — a REGULAR graph
