@@ -362,6 +362,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("new curation ops keep their designed shuffle shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // dedup_paragraph: exactly two hash exchanges (block-hash window +
+    // per-doc aggregate); the doc rejoin must be a broadcast
+    val para = graft.dedup.Dedup.dedupParagraph(spark, sf)
+    val pPlan = capture(para, "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(pPlan).size == 2,
+      s"paragraph dedup shuffle count drifted\n$pPlan")
+    val pWins = para.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(pWins.nonEmpty && pWins.forall(
+      _.partitionSpec.exists(_.toString.startsWith("h#"))),
+      "first-occurrence window not partitioned on the block hash")
+    // pipeline_cap: the doc-level window must carry the bucket in its
+    // partition spec (the two-level scan's whole point — never one
+    // giant sorted partition per source)
+    val cap = graft.operators.Analytics.pipelineCap(spark, sf)
+    val cWins = cap.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(cWins.exists(_.partitionSpec.exists(_.toString.contains("bucket"))),
+      "cap running sum lost its bucket partitioning")
+    assert(capture(cap, "simple").contains("BroadcastHashJoin"),
+      "bucket offsets not broadcast back")
+    // txt_surprisal: the vocabulary-count join must broadcast — a
+    // sort-merge join there means the corpus re-shuffled on term
+    val sur = graft.text.TextAnalysis.txtSurprisal(spark, sf)
+    val sPlan = capture(sur, "simple")
+    assert(!sPlan.contains("SortMergeJoin"),
+      s"surprisal joins fell back to sort-merge\n$sPlan")
+  }
+
   test("pipeline_split/shard/length_hist: one aggregation shuffle each") {
     for (df <- Seq(graft.operators.Analytics.pipelineSplit(spark, sf),
                    graft.operators.Analytics.pipelineShard(spark, sf),
