@@ -110,6 +110,8 @@ object SparkEntry {
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
     "txt_surprisal"        -> (graft.text.TextAnalysis.txtSurprisal _),
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
+    "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
+    "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_paragraph"      -> (graft.dedup.Dedup.dedupParagraph _),
@@ -130,6 +132,7 @@ object SparkEntry {
     "pipeline_cap"         -> (Analytics.pipelineCap _),
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
     "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
+    "pipeline_shuffle"     -> (Analytics.pipelineShuffle _),
     // similarity search
     "sim_brute_topk"       -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simBruteTopk(s, d)),
@@ -148,6 +151,8 @@ object SparkEntry {
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
+    "sim_kmeans"           -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simKmeans(s, d)),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
@@ -269,6 +274,45 @@ object SparkEntry {
          | coalesce(r10.r, CAST(150000000 AS BIGINT)) AS rank_e9
          |FROM embeddings emb LEFT JOIN r10 ON r10.v = emb.vec_id""".stripMargin
     },
+    "sim_kmeans" -> {
+      // 3 Lloyd rounds + the final assignment, materialized (the
+      // graph_pagerank codegen-CTE recipe). Exact int64 end to end:
+      // e6-quantized components keep every squared distance ≤ ~3e14
+      // (exactly representable through list_inner_product's doubles),
+      // `//` truncates toward zero exactly like Spark's `div`, and
+      // ties break to the lowest positional centroid id both sides.
+      val assign = (a: String, c: String) =>
+        s"""$a AS MATERIALIZED (SELECT vec_id, c, d FROM (
+           |  SELECT vec_id, c, d,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+           |  FROM (SELECT e.vec_id, cc.c,
+           |     CAST(list_inner_product(e.iv, e.iv)
+           |       + list_inner_product(cc.iv, cc.iv)
+           |       - 2 * list_inner_product(e.iv, cc.iv) AS BIGINT) AS d
+           |    FROM e CROSS JOIN $c cc)) WHERE rn = 1)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        assign(s"a$i", s"c${i - 1}") + ",\n" +
+          s"""m$i AS (SELECT a$i.c, t.i AS dim,
+             |   CAST(sum(e.iv[t.i]) AS BIGINT) // count(*) AS m
+             |  FROM a$i JOIN e USING (vec_id),
+             |   LATERAL unnest(range(1, 65)) AS t(i)
+             |  GROUP BY 1, 2),
+             |c$i AS MATERIALIZED (SELECT p.c, coalesce(n.iv, p.iv) AS iv
+             |  FROM c${i - 1} p LEFT JOIN (SELECT c, list(m ORDER BY dim) AS iv
+             |    FROM m$i GROUP BY c) n USING (c))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(round(1000000 * x) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT
+         |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, iv
+         |  FROM e WHERE vec_id < 8),
+         |$rounds,
+         |${assign("a4", "c3")}
+         |SELECT vec_id, CAST(c AS INT) AS cluster, d AS dist_e12
+         |FROM a4""".stripMargin
+    },
     "txt_entropy" ->
       """WITH d AS (SELECT doc_id, lang, trim(text) AS t FROM documents),
         |b AS (SELECT doc_id, lang, c.ch AS ch,
@@ -300,6 +344,42 @@ object SparkEntry {
         | CAST(sum(tf * term_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |   AS mean_surprisal_e4
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "txt_dup_coverage" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text),' +') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(0, greatest(len(w)-5,0)+1),
+        |   i -> CAST(md5_number_lower(array_to_string(
+        |     list_slice(w, CAST(i+1 AS INT), CAST(i+5 AS INT)),' '))
+        |     % 9223372036854775808 AS BIGINT)))) AS g FROM d),
+        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        | count(CASE WHEN df.df >= 2 THEN 1 END) AS dup_shingles,
+        | (10000 * count(CASE WHEN df.df >= 2 THEN 1 END)) // count(*)
+        |   AS dup_bp
+        |FROM sh JOIN df USING (g) GROUP BY 1""".stripMargin,
+    "txt_classifier" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |   unnest(string_split_regex(trim(text), ' +')) AS term
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |   ((CAST(md5_number_lower(term) % 9223372036854775808 AS BIGINT)
+        |     % 256) * 2654435761) % 2001 - 1000 AS w
+        |  FROM t)
+        |SELECT doc_id, lang, count(*) AS n_tokens,
+        | CAST(sum(w) AS BIGINT) AS logit,
+        | (10000 * CAST(sum(w) AS BIGINT)) // count(*)
+        |   AS logit_e4_per_token,
+        | CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS keep
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "pipeline_shuffle" ->
+      """SELECT doc_id, source, CAST(t.epoch AS INT) AS epoch,
+        | CAST(md5_number_lower('epoch-' || t.epoch || ':' || doc_id)
+        |   % 9223372036854775808 AS BIGINT) AS order_key,
+        | CAST(CAST(md5_number_lower('epoch-' || t.epoch || ':' || doc_id)
+        |   % 9223372036854775808 AS BIGINT) // 144115188075855872 AS INT)
+        |   AS shard
+        |FROM documents, LATERAL unnest([0, 1, 2]) AS t(epoch)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

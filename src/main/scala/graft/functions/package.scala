@@ -109,4 +109,13 @@ package object functions {
     Bridge.column(org.apache.spark.sql.graft.BloomMightContain(
       org.apache.spark.sql.catalyst.expressions.Literal(sketchBytes),
       Bridge.expression(value)))
+
+  /** Nearest-centroid assignment of an `array<long>` vector against
+    * a fixed centroid table (k-means Lloyd map step) →
+    * `struct<cluster int, dist long>`. See
+    * [[org.apache.spark.sql.graft.NearestCentroidL2]].
+    */
+  def nearestCentroid(v: Column, centroids: Seq[Seq[Long]]): Column =
+    Bridge.column(org.apache.spark.sql.graft.NearestCentroidL2(
+      Bridge.expression(v), centroids))
 }

@@ -461,6 +461,35 @@ object Analytics {
            max($"doc_id").as("max_doc_id"))
   }
 
+  /** Deterministic per-epoch training-order shuffle: every document
+    * gets, for each of 3 training epochs, a 63-bit md5 order key
+    * seeded by the epoch — the "shuffle the data differently every
+    * epoch" requirement of training-data delivery, WITHOUT a global
+    * sort: ordering by a uniform hash key IS the shuffle, and the
+    * writer realizes it with `repartitionByRange(order_key)` +
+    * `sortWithinPartitions` (range boundaries from a sampled sketch —
+    * the TeraSort shape), never a single-reducer total order. The
+    * companion `shard` column (top 6 key bits ≈ range-partition id)
+    * makes the epoch's delivery order reproducible file-by-file.
+    *
+    * Reproducibility is the point: hash keys mean any engine, any
+    * partitioning, any restart derives the SAME epoch order (no RNG
+    * state), and epochs decorrelate because the seed enters the md5
+    * preimage. A pure zero-shuffle projection (×3 epoch fan-out).
+    */
+  def pipelineShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        explode(expr("sequence(0, 2)")).as("epoch"))
+      .withColumn("order_key", expr(
+        "graft_md5lower64(concat('epoch-', cast(epoch as string), ':', " +
+          "cast(doc_id as string))) & 9223372036854775807"))
+      .withColumn("shard", expr("order_key div 144115188075855872").cast("int"))
+      .select($"doc_id", $"source", $"epoch".cast("int").as("epoch"),
+              $"order_key", $"shard")
+  }
+
   /** List aggregation: per-nation sorted roster of supplier names —
     * `collect_set` → `array_sort` → `array_join`, the idiom for
     * building a deterministic delimited list in a distributed

@@ -596,4 +596,63 @@ object Similarity {
       .union(recallOf("ivf", simIvfAnn(spark, sfDir)))
       .union(recallOf("ivfpq", simIvfPqAnn(spark, sfDir)))
   }
+
+  /** Integer fixed-point Lloyd's k-means over the embedding corpus —
+    * the COARSE-QUANTIZER TRAINING step the IVF family assumes (the
+    * `label` column stands in as a pre-trained quantizer elsewhere;
+    * this operator is how that quantizer gets trained in the first
+    * place, the `kmeans` of FAISS `IVFx`). Vectors are quantized once
+    * to integer e6 components (`round(1e6·x)` — the float enters
+    * exactly once per component), seeds are the k smallest vec_ids,
+    * and each of the 3 Lloyd rounds (a) assigns every vector to its
+    * strictly nearest centroid in exact int64 squared-L2 (ties to the
+    * lowest centroid id) via the native [[graft.functions.nearestCentroid]]
+    * tight-loop expression — a ZERO-SHUFFLE projection, the centroid
+    * table rides the expression — and (b) recomputes centroids as
+    * per-dimension `sum div count` (truncated division, exact
+    * integers; empty clusters keep their previous centroid). The
+    * output is the final assignment: one row per vector with its
+    * cluster and exact squared distance.
+    *
+    * Scale notes (100 TB): the classic distributed Lloyd shape (what
+    * MLlib's KMeans runs): per round, one linear scan assigns (no
+    * shuffle — k·dims centroid longs are expression state), and the
+    * update shuffles only map-side-combined per-(cluster, dim)
+    * partial sums — ≤ partitions·k·dims rows, corpus-size-independent.
+    * The k·dims driver collect per round is MODEL state (512 longs),
+    * the same metadata-sized exception as EventLog's offset read.
+    * Every quantity is exact int64, so the full 3-round trajectory is
+    * replayed bit-for-bit by the DuckDB oracle (materialized rounds,
+    * the [[graft.graph.Graph.graphPagerank]] recipe).
+    */
+  def simKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    simKmeans(spark, sfDir, k = 8, iters = 3)
+
+  def simKmeans(spark: SparkSession, sfDir: String, k: Int,
+                iters: Int): DataFrame = {
+    import spark.implicits._
+    val iv = vectors(spark, sfDir)
+      .withColumn("iv", expr(
+        "transform(v, x -> cast(round(1000000 * x, 0) as bigint))"))
+      .select($"vec_id", $"iv")
+      .persist()
+    var cents: Seq[Seq[Long]] = iv.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val sums = iv
+        .withColumn("cluster",
+          graft.functions.nearestCentroid($"iv", cents)("cluster"))
+        .select($"cluster", posexplode($"iv").as(Seq("dim", "x")))
+        .groupBy($"cluster", $"dim")
+        .agg(expr("sum(x) div count(1)").as("m"))
+        .collect()
+      val next = cents.map(_.toArray).toArray
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next.map(_.toIndexedSeq).toIndexedSeq
+    }
+    iv.withColumn("a", graft.functions.nearestCentroid($"iv", cents))
+      .select($"vec_id", $"a.cluster".as("cluster"),
+              $"a.dist".as("dist_e12"))
+  }
 }

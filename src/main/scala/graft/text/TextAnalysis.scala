@@ -430,6 +430,81 @@ object TextAnalysis {
       .select($"doc_id", $"lang", $"n_modeled", $"entropy_e4")
   }
 
+  /** Cross-document duplicate-shingle coverage — the corpus-level
+    * repetition signal (the RefinedWeb/Gopher "fraction of document
+    * in duplicated n-grams" gate, where [[txtRepetition]] is its
+    * INTRA-document twin): for each document, the fraction of its
+    * distinct word-5-gram shingles that occur in at least one OTHER
+    * document, in integer basis points. High coverage = boilerplate
+    * or template text worth down-weighting even when no single
+    * near-dup pair fires.
+    *
+    * Scale notes (100 TB): shingles reduce to 63-bit md5 hashes in
+    * the scan pass (8-byte keys, never strings, the
+    * [[txtContamination]] recipe); the df relation is
+    * shingle-cardinality so it CANNOT broadcast — the join-back is a
+    * plain equi-join on the hash with both sides hash-partitioned
+    * (the [[txtTfidf]] shape), and the per-doc rollup is map-side
+    * combinable. Everything is linear in corpus shingles; output is
+    * exactly one row per document.
+    *
+    * df counts DOCUMENTS (shingles are distinct within a doc before
+    * the explode), so `df >= 2` means "appears in another document" —
+    * except for a doc repeating a shingle... which array_distinct
+    * already collapsed. Exact, no approximation.
+    */
+  def txtDupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("g", explode(expr(
+        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
+          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
+          "& 9223372036854775807))")))
+      .select($"doc_id", $"g")
+    val df_ = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+    sh.join(df_, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when($"df" >= 2, 1)).as("dup_shingles"))
+      .withColumn("dup_bp", expr("(10000 * dup_shingles) div n_shingles"))
+  }
+
+  /** Hashed linear quality-classifier scoring — the model-based
+    * filtering shape (the fastText "looks like a reference corpus"
+    * gate of CCNet/LLaMA data work): terms hash into 256 feature
+    * buckets (the hashing trick — vocabulary-independent, so the
+    * model is a fixed 256-weight vector, not a vocabulary join), the
+    * document logit is the sum of its tokens' bucket weights, and the
+    * keep decision thresholds the per-token mean. Integer weights
+    * make every score engine-exact.
+    *
+    * The WEIGHTS here are a deterministic stand-in (a Knuth
+    * multiplicative mix of the bucket id into [-1000, 1000]) — in
+    * production they come from a trained model file; the Spark-side
+    * plumbing (token hashing, sparse feature reduction, thresholded
+    * gating) is the real, tested surface, exactly like the declared
+    * multimodal decode stubs.
+    *
+    * Scale notes (100 TB): ONE shuffle — the per-doc sum of exploded
+    * token weights, map-side combinable to one row per doc per
+    * partition. No vocabulary relation, no model join, no float
+    * anywhere.
+    */
+  def txtClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        explode(expr("split(trim(text), ' +')")).as("term"))
+      .withColumn("w", expr(
+        "(((graft_md5lower64(term) & 9223372036854775807) % 256) " +
+          "* 2654435761) % 2001 - 1000"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"), sum($"w").as("logit"))
+      .withColumn("logit_e4_per_token", expr("(10000 * logit) div n_tokens"))
+      .withColumn("keep", ($"logit" >= 0).cast("int"))
+  }
+
   def txtSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, sfDir)

@@ -666,3 +666,48 @@ case class BloomMightContain(sketch: Expression, value: Expression)
     copy(sketch = l, value = r)
   override def prettyName: String = "graft_bloom_might_contain"
 }
+
+/** Nearest-centroid assignment for integer-quantized k-means (the
+  * Lloyd iteration's map step): squared-L2 distance of an
+  * `array<long>` vector against a FIXED centroid table carried in
+  * the expression itself (k·dims longs — model state, not data),
+  * returning `struct<cluster int, dist long>` for the strictly
+  * nearest centroid, ties to the lowest centroid id.
+  *
+  * A tight two-level JVM loop per row — the HOF formulation would
+  * interpret k·dims lambda calls per vector. All arithmetic is
+  * exact int64 (components ≤ ~1e6 ⇒ squared sums ≤ ~2.6e14), so an
+  * external SQL engine replays every distance and tie bit-for-bit.
+  */
+case class NearestCentroidL2(child: Expression, centroids: Seq[Seq[Long]])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val vec = new Array[Long](n)
+    var i = 0
+    while (i < n) { vec(i) = v.getLong(i); i += 1 }
+    var best = -1; var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val m = math.min(n, cv.length)
+      var d = 0L; var j = 0
+      while (j < m) { val t = vec(j) - cv(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    InternalRow(best, bestD)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_nearest_centroid"
+}

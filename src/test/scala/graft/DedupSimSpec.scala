@@ -377,4 +377,46 @@ class DedupSimSpec extends AnyFunSuite {
     assert(firstPerLabel.join(dec.filter($"action" === "drop"), "vec_id")
       .count() == 0, "a cluster's first vector was dropped")
   }
+
+  test("kmeans: exact scalar replay of the full Lloyd trajectory") {
+    import spark.implicits._
+    val k = 8; val iters = 3
+    val got = graft.similarity.Similarity.simKmeans(spark, sf, k, iters)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // driver-side replay of the identical integer pipeline: e6
+    // quantization (HALF_UP, Spark round semantics), seeds = the k
+    // smallest vec_ids in order, strict-nearest assignment with ties
+    // to the lowest positional centroid, per-dim sum/count truncated
+    // toward zero, empty clusters carrying their previous centroid
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(f =>
+          java.math.BigDecimal.valueOf(1000000.0 * f.toDouble)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray
+      }.sortBy(_._1)
+    var cents = vecs.filter(_._1 < k).map(_._2.clone())
+    def nearest(v: Array[Long]): (Int, Long) = {
+      var best = -1; var bestD = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L
+        for (j <- v.indices) { val t = v(j) - cents(c)(j); d += t * t }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      (best, bestD)
+    }
+    for (_ <- 1 to iters) {
+      val assigned = vecs.map { case (_, v) => (nearest(v)._1, v) }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val members = assigned.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) old
+        else Array.tabulate(old.length)(j => members.map(_(j)).sum / members.length)
+      }
+    }
+    val want = vecs.map { case (id, v) => id -> nearest(v) }.toMap
+    assert(got == want, s"kmeans diverges from the scalar replay " +
+      s"(${got.count { case (id, a) => want.get(id).contains(a) }}/${want.size} agree)")
+    // the clustering is non-trivial: more than one cluster in use
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
 }

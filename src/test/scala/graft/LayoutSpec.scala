@@ -179,4 +179,30 @@ class LayoutSpec extends AnyFunSuite {
       .filter($"tok" > 800L).count()
     assert(over == 0, "a source exceeded its token budget")
   }
+
+  test("epoch shuffle: 3 collision-free decorrelated orders, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.operators.Analytics.pipelineShuffle(spark, sf)
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(sh.count() == 3 * n)
+    // 63-bit keys are collision-free per epoch at any plausible size
+    assert(sh.select($"epoch", $"order_key").distinct().count() == 3 * n)
+    // shard really is the top 6 bits of the key, in [0, 64)
+    assert(sh.filter($"shard" =!=
+      expr("cast(order_key div 144115188075855872 as int)") ||
+      $"shard" < 0 || $"shard" > 63).count() == 0)
+    // epochs are DIFFERENT permutations of the same doc set: ranks
+    // must disagree somewhere (identical orders would mean the seed
+    // never entered the hash)
+    val ranked = sh.withColumn("r",
+      row_number().over(Window.partitionBy($"epoch").orderBy($"order_key")))
+    val e0 = ranked.filter($"epoch" === 0).select($"doc_id", $"r".as("r0"))
+    val e1 = ranked.filter($"epoch" === 1).select($"doc_id", $"r".as("r1"))
+    assert(e0.join(e1, Seq("doc_id")).filter($"r0" =!= $"r1").count() > 0,
+      "epochs 0 and 1 produced the identical order")
+    // hash keys ⇒ reproducible across runs
+    assert(sh.exceptAll(graft.operators.Analytics.pipelineShuffle(spark, sf))
+      .count() == 0)
+  }
 }

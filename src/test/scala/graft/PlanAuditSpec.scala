@@ -446,6 +446,30 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("kmeans/classifier/coverage/epoch-shuffle keep their designed shuffle shapes") {
+    // pipeline_shuffle: a pure projection (×3 epoch fan-out) — the
+    // epoch ORDER comes from the hash key, never from an exchange
+    val sh = capture(graft.operators.Analytics.pipelineShuffle(spark, sf),
+      "formatted")
+    assert(!sh.contains("Exchange"), s"epoch shuffle keys shuffle\n$sh")
+    // txt_classifier: the per-doc reduction is the ONLY exchange (the
+    // 256-weight model rides the expression, no model join)
+    val cl = capture(graft.text.TextAnalysis.txtClassifier(spark, sf), "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(cl).size <= 1,
+      s"classifier shuffles beyond the per-doc reduction\n$cl")
+    assert(!cl.contains("CartesianProduct"))
+    // txt_dup_coverage: df groupBy + hash join-back + per-doc rollup —
+    // nothing beyond the tfidf-shaped three
+    val dc = capture(graft.text.TextAnalysis.txtDupCoverage(spark, sf), "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(dc).size <= 3,
+      s"dup coverage shuffles beyond df/join/rollup\n$dc")
+    // sim_kmeans: the returned assignment is a ZERO-shuffle projection
+    // over the quantized corpus — centroids are expression state
+    val km = capture(graft.similarity.Similarity.simKmeans(spark, sf), "simple")
+    assert(!km.contains("Exchange hashpartitioning"),
+      s"kmeans assignment shuffles — centroid state leaked into a join\n$km")
+  }
+
   test("dedup_ngram: rare-token prefixes discriminate far beyond source blocks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -153,4 +153,51 @@ class TextSpec extends AnyFunSuite {
     assert(s.filter($"mean_surprisal_e4" < floorE4).count() == 0,
       "a document scored below the most-common-term floor")
   }
+
+  test("dup coverage: exact-dup clusters fully covered, accounting consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cov = graft.text.TextAnalysis.txtDupCoverage(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+    // one row per document, bounded accounting
+    assert(cov.count() == docs.count())
+    assert(cov.filter($"dup_shingles" > $"n_shingles" ||
+      $"dup_bp" < 0 || $"dup_bp" > 10000 ||
+      $"dup_bp" =!= expr("(10000 * dup_shingles) div n_shingles"))
+      .count() == 0)
+    // a doc whose exact text appears in ANOTHER doc shares every
+    // shingle with it → coverage must be exactly 10000 bp
+    val clustered = docs.withColumn("h", md5(trim($"text")))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"csize" >= 2).select($"doc_id")
+    assert(clustered.join(cov, Seq("doc_id"))
+      .filter($"dup_bp" =!= 10000).count() == 0,
+      "an exact-dup doc scored below full coverage")
+    // the signal discriminates on this near-dup-rich corpus: some
+    // cross-doc shingle sharing exists, but not every doc is fully
+    // covered (sf0.001 has near-dup pairs though no exact-dup texts)
+    assert(cov.agg(sum($"dup_shingles")).head().getLong(0) > 0,
+      "no cross-document shingle sharing found at all")
+    assert(cov.filter($"dup_bp" < 10000).count() > 0)
+  }
+
+  test("hashed classifier: exact token accounting, bounded logits, threshold gate") {
+    import spark.implicits._
+    val cl = graft.text.TextAnalysis.txtClassifier(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(cl.count() == docs.count())
+    // per-token weights live in [-1000, 1000] → logit bounded by
+    // ±1000·n_tokens; gate and mean are definitional
+    assert(cl.filter(abs($"logit") > $"n_tokens" * 1000 ||
+      (($"keep" === 1) =!= ($"logit" >= 0)) ||
+      $"logit_e4_per_token" =!= expr("(10000 * logit) div n_tokens"))
+      .count() == 0)
+    // token accounting matches the tokenizer exactly
+    val toks = docs.select($"doc_id",
+      expr("cast(size(split(trim(text), ' +')) as bigint)").as("n"))
+    assert(cl.join(toks, Seq("doc_id"))
+      .filter($"n_tokens" =!= $"n").count() == 0)
+    // the 256-bucket hash discriminates documents
+    assert(cl.select($"logit_e4_per_token").distinct().count() > 1)
+  }
 }
