@@ -92,6 +92,7 @@ object SparkEntry {
     "evt_top_types"        -> (Events.evtTopTypes _),
     "evt_attribution"      -> (Events.evtAttribution _),
     "evt_distinct_sliding" -> (Events.evtDistinctSliding _),
+    "evt_mv_merge"         -> (Events.evtMvMerge _),
     "evt_transitions"      -> (Events.evtTransitions _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
     "sim_kmeans"           -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simKmeans(s, d)),
+    "sim_threshold_sweep"  -> (graft.similarity.Similarity.simThresholdSweep _),
     "sim_knn_graph"        -> (graft.similarity.Similarity.simKnnGraph _),
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
@@ -1111,6 +1113,14 @@ object SparkEntry {
         | count(*) AS n_events
         |FROM events CROSS JOIN (VALUES (0), (1)) t(i)
         |GROUP BY 1, 2""".stripMargin,
+    "evt_mv_merge" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   // count(*) AS avg_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "evt_transitions" ->
       """WITH x AS (SELECT user_id, event_type,
         |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1277,6 +1287,20 @@ object SparkEntry {
         | round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35""".stripMargin,
+    "sim_threshold_sweep" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.10),
+        |b AS (SELECT (CAST(round(round(cos, 4) * 10000) AS BIGINT) // 500)
+        |   * 500 AS bucket_lo_bp FROM p),
+        |h AS (SELECT bucket_lo_bp, count(*) AS n_pairs FROM b GROUP BY 1)
+        |SELECT bucket_lo_bp, n_pairs,
+        | CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_bp DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n_pairs_ge
+        |FROM h""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

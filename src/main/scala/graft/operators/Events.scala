@@ -422,4 +422,39 @@ object Events {
       .select($"window.start".as("window_start"), $"event_type",
               $"n_users", $"n_events")
   }
+
+  /** Incremental materialized-view merge — the partial-aggregate
+    * algebra that incremental ETL rests on, exercised end to end:
+    * events split into 3 simulated ingest shards (event_id mod 3, the
+    * stand-in for micro-batches or backfill slices), each folds to
+    * per-(day, type) PARTIALS (count + exact integer-cents sum), and
+    * the view re-merges the partials with sums-of-sums. The oracle is
+    * the SINGLE-PASS aggregate over all events — equality proves the
+    * merge is exact at any batch boundary, which is what lets a
+    * 100 TB pipeline aggregate each increment once and never re-read
+    * history ([[graft.streaming.MvIngest]] is the durable streaming
+    * form; IngestSpec asserts its streamed view == this recompute).
+    *
+    * The average derives from merged sums at the end — averages don't
+    * merge, so the view never stores one. Value mass rides as integer
+    * cents (`round(value·100)` per event, the q7 recipe): partial
+    * re-aggregation is then bit-exact regardless of shard boundaries
+    * or shuffle order, where double accumulation would drift. One
+    * pass over the scan: the shard key joins the FIRST groupBy's key,
+    * and the merge aggregate's input is partial-sized.
+    */
+  def evtMvMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val partials = Tables.events(spark, sfDir)
+      .withColumn("ingest_shard", ($"event_id" % 3).cast("int"))
+      .withColumn("day", to_date($"ts"))
+      .withColumn("cents", expr("cast(round(value * 100, 0) as bigint)"))
+      .groupBy($"ingest_shard", $"day", $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+    partials
+      .groupBy($"day", $"event_type")
+      .agg(sum($"n_events").cast("long").as("n_events"),
+           sum($"total_cents").cast("long").as("total_cents"))
+      .withColumn("avg_cents", expr("total_cents div n_events"))
+  }
 }

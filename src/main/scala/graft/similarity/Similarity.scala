@@ -597,6 +597,43 @@ object Similarity {
       .union(recallOf("ivfpq", simIvfPqAnn(spark, sfDir)))
   }
 
+  /** Near-dup threshold calibration sweep — the audit that PICKS the
+    * cosine threshold before a SemDeDup-style dedup run (every
+    * published pipeline sweeps this curve; Abbas et al. 2023 §4):
+    * the distribution of within-cell pair cosines in 500-bp buckets,
+    * with the cumulative "pairs you would merge at ≥ this threshold"
+    * count alongside. Within-CELL deliberately: it profiles exactly
+    * the candidate mass the blocked dedup operators
+    * ([[graft.dedup.Dedup.dedupEmbed]] / `dedup_semantic`) will see.
+    *
+    * Scale notes (100 TB): pair generation is the packed-cell
+    * `CellSimPairs` generator (Σ|cell|² arithmetic in memory, no
+    * pair-payload shuffle) with the SAME floor the dedup ops use, the
+    * histogram shuffle carries ≤ 19 bucket rows, and the cumulative
+    * window runs over the bucket DOMAIN — the one scale-safe global
+    * window shape (the `q_quantile_buckets` argument). Exact:
+    * cosines round to 4 decimals before integer bucketing, so the
+    * DuckDB oracle replays every bucket boundary bit-for-bit.
+    */
+  def simThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"bucket_lo_bp".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select(graft.functions.cellSimPairs($"vecs", 0.10 - 1e-4)
+        .as(Seq("vec_id_1", "vec_id_2", "cos")))
+      .filter(round($"cos", 4) >= 0.10)
+      .withColumn("cos_bp",
+        expr("cast(round(round(cos, 4) * 10000, 0) as bigint)"))
+      .withColumn("bucket_lo_bp", expr("(cos_bp div 500) * 500"))
+      .groupBy($"bucket_lo_bp")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge", sum($"n_pairs").over(w).cast("long"))
+  }
+
   /** Integer fixed-point Lloyd's k-means over the embedding corpus —
     * the COARSE-QUANTIZER TRAINING step the IVF family assumes (the
     * `label` column stands in as a pre-trained quantizer elsewhere;

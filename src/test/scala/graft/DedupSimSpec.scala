@@ -378,6 +378,26 @@ class DedupSimSpec extends AnyFunSuite {
       .count() == 0, "a cluster's first vector was dropped")
   }
 
+  test("threshold sweep: buckets tile the range and agree with dedup_embed at 0.35") {
+    import spark.implicits._
+    val sweep = graft.similarity.Similarity.simThresholdSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.nonEmpty)
+    // buckets are 500-bp floors within the swept range
+    assert(sweep.forall { case (b, _, _) =>
+      b % 500 == 0 && b >= 1000 && b <= 10000 })
+    // the cumulative column really is the from-the-top running sum
+    val byDesc = sweep.sortBy(-_._1)
+    assert(byDesc.scanLeft(0L)(_ + _._2).tail.zip(byDesc.map(_._3))
+      .forall { case (want, got) => want == got },
+      "n_pairs_ge is not the descending cumulative of n_pairs")
+    // cross-operator: pairs at >= 0.35 must equal dedup_embed's output
+    // (same cells, same generator floor, same rounding)
+    val ge35 = sweep.filter(_._1 >= 3500).map(_._2).sum
+    assert(ge35 == graft.dedup.Dedup.dedupEmbed(spark, sf).count(),
+      "sweep mass at >= 0.35 diverges from dedup_embed")
+  }
+
   test("kmeans: exact scalar replay of the full Lloyd trajectory") {
     import spark.implicits._
     val k = 8; val iters = 3

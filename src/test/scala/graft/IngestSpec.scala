@@ -182,4 +182,68 @@ class IngestSpec extends AnyFunSuite {
            !Files.exists(Paths.get(idxDir + ".old")),
       "restore did not move .old back to the live path")
   }
+
+  test("MV ingest: streamed view == single-pass recompute at every prefix; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.MvIngest
+    val ev = graft.core.Tables.events(spark, sf)
+    val history = ev.filter($"event_id" % 3 === 0)
+    val b1 = ev.filter($"event_id" % 3 === 1)
+    val b2 = ev.filter($"event_id" % 3 === 2)
+    assert(b1.count() > 0 && b2.count() > 0)
+    val root = Files.createTempDirectory("graft-mv").toString
+    val (inDir, mvDir, ckpt) = (s"$root/in", s"$root/mv", s"$root/ckpt")
+
+    // the single-pass recompute the merged view must equal exactly
+    def recompute(d: DataFrame) = MvIngest.partials(d)
+      .withColumn("avg_cents", expr("total_cents div n_events"))
+    def assertSameView(clue: String, want: DataFrame): Unit = {
+      val got = MvIngest.read(spark, mvDir)
+      assert(got.count() == want.count(), s"$clue: view sizes differ")
+      assert(got.exceptAll(want).count() == 0 &&
+             want.exceptAll(got).count() == 0, s"$clue: view values differ")
+    }
+
+    MvIngest.seed(history, mvDir)
+    assertSameView("seeded view", recompute(history))
+
+    b1.coalesce(1).write.parquet(inDir)
+    val q = MvIngest.start(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .parquet(inDir), mvDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assertSameView("after batch 1", recompute(history.union(b1)))
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assertSameView("after batch 2", recompute(history.union(b1).union(b2)))
+    } finally q.stop()
+
+    // crash-replay idempotence: re-writing batch 0's partials under
+    // the same id must leave the merged view unchanged (dynamic
+    // overwrite replaces the partition, never double-counts)
+    MvIngest.partials(b1).withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(mvDir)
+    assertSameView("after batch-0 replay",
+      recompute(history.union(b1).union(b2)))
+
+    // the merge input is partial-sized: 3 partial rows max per
+    // (day, type) — seed + two batches — never event-sized
+    val partialRows = spark.read.parquet(mvDir).count()
+    val viewRows = MvIngest.read(spark, mvDir).count()
+    assert(partialRows <= 3 * viewRows,
+      s"stored partials ($partialRows) exceed 3x view size ($viewRows)")
+    assert(partialRows < ev.count(),
+      "partials are event-sized - the aggregate never reduced")
+
+    // the oracle-checked batch twin (3 simulated shards merged in one
+    // pass) equals the same single-pass recompute
+    val twin = graft.operators.Events.evtMvMerge(spark, sf)
+    val wantAll = recompute(ev)
+    assert(twin.exceptAll(wantAll).count() == 0 &&
+           wantAll.exceptAll(twin).count() == 0,
+      "evt_mv_merge diverges from the single-pass recompute")
+  }
 }

@@ -468,6 +468,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val km = capture(graft.similarity.Similarity.simKmeans(spark, sf), "simple")
     assert(!km.contains("Exchange hashpartitioning"),
       s"kmeans assignment shuffles — centroid state leaked into a join\n$km")
+    // evt_mv_merge: shard partials + MV merge — two hash aggregates,
+    // nothing event-sized past the first
+    val mv = capture(Events.evtMvMerge(spark, sf), "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(mv).size <= 2,
+      s"MV merge shuffles beyond partials+merge\n$mv")
+    // sim_threshold_sweep: cell pack + bucket aggregate; the
+    // cumulative window sees only the ≤19-row bucket domain
+    val sw = capture(graft.similarity.Similarity.simThresholdSweep(spark, sf),
+      "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(sw).size <= 2,
+      s"threshold sweep shuffles beyond pack+histogram\n$sw")
   }
 
   test("dedup_ngram: rare-token prefixes discriminate far beyond source blocks") {
