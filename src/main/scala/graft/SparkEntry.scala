@@ -134,6 +134,7 @@ object SparkEntry {
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
     "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
     "pipeline_shuffle"     -> (Analytics.pipelineShuffle _),
+    "pipeline_fixed_sample" -> (Analytics.pipelineFixedSample _),
     // similarity search
     "sim_brute_topk"       -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simBruteTopk(s, d)),
@@ -374,6 +375,17 @@ object SparkEntry {
         |   AS logit_e4_per_token,
         | CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS keep
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "pipeline_fixed_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |   CAST(md5_number_lower('fsample:' || doc_id)
+        |     % 9223372036854775808 AS BIGINT) & 4503599627370495 AS h52
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY source ORDER BY h52, doc_id)
+        |     AS INT) AS sample_rank
+        |  FROM h)
+        |SELECT source, doc_id, sample_rank FROM r
+        |WHERE sample_rank <= 50""".stripMargin,
     "pipeline_shuffle" ->
       """SELECT doc_id, source, CAST(t.epoch AS INT) AS epoch,
         | CAST(md5_number_lower('epoch-' || t.epoch || ':' || doc_id)

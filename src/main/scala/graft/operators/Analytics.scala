@@ -461,6 +461,41 @@ object Analytics {
            max($"doc_id").as("max_doc_id"))
   }
 
+  /** Fixed-SIZE deterministic per-stratum sample — the eval-set /
+    * human-review draw (`pipeline_sample` is its RATE-based sibling):
+    * exactly the k=50 documents per source with the smallest 52-bit
+    * salted hash of their id. Hash-order selection keeps the draw
+    * reproducible across engines/runs/partitionings AND append-stable
+    * in expectation; 52 bits so the negated score is exactly
+    * representable in the aggregate's double (no precision ties),
+    * with residual ties broken by ascending doc id — fully
+    * deterministic, so the oracle replays the exact member set.
+    *
+    * Scale notes (100 TB): per-source top-k runs through the
+    * bounded-heap [[graft.functions.TopK]] aggregate — every map
+    * partition reduces to ≤ k candidates before the shuffle, so the
+    * exchange carries ≤ partitions·k rows and NOTHING is ever
+    * globally sorted (the row_number-per-stratum formulation would
+    * shuffle and sort the whole corpus).
+    */
+  def pipelineFixedSample(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineFixedSample(spark, sfDir, k = 50)
+
+  def pipelineFixedSample(spark: SparkSession, sfDir: String,
+                          k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("h52", expr(
+        "graft_md5lower64(concat('fsample:', cast(doc_id as string))) " +
+          "& 4503599627370495"))
+      .groupBy($"source")
+      .agg(graft.functions.TopK.topK(k)(
+        $"doc_id", -$"h52".cast("double")).as("top"))
+      .select($"source", posexplode($"top").as(Seq("i", "p")))
+      .select($"source", $"p._1".as("doc_id"),
+              ($"i" + 1).cast("int").as("sample_rank"))
+  }
+
   /** Deterministic per-epoch training-order shuffle: every document
     * gets, for each of 3 training epochs, a 63-bit md5 order key
     * seeded by the epoch — the "shuffle the data differently every

@@ -180,6 +180,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(over == 0, "a source exceeded its token budget")
   }
 
+  test("fixed-size sample: bounded-heap draw == the window twin; truncation binds") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val got = graft.operators.Analytics.pipelineFixedSample(spark, sf, k)
+    // the window-sort formulation this op exists to avoid at scale —
+    // semantically identical, so it is the correctness twin
+    val want = graft.core.Tables.documents(spark, sf)
+      .withColumn("h52", expr(
+        "graft_md5lower64(concat('fsample:', cast(doc_id as string))) " +
+          "& 4503599627370495"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"h52", $"doc_id")).cast("int"))
+      .filter($"sample_rank" <= k)
+      .select($"source", $"doc_id", $"sample_rank")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 &&
+           want.exceptAll(got).count() == 0,
+      "bounded-heap sample diverges from the window formulation")
+    // truncation is active at k=3: every source draws exactly k
+    val short = got.groupBy($"source").agg(count(lit(1)).as("n"))
+      .filter($"n" =!= k).count()
+    assert(short == 0, "a source drew fewer than k docs at spec scale")
+  }
+
   test("epoch shuffle: 3 collision-free decorrelated orders, deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

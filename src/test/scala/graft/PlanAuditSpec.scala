@@ -479,6 +479,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "simple")
     assert("Exchange hashpartitioning".r.findAllIn(sw).size <= 2,
       s"threshold sweep shuffles beyond pack+histogram\n$sw")
+    // pipeline_fixed_sample: bounded-heap draw — NO window (the
+    // row_number twin would sort the whole corpus per stratum)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val fs = graft.operators.Analytics.pipelineFixedSample(spark, sf)
+    assert(fs.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty,
+      "fixed sample plans a window sort")
   }
 
   test("dedup_ngram: rare-token prefixes discriminate far beyond source blocks") {
