@@ -12,7 +12,12 @@ R=${1:?round tag, e.g. r09}
 # q5/q21 are in the subset BECAUSE they were rewritten for the sf10
 # decade (join order / window-to-aggregate) — the gate must cover
 # exactly the queries whose plans changed under scale pressure.
-SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist"
+# round-10 additions to the subset: evt_mv_merge (150-row MV, the
+# partial-merge algebra MUST hold at scale), sim_threshold_sweep
+# (<=19-row histogram), sim_kmeans (n-row assignment but pure integer
+# arithmetic — the trajectory replay is the scale-drift tripwire for
+# the whole integer-fixpoint family)
+SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
