@@ -94,6 +94,8 @@ object SparkEntry {
     "evt_distinct_sliding" -> (Events.evtDistinctSliding _),
     "evt_mv_merge"         -> (Events.evtMvMerge _),
     "evt_transitions"      -> (Events.evtTransitions _),
+    "evt_out_of_order"     -> (Events.evtOutOfOrder _),
+    "evt_rate_limit"       -> (Events.evtRateLimit _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -110,11 +112,14 @@ object SparkEntry {
     "txt_contamination_bloom" -> (graft.text.TextAnalysis.txtContaminationBloom _),
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
     "txt_surprisal"        -> (graft.text.TextAnalysis.txtSurprisal _),
+    "txt_bigram_lm"        -> (graft.text.TextAnalysis.txtBigramLm _),
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
+    "dedup_cross_source"   -> (graft.dedup.Dedup.dedupCrossSource _),
+    "pipeline_decontam"    -> (graft.dedup.Dedup.pipelineDecontam _),
     "dedup_paragraph"      -> (graft.dedup.Dedup.dedupParagraph _),
     "dedup_semantic"       -> (graft.dedup.Dedup.dedupSemantic _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
@@ -160,6 +165,7 @@ object SparkEntry {
     "graph_components"     -> (graft.graph.Graph.graphComponents _),
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
     "graph_pagerank"       -> (graft.graph.Graph.graphPagerank _),
+    "graph_degree_hist"    -> (graft.graph.Graph.graphDegreeHist _),
     "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
@@ -201,7 +207,82 @@ object SparkEntry {
         .stripMargin
     })
 
+  /** The MinHash band-index CTE chain (d → sig → bands, ending with
+    * per-doc (band_idx, bh) keys) — the DuckDB replay of
+    * [[graft.dedup.Dedup.minhashBands]], shared by every band-index
+    * consumer's oracle. Identical text to the dedup_minhash /
+    * dedup_incremental oracles' prefixes.
+    */
+  private def bandsCteSql: String =
+    """d AS (SELECT doc_id,
+      |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+      |  FROM documents),
+      |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+      |   list_min(list_transform(w, t ->
+      |     CAST(xor(md5_number_lower(t),
+      |       CASE WHEN i = 0 THEN md5_number_upper(t)
+      |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
+      |              * CAST(power(2, i) AS HUGEINT))
+      |             % 18446744073709551616)
+      |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
+      |               AS HUGEINT) AS UBIGINT)
+      |       END) % 9223372036854775808 AS BIGINT))))
+      |   AS s
+      |  FROM d),
+      |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
+      |   md5_number_lower(array_to_string(
+      |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
+      |   AS bh
+      |  FROM sig CROSS JOIN range(0, 8) t(b))""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
+    "dedup_cross_source" ->
+      s"""WITH $bandsCteSql,
+        |bs AS (SELECT b.band_idx, b.bh, doc.source, count(*) AS n
+        |  FROM bands b JOIN documents doc USING (doc_id)
+        |  GROUP BY 1, 2, 3),
+        |x AS (SELECT a.source AS source_a, b.source AS source_b,
+        |   CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+        |        ELSE a.n * b.n END AS mass
+        |  FROM bs a JOIN bs b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh
+        |  WHERE a.source <= b.source)
+        |SELECT source_a, source_b, count(*) AS n_shared_buckets,
+        | CAST(sum(mass) AS BIGINT) AS candidate_mass
+        |FROM x WHERE mass > 0 GROUP BY 1, 2""".stripMargin,
+    "pipeline_decontam" ->
+      s"""WITH $bandsCteSql,
+        |sp AS (SELECT doc_id, source,
+        |   CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |       % 9223372036854775808) % 10000 < 9000 THEN 'train'
+        |     WHEN (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |       % 9223372036854775808) % 10000 < 9500 THEN 'val'
+        |     ELSE 'test' END AS split
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT b.band_idx, b.bh
+        |  FROM bands b JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+        |lk AS (SELECT DISTINCT b.doc_id, sp.source
+        |  FROM bands b JOIN sp USING (doc_id)
+        |  JOIN tk ON tk.band_idx = b.band_idx AND tk.bh = b.bh
+        |  WHERE sp.split = 'train'),
+        |l AS (SELECT source, count(*) AS n_leaked FROM lk GROUP BY 1),
+        |t AS (SELECT source, count(*) AS n_train FROM sp
+        |  WHERE split = 'train' GROUP BY 1)
+        |SELECT t.source, t.n_train,
+        | coalesce(l.n_leaked, 0) AS n_leaked,
+        | coalesce(l.n_leaked, 0) * 10000 // t.n_train AS leaked_bp
+        |FROM t LEFT JOIN l USING (source)""".stripMargin,
+    "graph_degree_hist" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        |s AS (SELECT a FROM p UNION ALL SELECT b FROM p),
+        |c AS (SELECT a AS vec_id, count(*) AS degree FROM s GROUP BY 1),
+        |dd AS (SELECT v.vec_id, coalesce(c.degree, 0) AS degree
+        |  FROM embeddings v LEFT JOIN c USING (vec_id))
+        |SELECT degree, count(*) AS n_nodes FROM dd GROUP BY 1""".stripMargin,
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
         |  FROM documents),
@@ -345,6 +426,29 @@ object SparkEntry {
         | CAST(sum(tf) AS BIGINT) AS n_tokens,
         | CAST(sum(tf * term_e4) AS BIGINT) AS surprisal_e4,
         | CAST(sum(tf * term_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+        |   AS mean_surprisal_e4
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "txt_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(text), ' +') AS words FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |   unnest(list_transform(range(1, len(words)), i -> words[i]))
+        |     AS w1,
+        |   unnest(list_transform(range(1, len(words)),
+        |     i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM w),
+        |tf AS (SELECT doc_id, lang, w1, bigram, count(*) AS tf
+        |  FROM b GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT bigram, count(*) AS cnt2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS cnt1 FROM b GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.lang, tf.tf,
+        |   CAST(round(10000 * ln(c1.cnt1::DOUBLE / c2.cnt2)) AS BIGINT)
+        |     AS bg_e4
+        |  FROM tf JOIN c2 USING(bigram) JOIN c1 USING(w1))
+        |SELECT doc_id, lang,
+        | CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        | CAST(sum(tf * bg_e4) AS BIGINT) AS surprisal_e4,
+        | CAST(sum(tf * bg_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |   AS mean_surprisal_e4
         |FROM s GROUP BY 1, 2""".stripMargin,
     "txt_dup_coverage" ->
@@ -1133,6 +1237,33 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   // count(*) AS avg_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "evt_out_of_order" ->
+      """WITH x AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
+        |   event_id, ts FROM events),
+        |y AS (SELECT "partition", ts,
+        |   max(ts) OVER (PARTITION BY "partition" ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM x),
+        |z AS (SELECT "partition",
+        |   CASE WHEN hwm IS NULL THEN 0
+        |        ELSE greatest(0, date_diff('second', ts, hwm) - 600) END
+        |     AS late_s
+        |  FROM y)
+        |SELECT "partition", count(*) AS n_events,
+        | count(CASE WHEN late_s > 0 THEN 1 END) AS n_late,
+        | CAST(coalesce(max(late_s), 0) AS BIGINT) AS max_late_s,
+        | CAST(coalesce(sum(late_s), 0) AS BIGINT) AS total_late_s
+        |FROM z GROUP BY 1""".stripMargin,
+    "evt_rate_limit" ->
+      """WITH x AS (SELECT event_type, value,
+        |   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |     ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_offered,
+        | count(CASE WHEN rn <= 3 THEN 1 END) AS n_kept,
+        | count(CASE WHEN rn > 3 THEN 1 END) AS n_throttled,
+        | round(sum(CASE WHEN rn <= 3 THEN value END), 2) AS kept_value
+        |FROM x GROUP BY 1""".stripMargin,
     "evt_transitions" ->
       """WITH x AS (SELECT user_id, event_type,
         |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

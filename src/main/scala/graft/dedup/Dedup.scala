@@ -243,7 +243,8 @@ object Dedup {
     * shared blocking structure behind [[dedupMinhash]] (2-hop
     * min-propagation) and [[dedupComponents]] (exact fixpoint).
     */
-  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame,
+                                  keep: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     // EXPLODE the band index BEFORE hashing: a `transform(sequence…)`
     // lambda is interpreted, and CollapseProject re-inlines the `sig`
@@ -252,15 +253,18 @@ object Dedup {
     // 19.2 s sf1 run in this one projection). Generate is a collapse
     // barrier, so below it `sig` evaluates once per doc; the per-band
     // md5 then runs on the exploded rows (8 cheap rows/doc).
+    // `keep` columns ride the Generate instead of being joined back on
+    // (a corpus-sized shuffle saved for provenance-style consumers).
     withWordSet(docs)
       .withColumn("sig", graft.functions.minhashSigMd5($"wset", 64))
-      .select($"doc_id", $"sig",
-        posexplode(expr("sequence(0, 7)")).as(Seq("band_idx", "_b")))
+      .select(($"doc_id" +: keep.map(col)) ++ Seq($"sig",
+        posexplode(expr("sequence(0, 7)")).as(Seq("band_idx", "_b"))): _*)
       .withColumn("band_hash", expr(
         "graft_md5lower64(array_join(transform(" +
           "slice(sig, cast(band_idx*8+1 as int), 8), " +
           "x -> cast(x as string)), ','))"))
-      .select($"doc_id", $"band_idx", $"band_hash")
+      .select(($"doc_id" +: keep.map(col)) ++
+        Seq($"band_idx", $"band_hash"): _*)
   }
 
   /** MinHash + LSH near-dup dedup (Broder '97 / MMDS ch.3 shape):
@@ -722,5 +726,84 @@ object Dedup {
       .select($"vec_id", $"label",
         when($"dup_of".isNotNull, "drop").otherwise("keep").as("action"),
         $"dup_of")
+  }
+
+  /** Cross-source duplication provenance: for every (unordered) pair
+    * of sources, how many LSH buckets they share and the candidate
+    * near-dup pair MASS between them (Σ over shared buckets of
+    * n_a·n_b, within-source Σ n·(n−1)/2) — the "who copies from
+    * whom" matrix that decides which crawl snapshots to drop before
+    * paying for full dedup.
+    *
+    * Deliberately MASS-based, never pair-based: this corpus's band
+    * buckets reach >1.6k docs (10M+ pair mass at sf0.1 alone), so a
+    * distinct-pair count would materialize a quadratic intermediate.
+    * Per-bucket per-source counts are linear in the band relation;
+    * the bucket-level source×source cross is bounded by |sources|²
+    * per bucket. The source column rides the band Generate
+    * ([[minhashBands]] `keep`), so no corpus-sized join-back either.
+    */
+  def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySrc = minhashBands(
+        Tables.documents(spark, sfDir), keep = Seq("source"))
+      .groupBy($"band_idx", $"band_hash", $"source")
+      .agg(count(lit(1)).as("n"))
+    val a = bySrc.select($"band_idx", $"band_hash",
+      $"source".as("source_a"), $"n".as("n_a"))
+    val b = bySrc.select($"band_idx", $"band_hash",
+      $"source".as("source_b"), $"n".as("n_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter($"source_a" <= $"source_b")
+      .withColumn("mass",
+        when($"source_a" === $"source_b", expr("n_a * (n_a - 1) div 2"))
+          .otherwise($"n_a" * $"n_b"))
+      .filter($"mass" > 0)
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared_buckets"),
+           sum($"mass").cast("long").as("candidate_mass"))
+  }
+
+  /** Train→test leakage audit (split decontamination): which TRAIN
+    * documents near-duplicate a held-out TEST document? Membership
+    * comes from the engine's own deterministic split
+    * ([[graft.operators.Analytics.pipelineSplit]]'s md5 basis-point
+    * hash), candidates from the shared MinHash band index: a train
+    * doc is "leaked" if ANY of its 8 band keys appears among the test
+    * docs' band keys. Per source: train count, leaked count, and the
+    * leak rate in basis points — the audit every eval suite needs
+    * before trusting a benchmark number.
+    *
+    * Scale: the test side is ~5% of the corpus and collapses to
+    * DISTINCT (band_idx, band_hash) keys before the train side
+    * LEFT-SEMI joins it (existence, not pairs — output ≤ one row per
+    * train doc no matter how many collisions). No hard broadcast
+    * hint: at bench scale AQE broadcasts the key set; at 100 TB the
+    * semi join degrades gracefully to a key-partitioned shuffle
+    * (still linear — the repo convention for maybe-big build sides).
+    * No doc×doc intermediate anywhere, exactly like the Bloom side of
+    * [[graft.text.TextAnalysis.txtContaminationBloom]] but over LSH
+    * keys instead of shingles.
+    */
+  def pipelineDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h", expr(
+        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) " +
+          "% 10000"))
+      .withColumn("split",
+        when($"h" < 9000, "train").when($"h" < 9500, "val").otherwise("test"))
+    val bands = minhashBands(docs, keep = Seq("source", "split"))
+    val testKeys = bands.filter($"split" === "test")
+      .select($"band_idx", $"band_hash").distinct()
+    val leaked = bands.filter($"split" === "train")
+      .join(testKeys, Seq("band_idx", "band_hash"), "left_semi")
+      .select($"doc_id", $"source").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_leaked"))
+    docs.filter($"split" === "train")
+      .groupBy($"source").agg(count(lit(1)).as("n_train"))
+      .join(leaked, Seq("source"), "left_outer")
+      .withColumn("n_leaked", coalesce($"n_leaked", lit(0L)))
+      .withColumn("leaked_bp", expr("n_leaked * 10000 div n_train"))
   }
 }

@@ -184,4 +184,27 @@ object Graph {
       out.localCheckpoint()
     } finally edges.unpersist()
   }
+
+  /** Degree distribution of the near-dup graph: how many vectors have
+    * 0, 1, 2, … near-duplicate neighbors — the shape profile that
+    * says whether duplication is long-tail (a few giant clusters) or
+    * diffuse (many pairs), i.e. whether keep-one dedup or cluster
+    * sampling is the right removal policy. Isolated vectors count at
+    * degree 0 via the left join against the full corpus.
+    *
+    * Scale: degree = one map-side-combinable count over the symmetric
+    * edge relation (linear in edges); the histogram aggregates the
+    * per-node result by degree — ≤ max-degree groups. Nothing
+    * quadratic, nothing collected.
+    */
+  def graphDegreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val deg = nearDupEdges(spark, sfDir)
+      .groupBy($"a").agg(count(lit(1)).as("degree"))
+      .withColumnRenamed("a", "vec_id")
+    Tables.embeddings(spark, sfDir).select($"vec_id")
+      .join(deg, Seq("vec_id"), "left_outer")
+      .withColumn("degree", coalesce($"degree", lit(0L)))
+      .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+  }
 }

@@ -457,4 +457,66 @@ object Events {
            sum($"total_cents").cast("long").as("total_cents"))
       .withColumn("avg_cents", expr("total_cents div n_events"))
   }
+
+  /** Out-of-order / late-data accounting — the watermark bookkeeping a
+    * streaming consumer of this topic runs (the reference consumer
+    * processes partitions in log order, `jc/DemoApplication.java:130-160`;
+    * Structured Streaming's `withWatermark` drops what this query
+    * counts). Arrival order is the producer's per-partition log order
+    * (partition = key mod P, offset order = event_id, as [[evtProduce]]
+    * assigns), the event-time high-water-mark is the running max of
+    * `ts` over PRIOR arrivals in the partition, and an event is late
+    * when its event time trails that mark by more than the 10-minute
+    * allowed delay. Output per partition: arrivals, late count, and
+    * the max/total lateness beyond the watermark in seconds — the
+    * numbers that size a production watermark delay.
+    *
+    * Scale: one window sort per partition in arrival order — exactly
+    * the order Kafka hands a consumer, so at 100 TB this is a
+    * sequential per-partition scan with O(1) state (the running max),
+    * not a global sort; parallelism = topic partitions, same as any
+    * consumer group's.
+    */
+  def evtOutOfOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"partition").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("partition", ($"event_id" % NumPartitions).cast("int"))
+      .withColumn("hwm", max($"ts").over(w))
+      .withColumn("late_s", when($"hwm".isNull, lit(0L)).otherwise(
+        greatest(lit(0L),
+          unix_timestamp($"hwm") - lit(600L) - unix_timestamp($"ts"))))
+      .groupBy($"partition")
+      .agg(count(lit(1)).as("n_events"),
+           count(when($"late_s" > 0, 1)).as("n_late"),
+           coalesce(max($"late_s"), lit(0L)).as("max_late_s"),
+           coalesce(sum($"late_s"), lit(0L)).cast("long").as("total_late_s"))
+  }
+
+  /** Per-key rate limiting (the broker-quota / throttling semantics a
+    * producer-side interceptor enforces): each user may emit at most 3
+    * events per clock hour; the first 3 in event-time order pass,
+    * the rest are throttled. Output per event type: offered load, kept,
+    * throttled, and the kept value mass — the admission-control report.
+    *
+    * Scale: the row_number window partitions on (user, hour) — key
+    * cardinality grows WITH the data (millions of partitions, each a
+    * handful of rows), so the sort is a per-tiny-group operation under
+    * one hash shuffle, never a skewed global order. Tie-break on
+    * event_id keeps admission deterministic under replays — the
+    * property an idempotent throttle needs.
+    */
+  def evtRateLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"hour").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("hour", date_trunc("hour", $"ts"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_offered"),
+           count(when($"rn" <= 3, 1)).as("n_kept"),
+           count(when($"rn" > 3, 1)).as("n_throttled"),
+           round(sum(when($"rn" <= 3, $"value")), 2).as("kept_value"))
+  }
 }

@@ -523,4 +523,49 @@ object TextAnalysis {
            sum($"tf" * $"term_e4").as("surprisal_e4"))
       .withColumn("mean_surprisal_e4", expr("surprisal_e4 div n_tokens"))
   }
+
+  /** Bigram language-model surprisal per document — the KenLM-style
+    * quality filter one order up from [[txtSurprisal]]'s unigram
+    * model: train P(w₂|w₁) = count(w₁w₂)/count(w₁·) on the corpus
+    * itself (every document bigram is therefore in-vocabulary — no
+    * smoothing needed for a self-trained scorer), then charge each
+    * document Σ −ln P over its bigram positions. Repetitive
+    * boilerplate scores near zero; text that keeps making unusual
+    * word-to-word transitions scores high — a sharper fluency signal
+    * than unigram rarity, which a doc of common-but-shuffled words
+    * fools.
+    *
+    * Float discipline (the [[txtSurprisal]] recipe): each DISTINCT
+    * bigram's −ln P is rounded once to integer e-4 nats; per-doc
+    * totals are integer tf-weighted sums — order-insensitive and
+    * bit-identical across engines. ln(cnt1/cnt2) ≥ 0 always (cnt1
+    * aggregates cnt2 over the same position set), so the integer
+    * mean's truncation direction can't differ either. Documents with
+    * fewer than two tokens have no bigram positions and no row.
+    *
+    * Scale: the tf-idf join shape — one corpus-sized groupBy on
+    * (doc, bigram), two map-combinable model aggregates, equi-joins
+    * on bigram/w1. Nothing quadratic, no windows.
+    */
+  def txtBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .select($"doc_id", $"lang", explode(expr(
+        "zip_with(slice(words, 1, size(words)-1), " +
+          "slice(words, 2, size(words)-1), " +
+          "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bg))")).as("p"))
+      .select($"doc_id", $"lang", $"p.w1".as("w1"), $"p.bg".as("bigram"))
+    val tf = bg.groupBy($"doc_id", $"lang", $"w1", $"bigram")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bg.groupBy($"bigram").agg(count(lit(1)).as("cnt2"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("cnt1"))
+    tf.join(c2, Seq("bigram")).join(c1, Seq("w1"))
+      .withColumn("bg_e4", expr(
+        "cast(round(10000 * ln(cast(cnt1 as double) / cnt2), 0) as bigint)"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tf").as("n_bigrams"),
+           sum($"tf" * $"bg_e4").as("surprisal_e4"))
+      .withColumn("mean_surprisal_e4", expr("surprisal_e4 div n_bigrams"))
+  }
 }

@@ -439,4 +439,56 @@ class DedupSimSpec extends AnyFunSuite {
     // the clustering is non-trivial: more than one cluster in use
     assert(got.values.map(_._1).toSet.size > 1)
   }
+
+  test("cross-source matrix: mass partitions the band index's pair mass") {
+    import spark.implicits._
+    val m = Dedup.dedupCrossSource(spark, sf)
+    // unordered pairs appear once, a <= b
+    assert(m.filter($"source_a" > $"source_b").count() == 0)
+    assert(m.groupBy($"source_a", $"source_b").count()
+      .filter($"count" > 1).count() == 0)
+    // the matrix cells partition the total per-bucket pair mass:
+    // Σ cells == Σ_buckets n·(n−1)/2 exactly
+    val total = m.agg(sum($"candidate_mass")).as[Long].head()
+    val expected = Dedup.minhashBands(
+        graft.core.Tables.documents(spark, sf))
+      .groupBy($"band_idx", $"band_hash").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).as[Long].head()
+    assert(total == expected, s"mass $total != bucket arithmetic $expected")
+  }
+
+  test("decontam: leaked == pairwise train×test band-collision replay") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .withColumn("h", expr(
+        "(graft_md5lower64(cast(doc_id as string)) " +
+          "& 9223372036854775807) % 10000"))
+      .withColumn("split", when($"h" < 9000, "train")
+        .when($"h" < 9500, "val").otherwise("test"))
+    val bands = Dedup.minhashBands(docs, keep = Seq("split"))
+    // the quadratic formulation the operator must agree with: an
+    // actual train-band × test-band join, then distinct train docs
+    val leakedPairwise = bands.filter($"split" === "train")
+      .join(bands.filter($"split" === "test")
+              .select($"band_idx", $"band_hash"),
+            Seq("band_idx", "band_hash"))
+      .select($"doc_id").distinct().count()
+    val out = Dedup.pipelineDecontam(spark, sf)
+    assert(out.agg(sum($"n_leaked")).as[Long].head() == leakedPairwise)
+    assert(out.agg(sum($"n_train")).as[Long].head() ==
+      docs.filter($"split" === "train").count())
+    // leak rate in basis points stays within [0, 10000]
+    assert(out.filter($"leaked_bp" < 0 || $"leaked_bp" > 10000).count() == 0)
+  }
+
+  test("degree histogram: handshake identity and full node coverage") {
+    import spark.implicits._
+    val h = graft.graph.Graph.graphDegreeHist(spark, sf)
+    val pairs = Dedup.dedupEmbed(spark, sf).count()
+    val degreeMass = h.agg(sum($"degree" * $"n_nodes")).as[Long].head()
+    assert(degreeMass == 2 * pairs,
+      s"Σ degree·nodes = $degreeMass, expected 2×$pairs edges")
+    assert(h.agg(sum($"n_nodes")).as[Long].head() ==
+      graft.core.Tables.embeddings(spark, sf).count())
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+
+/** Admission-control / watermark batch operators on hand-built event
+  * logs with hand-computed expected outputs (the oracle gate checks
+  * them against DuckDB on the generated corpus; these pin the
+  * SEMANTICS on inputs where the right answer is visible).
+  */
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** rows: (event_id, epoch_s, user_id, event_type, value) */
+  private def writeEvents(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    rows.toDF("event_id", "epoch_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds($"epoch_s"))
+      .withColumn("props", lit("{}"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+              $"props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("out-of-order: lateness beyond the 10-min watermark, per partition") {
+    import spark.implicits._
+    // all ids ≡ 0 mod 8 → single partition; arrival order = id order
+    val dir = writeEvents(Seq(
+      (0L, 1000L, 1L, "a", 1.0),   // first arrival: no watermark yet
+      (8L, 2000L, 1L, "a", 1.0),   // advances the high-water mark
+      (16L, 1250L, 2L, "a", 1.0),  // 2000 − 600 − 1250 = 150 s late
+      (24L, 2100L, 2L, "a", 1.0),  // ahead of the mark: on time
+      (32L, 1400L, 3L, "a", 1.0))) // 2100 − 600 − 1400 = 100 s late
+    val r = Events.evtOutOfOrder(spark, dir)
+      .select($"partition", $"n_events", $"n_late", $"max_late_s",
+              $"total_late_s")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((0, 5L, 2L, 150L, 250L)))
+  }
+
+  test("rate limit: first 3 per (user, hour) pass, ties impossible by ts") {
+    import spark.implicits._
+    val h0 = 36000L // hour bucket 1; next hour at +3600
+    val dir = writeEvents(
+      // user 1 bursts 5 into one hour → 2 throttled
+      (0L to 4L).map(i => (i, h0 + 60 * i, 1L, "x", 1.0)) ++
+      // user 2 stays under the cap
+      Seq((10L, h0 + 10, 2L, "x", 1.0), (11L, h0 + 20, 2L, "x", 1.0)) ++
+      // user 1 again next hour: quota resets
+      Seq((20L, h0 + 3600, 1L, "x", 1.0), (21L, h0 + 3660, 1L, "x", 1.0)))
+    val r = Events.evtRateLimit(spark, dir)
+      .select($"event_type", $"n_offered", $"n_kept", $"n_throttled",
+              $"kept_value")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("x", 9L, 7L, 2L, 7.0)))
+  }
+}

@@ -200,4 +200,23 @@ class TextSpec extends AnyFunSuite {
     // the 256-bucket hash discriminates documents
     assert(cl.select($"logit_e4_per_token").distinct().count() > 1)
   }
+
+  test("bigram LM surprisal: scalar replay on a 2-doc corpus") {
+    import spark.implicits._
+    // corpus: "a b a c" + "b a b"
+    //   cnt2: "a b"→2, "b a"→2, "a c"→1;  cnt1: a→3, b→2
+    //   e4(−ln P): "a b" ln(3/2)→4055, "b a" ln(2/2)→0, "a c" ln(3)→10986
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq((1L, "a b a c", "en", "src0"), (2L, "b a b", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.text.TextAnalysis.txtBigramLm(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"surprisal_e4",
+              $"mean_surprisal_e4")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 4055L + 0L + 10986L, (4055L + 10986L) / 3),
+      (2L, 2L, 4055L, 4055L / 2)))
+  }
 }
