@@ -61,6 +61,7 @@ object SparkEntry {
     "q9_product_profit"    -> (Relational.q9ProductProfit _),
     "q15_top_supplier"     -> (Relational.q15TopSupplier _),
     "q17_small_quantity"   -> (Relational.q17SmallQuantity _),
+    "q_mode"               -> (Relational.qMode _),
     "q_stats"              -> (Analytics.qStats _),
     "q_grouping_sets"      -> (Analytics.qGroupingSets _),
     "q_unpivot"            -> (Analytics.qUnpivot _),
@@ -155,6 +156,8 @@ object SparkEntry {
     "sim_ivfpq_ann"        -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simIvfPqAnn(s, d)),
     "sim_ivfpq_stored"     -> (graft.similarity.AnnIndex.simIvfPqStored _),
+    "sim_sq_ann"           -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simSqAnn(s, d)),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
@@ -196,7 +199,9 @@ object SparkEntry {
          | UNION ALL SELECT 'ivf', query_id, neighbor_id
          |   FROM ${sub("sim_ivf_ann")}
          | UNION ALL SELECT 'ivfpq', query_id, neighbor_id
-         |   FROM ${sub("sim_ivfpq_ann")}),
+         |   FROM ${sub("sim_ivfpq_ann")}
+         | UNION ALL SELECT 'sq8', query_id, neighbor_id
+         |   FROM ${sub("sim_sq_ann")}),
          |h AS (SELECT m.method, m.query_id, count(*) AS hits
          |  FROM m JOIN b USING (query_id, neighbor_id) GROUP BY 1, 2)
          |SELECT q.query_id, mm.method,
@@ -1882,6 +1887,46 @@ object SparkEntry {
         |     ORDER BY rscore DESC, vec_id) AS INT) AS rank,
         |   rscore AS approx_score
         |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY n DESC, o_orderstatus) AS rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS modal_status,
+        | n AS n_orders FROM r WHERE rn = 1""".stripMargin,
+    "sim_sq_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dim AS (SELECT CAST(d AS INT) AS d,
+        |   min(v[CAST(d+1 AS INT)]) AS lo, max(v[CAST(d+1 AS INT)]) AS hi
+        |  FROM e CROSS JOIN range(0, 64) t(d) GROUP BY 1),
+        |r AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+        |  FROM dim),
+        |cc AS (SELECT vec_id, list_transform(range(0, 64), i ->
+        |   CASE WHEN r.hi[CAST(i+1 AS INT)] = r.lo[CAST(i+1 AS INT)] THEN 0
+        |   ELSE CAST(least(greatest(floor(
+        |       (v[CAST(i+1 AS INT)] - r.lo[CAST(i+1 AS INT)])
+        |       / (r.hi[CAST(i+1 AS INT)] - r.lo[CAST(i+1 AS INT)]) * 255.0),
+        |     0), 255) AS INT) END) AS c
+        |  FROM e CROSS JOIN r),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |   CAST(list_sum(list_transform(range(0, 64), i ->
+        |     (q.c[CAST(i+1 AS INT)] - 128) * (c.c[CAST(i+1 AS INT)] - 128)))
+        |     AS BIGINT) AS score
+        |  FROM cc q JOIN cc c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |sl AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, vec_id) AS rn FROM s)
+        |  WHERE rn <= 20)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sl.query_id, sl.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY sl.query_id
+        |     ORDER BY list_cosine_similarity(q.v, n.v) DESC, sl.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(q.v, n.v), 4) AS cosine
+        |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+        |  JOIN e n ON n.vec_id = sl.vec_id)
         |WHERE rank <= 5""".stripMargin,
     "sim_pq_rerank" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -934,4 +934,25 @@ object Relational {
            round((sum(round($"l_extendedprice" * 100).cast("long")) / 700.0), 2)
              .as("avg_yearly"))
   }
+
+  /** Mode (most-frequent-value) aggregate: the modal order status per
+    * priority, ties to the lexicographically smallest status —
+    * Spark's built-in `mode` is non-deterministic on ties, so the
+    * deterministic form is a count aggregate + an argmax over the
+    * GROUP domain. The row_number window runs over the aggregated
+    * relation (priorities × statuses, ≤ 15 rows at any corpus size),
+    * never the fact table — the corpus-sized work is one map-side-
+    * combinable count shuffle.
+    */
+  def qMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"n".desc, $"o_orderstatus")
+    counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_orderpriority", $"o_orderstatus".as("modal_status"),
+              $"n".as("n_orders"))
+  }
 }

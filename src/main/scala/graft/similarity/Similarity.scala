@@ -401,6 +401,77 @@ object Similarity {
               round($"p._2", 4).as("cosine"))
   }
 
+  /** Scalar-quantization (int8) ANN — the third quantization scheme
+    * of the family (FAISS `SQ8` / the Milvus-style IVF_SQ8 building
+    * block, alongside [[simPqAnn]]'s product codes and
+    * [[simIvfAnn]]'s coarse cells): train per-DIMENSION [lo, hi]
+    * ranges over the corpus, affine-map every component to an int8
+    * code ⌊(x−lo)/(hi−lo)·255⌋, shortlist by the CENTERED integer
+    * dot product Σ (qc−128)(cc−128), and re-rank the top-20 with
+    * exact cosine (the [[simPqRerank]] two-stage contract).
+    *
+    * Why this matters at 100 TB: 4× memory compression with ZERO
+    * lookup tables — the scored representation is a flat byte array
+    * per vector and the scan is a pure integer multiply-add, the
+    * cheapest SIMD-able ANN kernel there is (PQ trades more
+    * compression for table lookups; SQ trades less for raw ALU
+    * speed). The trained model is two 64-float arrays — broadcast as
+    * a one-row literal relation, never a join. Integer scores are
+    * engine-exact, so shortlist membership is deterministic
+    * (ties by vec_id) and the DuckDB oracle replays
+    * train → quantize → int-dot → shortlist → exact re-rank
+    * bit-for-bit.
+    */
+  def simSqAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simSqAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
+
+  def simSqAnn(spark: SparkSession, sfDir: String,
+               queries: DataFrame,
+               excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    // trained SQ model: per-dimension [lo, hi] — a 64-row aggregate
+    // folded to one row of two arrays (dims are fixed; the struct
+    // sort keys on d, making the array order deterministic)
+    val ranges = e.select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .agg(expr("array_sort(collect_list(struct(d, lo, hi)))").as("rs"))
+      .select(expr("transform(rs, r -> r.lo)").as("lo"),
+              expr("transform(rs, r -> r.hi)").as("hi"))
+    // identical affine map on both corpus and query vectors; a
+    // degenerate dimension (hi = lo) codes to 0 everywhere
+    def quantize(df: DataFrame, vcol: String, out: String): DataFrame =
+      df.crossJoin(broadcast(ranges)).withColumn(out, expr(
+        s"transform(sequence(0, size($vcol) - 1), i -> " +
+          "CASE WHEN hi[i] = lo[i] THEN 0 ELSE " +
+          s"cast(least(greatest(floor(($vcol[i] - lo[i]) " +
+          "/ (hi[i] - lo[i]) * 255.0), 0D), 255D) as int) END)"))
+        .drop("lo", "hi")
+    val coded = quantize(e.select($"vec_id", $"v"), "v", "cc")
+    val qcoded = quantize(queries, "qv", "qc").select($"query_id", $"qc")
+    val scored = (if (excludeSelf)
+        coded.join(broadcast(qcoded), col("query_id") =!= col("vec_id"))
+      else coded.crossJoin(broadcast(qcoded)))
+      .withColumn("score", expr(
+        "aggregate(zip_with(qc, cc, (a, b) -> " +
+          "cast((a - 128) * (b - 128) as bigint)), 0L, (acc, x) -> acc + x)"))
+    val shortlist = scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
+        .as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    shortlist
+      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+  }
+
   /** IVF + PQ composed ANN — the canonical IVFADC index (Jégou et
     * al. TPAMI'11 §V / the FAISS `IVFx,PQy` shape): the coarse
     * quantizer (label cells, as [[simIvfAnn]]) picks each query's
@@ -595,6 +666,7 @@ object Similarity {
     recallOf("lsh", simLshAnn(spark, sfDir))
       .union(recallOf("ivf", simIvfAnn(spark, sfDir)))
       .union(recallOf("ivfpq", simIvfPqAnn(spark, sfDir)))
+      .union(recallOf("sq8", simSqAnn(spark, sfDir)))
   }
 
   /** Near-dup threshold calibration sweep — the audit that PICKS the

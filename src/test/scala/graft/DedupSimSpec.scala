@@ -299,7 +299,9 @@ class DedupSimSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].collect()
     val nq = Similarity.simBruteTopk(spark, sf)
       .select($"query_id").distinct().count()
-    assert(ev.length == 3 * nq, s"${ev.length} rows for $nq queries")
+    assert(ev.length == 4 * nq, s"${ev.length} rows for $nq queries")
+    assert(ev.map(_._2).distinct.sorted.toSeq ==
+      Seq("ivf", "ivfpq", "lsh", "sq8"))
     assert(ev.forall { case (_, _, h, bp) =>
       h >= 0 && h <= 5 && bp == 2000 * h })
     // recompute one method's hits by hand
@@ -438,6 +440,22 @@ class DedupSimSpec extends AnyFunSuite {
       s"(${got.count { case (id, a) => want.get(id).contains(a) }}/${want.size} agree)")
     // the clustering is non-trivial: more than one cluster in use
     assert(got.values.map(_._1).toSet.size > 1)
+  }
+
+  test("SQ8 ANN: recall vs brute force >= 0.5, codes stay in [0, 255]") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = Similarity.simSqAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sq.keySet == brute.keySet)
+    // every query returns exactly 5 (shortlist 20 ⊇ 5 always exists)
+    assert(sq.values.forall(_.size == 5))
+    val recall = brute.map { case (q, b) =>
+      (sq(q) & b).size.toDouble / b.size }.sum / brute.size
+    assert(recall >= 0.5, s"SQ8 recall $recall below 0.5")
   }
 
   test("cross-source matrix: mass partitions the band index's pair mass") {
