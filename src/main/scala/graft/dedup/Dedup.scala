@@ -745,10 +745,16 @@ object Dedup {
     */
   def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // persist the per-(bucket, source) counts: the source×source cross
+    // below self-joins this relation, and a self-join under AQE gets
+    // NO ReusedExchange — without the pin the minhash signatures
+    // compute twice (the relation is nontrivial-bucket-sized, tiny
+    // next to the corpus)
     val bySrc = minhashBands(
         Tables.documents(spark, sfDir), keep = Seq("source"))
       .groupBy($"band_idx", $"band_hash", $"source")
       .agg(count(lit(1)).as("n"))
+      .persist()
     val a = bySrc.select($"band_idx", $"band_hash",
       $"source".as("source_a"), $"n".as("n_a"))
     val b = bySrc.select($"band_idx", $"band_hash",
@@ -793,7 +799,9 @@ object Dedup {
           "% 10000"))
       .withColumn("split",
         when($"h" < 9000, "train").when($"h" < 9500, "val").otherwise("test"))
-    val bands = minhashBands(docs, keep = Seq("source", "split"))
+    // both split sides read the band relation — pin it once or the
+    // 64-slot signature computes twice (the dedupMinhash pattern)
+    val bands = minhashBands(docs, keep = Seq("source", "split")).persist()
     val testKeys = bands.filter($"split" === "test")
       .select($"band_idx", $"band_hash").distinct()
     val leaked = bands.filter($"split" === "train")

@@ -523,4 +523,45 @@ class PlanAuditSpec extends AnyFunSuite {
       ($"s" - expr("(9*s + 9) div 10") + 1)).count()
     assert(bad == 0, s"$bad docs with a mis-sized prefix")
   }
+
+  test("batch-3 operators keep their shuffle shapes") {
+    // cross-source: bucket-source aggregate + self-join on the bucket
+    // key + matrix rollup — nothing cartesian, nothing corpus-quadratic
+    val cs = capture(graft.dedup.Dedup.dedupCrossSource(spark, sf), "simple")
+    assert(!cs.contains("CartesianProduct"), cs)
+    // decontam: existence is a LEFT-SEMI against distinct test keys —
+    // never an inner pair join
+    val dc = capture(graft.dedup.Dedup.pipelineDecontam(spark, sf), "simple")
+    assert(dc.contains("LeftSemi"), s"decontam lost its semi join\n$dc")
+    assert(!dc.contains("CartesianProduct"), dc)
+    // bigram LM: the tf-idf join shape — corpus-sized work is the
+    // (doc,bigram) tf aggregate + two model aggregates; bounded fan
+    val lm = capture(graft.text.TextAnalysis.txtBigramLm(spark, sf),
+      "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(lm).size <= 6, lm)
+    assert(!lm.contains("CartesianProduct"), lm)
+    // SQ8 ANN: queries and the one-row model broadcast; no cartesian
+    // against the corpus
+    val sq = capture(graft.similarity.Similarity.simSqAnn(spark, sf),
+      "simple")
+    assert(!sq.contains("CartesianProduct"), sq)
+    // rate limit / out-of-order: one window each, then one aggregate —
+    // no joins at all
+    val rl = capture(Events.evtRateLimit(spark, sf), "simple")
+    assert("Window".r.findAllIn(rl).size == 1 && !rl.contains("Join"), rl)
+    val oo = capture(Events.evtOutOfOrder(spark, sf), "simple")
+    assert("Window".r.findAllIn(oo).size == 1 && !oo.contains("Join"), oo)
+    // mode: the row_number window reads the AGGREGATED relation (its
+    // exchange partitions on the groupBy key, present exactly once
+    // before the window's own single-column re-exchange)
+    val md = capture(graft.operators.Relational.qMode(spark, sf), "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(md).size <= 3, md)
+    assert("Window \\[".r.findAllIn(md).size == 1, md)
+    // the rn=1 argmax runs as a pre-shuffle WindowGroupLimit (partial
+    // top-1 per group before the exchange — the plan you'd want)
+    assert(md.contains("WindowGroupLimit"), md)
+    // degree histogram: count + left join + ≤max-degree rollup
+    val dh = capture(graft.graph.Graph.graphDegreeHist(spark, sf), "simple")
+    assert(!dh.contains("CartesianProduct"), dh)
+  }
 }
