@@ -97,6 +97,7 @@ object SparkEntry {
     "evt_transitions"      -> (Events.evtTransitions _),
     "evt_out_of_order"     -> (Events.evtOutOfOrder _),
     "evt_rate_limit"       -> (Events.evtRateLimit _),
+    "evt_log_integrity"    -> (Events.evtLogIntegrity _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
     "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
     "pipeline_shuffle"     -> (Analytics.pipelineShuffle _),
+    "pipeline_curriculum"  -> (Analytics.pipelineCurriculum _),
     "pipeline_fixed_sample" -> (Analytics.pipelineFixedSample _),
     // similarity search
     "sim_brute_topk"       -> ((s: SparkSession, d: String) =>
@@ -158,6 +160,8 @@ object SparkEntry {
     "sim_ivfpq_stored"     -> (graft.similarity.AnnIndex.simIvfPqStored _),
     "sim_sq_ann"           -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simSqAnn(s, d)),
+    "sim_matryoshka"       -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simMatryoshka(s, d)),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
@@ -1242,6 +1246,49 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   // count(*) AS avg_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "evt_log_integrity" ->
+      """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % 8
+        |     ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+        |  FROM events)
+        |SELECT 'event-stream' AS topic, "partition",
+        | max("offset") AS committed_offset,
+        | count(*) AS n_consumed,
+        | max("offset") + 1 - count(*) AS n_missing
+        |FROM p WHERE "offset" % 10 != 7 GROUP BY 1, 2""".stripMargin,
+    "pipeline_curriculum" ->
+      """SELECT doc_id, source,
+        | CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+        |   AS n_tokens,
+        | CAST(CASE WHEN len(string_split_regex(trim(text), ' +')) < 64
+        |     THEN 0
+        |   WHEN len(string_split_regex(trim(text), ' +')) < 192 THEN 1
+        |   ELSE 2 END AS INT) AS phase,
+        | CAST(md5_number_lower('curr:' || CAST(doc_id AS VARCHAR))
+        |   % 9223372036854775808 AS BIGINT) AS order_key
+        |FROM documents""".stripMargin,
+    "sim_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |h AS (SELECT vec_id, list_slice(v, 1, 16) AS vh FROM e),
+        |q AS (SELECT vec_id AS query_id, vh AS qh FROM h
+        |  WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, h.vec_id,
+        |   list_cosine_similarity(q.qh, h.vh) AS hs
+        |  FROM q JOIN h ON h.vec_id != q.query_id),
+        |sl AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY hs DESC, vec_id) AS rn FROM s)
+        |  WHERE rn <= 40)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sl.query_id, sl.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY sl.query_id
+        |     ORDER BY list_cosine_similarity(q.v, n.v) DESC, sl.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(q.v, n.v), 4) AS cosine
+        |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+        |  JOIN e n ON n.vec_id = sl.vec_id)
+        |WHERE rank <= 5""".stripMargin,
     "evt_out_of_order" ->
       """WITH x AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
         |   event_id, ts FROM events),

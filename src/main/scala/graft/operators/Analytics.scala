@@ -525,6 +525,33 @@ object Analytics {
               $"order_key", $"shard")
   }
 
+  /** Deterministic length-curriculum ordering — the easy-to-hard
+    * schedule (Bengio et al. '09 shape) a training-data delivery
+    * layer materializes: documents bucket into 3 phases by token
+    * count (short → medium → long; fixed thresholds 64/192 so the
+    * assignment is reproducible and append-stable, never a computed
+    * quantile that shifts as the corpus grows), and within a phase
+    * the delivery order is a salted md5 key (the [[pipelineShuffle]]
+    * recipe — decorrelated from ids, identical on every engine/run).
+    * The writer realizes the schedule with
+    * `repartitionByRange(phase, order_key)` + sortWithinPartitions —
+    * the TeraSort shape, never a single-reducer global sort. Output =
+    * the assignment relation (doc → phase, order key) — a pure
+    * zero-shuffle projection.
+    */
+  def pipelineCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
+      .withColumn("phase",
+        when($"n_tokens" < 64, 0).when($"n_tokens" < 192, 1).otherwise(2)
+          .cast("int"))
+      .withColumn("order_key", expr(
+        "graft_md5lower64(concat('curr:', cast(doc_id as string))) " +
+          "& 9223372036854775807"))
+      .select($"doc_id", $"source", $"n_tokens", $"phase", $"order_key")
+  }
+
   /** List aggregation: per-nation sorted roster of supplier names —
     * `collect_set` → `array_sort` → `array_join`, the idiom for
     * building a deterministic delimited list in a distributed

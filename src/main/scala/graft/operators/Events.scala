@@ -494,6 +494,33 @@ object Events {
            coalesce(sum($"late_s"), lit(0L)).cast("long").as("total_late_s"))
   }
 
+  /** Consumer-log integrity audit — the offset-contiguity check a
+    * consumer group runs after an outage (the reference's committed-
+    * offset bookkeeping, `jc/DemoApplication.java:130-160`, trusts the
+    * log is gapless; this VERIFIES it): given the consumed offsets per
+    * partition, report the committed high-water mark, the consumed
+    * count, and how many offsets in [0, max] are MISSING. The scenario
+    * is deterministic — a simulated poll loss drops every offset ≡ 7
+    * (mod 10) from [[evtProduce]]'s log — so the audit must find
+    * exactly those gaps, per partition.
+    *
+    * Scale: gap counting needs NO sort and NO offset materialization —
+    * missing = (max+1) − count per partition, one map-side-combinable
+    * aggregate over the consumed stream. (Enumerating WHICH offsets
+    * are missing is the range-join `sequence` idiom; the count is what
+    * a lag monitor alerts on.)
+    */
+  def evtLogIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    evtProduce(spark, sfDir)
+      .filter($"offset" % 10 =!= 7)
+      .groupBy($"topic", $"partition")
+      .agg(max($"offset").as("committed_offset"),
+           count(lit(1)).as("n_consumed"))
+      .withColumn("n_missing",
+        $"committed_offset" + 1 - $"n_consumed")
+  }
+
   /** Per-key rate limiting (the broker-quota / throttling semantics a
     * producer-side interceptor enforces): each user may emit at most 3
     * events per clock hour; the first 3 in event-time order pass,

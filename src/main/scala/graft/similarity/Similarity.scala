@@ -472,6 +472,51 @@ object Similarity {
               round($"p._2", 4).as("cosine"))
   }
 
+  /** Matryoshka (truncated-dimension) two-stage ANN — the MRL serving
+    * pattern (Kusupati et al. '22; OpenAI/Nomic "shortening
+    * embeddings"): score the shortlist on only the FIRST 16 of 64
+    * dimensions (for MRL-trained embeddings the information-dense
+    * prefix), then re-rank the top-40 with full-dimension exact
+    * cosine. The cheapest of the family's first stages: no trained
+    * model AT ALL (PQ needs codebooks, SQ needs ranges, IVF needs
+    * centroids) — the "index" is just reading a prefix of the vector
+    * column, which at 100 TB means the stage-1 scan moves 4× fewer
+    * bytes (a `slice` projection the columnar reader serves without
+    * touching the tail; with vectors stored dimension-chunked it's
+    * column pruning). Same two-stage contract as [[simPqRerank]] /
+    * [[simSqAnn]]: shortlist membership decided by stage-1 score with
+    * vec_id ties, exact top-5 out.
+    */
+  def simMatryoshka(spark: SparkSession, sfDir: String): DataFrame =
+    simMatryoshka(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
+
+  def simMatryoshka(spark: SparkSession, sfDir: String,
+                    queries: DataFrame,
+                    excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val shortlist = crossQueries(
+        e.withColumn("vh", expr("slice(v, 1, 16)")).select($"vec_id", $"vh"),
+        queries.withColumn("qh", expr("slice(qv, 1, 16)"))
+          .select(col("query_id"), col("qh")),
+        excludeSelf)
+      .withColumn("hs", cosineSim($"qh", $"vh"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(40)($"vec_id", $"hs").as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    shortlist
+      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+  }
+
   /** IVF + PQ composed ANN — the canonical IVFADC index (Jégou et
     * al. TPAMI'11 §V / the FAISS `IVFx,PQy` shape): the coarse
     * quantizer (label cells, as [[simIvfAnn]]) picks each query's

@@ -458,6 +458,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"SQ8 recall $recall below 0.5")
   }
 
+  test("matryoshka ANN: prefix-dim shortlist recalls most full-dim neighbors") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mrl = Similarity.simMatryoshka(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(mrl.keySet == brute.keySet)
+    assert(mrl.values.forall(_.size == 5))
+    val recall = brute.map { case (q, b) =>
+      (mrl(q) & b).size.toDouble / b.size }.sum / brute.size
+    // 16 of 64 UNTRAINED dims (the synthetic embeddings have no MRL
+    // prefix ordering) — the bar is "the prefix carries real signal",
+    // not production recall
+    assert(recall >= 0.4, s"matryoshka recall $recall below 0.4")
+  }
+
   test("cross-source matrix: mass partitions the band index's pair mass") {
     import spark.implicits._
     val m = Dedup.dedupCrossSource(spark, sf)

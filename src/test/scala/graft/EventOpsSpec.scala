@@ -43,6 +43,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0, 5L, 2L, 150L, 250L)))
   }
 
+  test("log integrity: finds exactly the simulated poll loss") {
+    import spark.implicits._
+    // ids 0..79 → 8 partitions × offsets 0..9; the audit drops
+    // offset 7 per partition, so each partition reports one gap
+    val dir = writeEvents((0L to 79L).map(i => (i, 1000L + i, i, "a", 1.0)))
+    val r = Events.evtLogIntegrity(spark, dir)
+      .select($"partition", $"committed_offset", $"n_consumed",
+              $"n_missing")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == (0 to 7).map(p => (p, 9L, 9L, 1L)))
+  }
+
   test("rate limit: first 3 per (user, hour) pass, ties impossible by ts") {
     import spark.implicits._
     val h0 = 36000L // hour bucket 1; next hour at +3600

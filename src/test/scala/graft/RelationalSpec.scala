@@ -20,6 +20,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum: phases tile the corpus on the fixed thresholds") {
+    import spark.implicits._
+    val c = graft.operators.Analytics.pipelineCurriculum(spark, sf)
+    assert(c.count() == graft.core.Tables.documents(spark, sf).count())
+    val bad = c.filter(
+      ($"phase" === 0 && $"n_tokens" >= 64) ||
+      ($"phase" === 1 && ($"n_tokens" < 64 || $"n_tokens" >= 192)) ||
+      ($"phase" === 2 && $"n_tokens" < 192) ||
+      $"phase" < 0 || $"phase" > 2 || $"order_key" < 0).count()
+    assert(bad == 0, s"$bad docs violate the phase thresholds")
+    // the order key decorrelates from doc_id: consecutive ids land in
+    // different halves of the key space somewhere
+    assert(c.select($"order_key").distinct().count() == c.count())
+  }
+
   test("q1 aggregates are internally consistent") {
     import spark.implicits._
     val r = Relational.q1PricingSummary(spark, sf)
