@@ -554,6 +554,12 @@ object TextAnalysis {
     */
   def txtBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // The bigram stream feeds three aggregates; recomputing it per
+    // consumer is DELIBERATE: a persist() of the 64M-row string
+    // payload measured SLOWER at sf10 (23.3 → 32.0 s, same-protocol
+    // probe A/B) — the codegen'd scan+split+zip_with is cheaper than
+    // caching materialized strings (contrast txtDupCoverage, whose
+    // pinned relation is 8-byte hashes behind an expensive md5).
     val bg = Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .select($"doc_id", $"lang", explode(expr(
