@@ -37,6 +37,7 @@ object AnnIndex {
   private def centroidsPath(p: String) = p + "/centroids"
   private def codebookPath(p: String) = p + "/codebook"
   private def codesPath(p: String) = p + "/codes"
+  private def tombstonesPath(p: String) = p + "/tombstones"
 
   /** Build the index from a (vec_id, label, v: array&lt;double&gt;)
     * corpus: train and persist the coarse centroids and the PQ
@@ -74,6 +75,31 @@ object AnnIndex {
   def readCodes(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(codesPath(indexPath))
 
+  /** Delete vectors by id — the FAISS `remove_ids` contract, expressed
+    * the way a log-structured store has to: a TOMBSTONE partition, not
+    * an in-place rewrite (code partitions are immutable ingest
+    * batches; rewriting them would break at-least-once replay
+    * idempotence). [[query]] anti-joins the tombstone set; the
+    * physical rows disappear at the next [[compactCodes]], which also
+    * clears the tombstones — exactly the delete story of every
+    * LSM/lakehouse layout. Dynamic partition overwrite on `delete_batch`
+    * makes replaying a delete batch idempotent, same as [[append]].
+    */
+  def delete(ids: DataFrame, indexPath: String, batchId: Long): Unit =
+    ids.select(col("vec_id"))
+      .withColumn("delete_batch", lit(batchId))
+      .write.partitionBy("delete_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(tombstonesPath(indexPath))
+
+  /** The live tombstone ids, or None before any delete. */
+  def readTombstones(spark: SparkSession,
+                     indexPath: String): Option[DataFrame] =
+    if (new java.io.File(tombstonesPath(indexPath)).exists())
+      Some(spark.read.parquet(tombstonesPath(indexPath))
+        .select(col("vec_id")).distinct())
+    else None
+
   /** IVFADC query against the STORED artifacts only — no raw-vector
     * read, no re-derivation: centroids → probe, codebook → broadcast
     * ADC tables, probed cells' codes → score. Identical output to
@@ -85,8 +111,12 @@ object AnnIndex {
     import spark.implicits._
     val centroids = spark.read.parquet(centroidsPath(indexPath))
     val codebook = spark.read.parquet(codebookPath(indexPath))
-    val codes = readCodes(spark, indexPath)
+    val raw = readCodes(spark, indexPath)
       .select($"vec_id", $"label", $"m", $"code")
+    // deleted vectors never score: anti-join the tombstone set (tiny
+    // until the next compaction folds the dead rows away physically)
+    val codes = readTombstones(spark, indexPath)
+      .map(t => raw.join(t, Seq("vec_id"), "left_anti")).getOrElse(raw)
     val probes = Similarity.probeFrom(centroids, queries, nprobe)
     val lookups = codes
       .join(broadcast(probes), $"label" === $"cell")
@@ -149,8 +179,13 @@ object AnnIndex {
       finally walk.close()
     }
     rmTree(old); rmTree(tmp)
-    val codes = readCodes(spark, indexPath)
+    val raw = readCodes(spark, indexPath)
       .select($"vec_id", $"label", $"m", $"code")
+    // compaction REALIZES pending deletes: tombstoned rows are
+    // dropped from the rewritten base partition and the tombstone set
+    // is cleared — after this, queries pay no anti-join at all
+    val codes = readTombstones(spark, indexPath)
+      .map(t => raw.join(t, Seq("vec_id"), "left_anti")).getOrElse(raw)
     val nFiles = math.max(1, (codes.count() / 8000000L).toInt)
     codes.withColumn("ingest_batch", lit(-1L))
       .repartition(nFiles, $"label")
@@ -158,5 +193,6 @@ object AnnIndex {
     Files.move(live, old)
     Files.move(tmp, live)
     rmTree(old)
+    rmTree(Paths.get(tombstonesPath(indexPath)))
   }
 }

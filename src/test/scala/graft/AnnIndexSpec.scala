@@ -164,4 +164,48 @@ class AnnIndexSpec extends AnyFunSuite {
       Similarity.defaultQueries(spark, sf), excludeSelf = true)
       .collect().toSet == beforeAnswer, "compaction changed query answers")
   }
+
+  test("deletes tombstone immediately, compaction realizes them physically") {
+    import spark.implicits._
+    val all = vecs()
+    val idx = Files.createTempDirectory("graft-ann-del").toString + "/index"
+    AnnIndex.seed(all, idx)
+    val q = Similarity.defaultQueries(spark, sf)
+    // delete every answer of the pre-delete query — the strongest
+    // visible effect: NONE of them may be returned again
+    val victims = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .select($"neighbor_id".as("vec_id")).distinct()
+    val victimIds = victims.as[Long].collect().toSet
+    AnnIndex.delete(victims, idx, batchId = 0)
+    // deleted ids are gone (NOT compared against a re-seeded scratch
+    // index: re-seeding RETRAINS the quantizers on the reduced corpus
+    // — the frozen-quantizer contract means a deletion must not; the
+    // independent twin here is the post-compaction PHYSICAL path below)
+    // materialize NOW: the plan reads tombstone files that the
+    // compaction below deletes — a lazy re-collect would re-scan them
+    val after = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    assert(!after.exists(r => victimIds.contains(r.getLong(1))),
+      "a deleted vector still scored")
+    // every query still gets answers (the index is not just smaller
+    // by accident of returning nothing)
+    assert(after.map(_.getLong(0)).size > 0 &&
+      after.map(_.getLong(0)) == q.select($"query_id").distinct()
+        .collect().map(_.getLong(0)).toSet, "a query lost all answers")
+    // replaying the same delete batch is a no-op (idempotent)
+    AnnIndex.delete(victims, idx, batchId = 0)
+    assert(AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet == after, "delete replay drifted")
+    // compaction drops the dead rows physically and clears tombstones;
+    // the physical path must answer exactly like the anti-join path —
+    // the two independent delete mechanisms agreeing IS the contract
+    AnnIndex.compactCodes(spark, idx)
+    assert(AnnIndex.readTombstones(spark, idx).isEmpty,
+      "compaction left tombstones behind")
+    assert(codeRows(idx).forall { case (id, _, _, _) =>
+      !victimIds.contains(id) }, "compaction kept tombstoned code rows")
+    assert(AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet == after,
+      "physical-delete answers differ from tombstone-path answers")
+  }
 }
