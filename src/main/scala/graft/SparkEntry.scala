@@ -115,6 +115,7 @@ object SparkEntry {
     "txt_length_hist"      -> (Analytics.txtLengthHist _),
     "txt_surprisal"        -> (graft.text.TextAnalysis.txtSurprisal _),
     "txt_bigram_lm"        -> (graft.text.TextAnalysis.txtBigramLm _),
+    "txt_bpe_pairs"        -> (graft.text.TextAnalysis.txtBpePairs _),
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
@@ -437,6 +438,21 @@ object SparkEntry {
         | CAST(sum(tf * term_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |   AS mean_surprisal_e4
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "txt_bpe_pairs" ->
+      """WITH w AS (SELECT lang,
+        |   unnest(string_split_regex(trim(text), ' +')) AS word
+        |  FROM documents),
+        |wc AS (SELECT lang, word, count(*) AS wn FROM w GROUP BY 1, 2),
+        |p AS (SELECT lang, wn,
+        |   unnest(list_transform(range(1, len(chars)),
+        |     i -> chars[i] || chars[i+1])) AS pair
+        |  FROM (SELECT lang, wn, string_split(word, '') AS chars
+        |        FROM wc)),
+        |c AS (SELECT lang, pair, CAST(sum(wn) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY n DESC, pair) AS INT) AS rank FROM c)
+        |SELECT lang, pair, n, rank FROM r WHERE rank <= 10""".stripMargin,
     "txt_bigram_lm" ->
       """WITH w AS (SELECT doc_id, lang,
         |   string_split_regex(trim(text), ' +') AS words FROM documents),

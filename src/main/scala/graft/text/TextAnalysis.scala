@@ -579,4 +579,39 @@ object TextAnalysis {
            sum($"tf" * $"bg_e4").as("surprisal_e4"))
       .withColumn("mean_surprisal_e4", expr("surprisal_e4 div n_bigrams"))
   }
+
+  /** BPE merge-step pair counting — the first iteration of byte-pair-
+    * encoding tokenizer training (Sennrich et al. '16): per language,
+    * the 10 most frequent ADJACENT CHARACTER pairs across the corpus,
+    * each pair weighted by word frequency × its occurrences inside
+    * the word (so "aaa" contributes "aa" twice per word occurrence —
+    * the BPE count, not the distinct-pair count). A production
+    * trainer loops this (count → merge top pair → recount); the
+    * countable step is the corpus-scale part, the merge loop is a
+    * driver-side recursion over it.
+    *
+    * Scale: pair generation runs over the DISTINCT (lang, word)
+    * relation, not the token stream — the word-count aggregate
+    * compresses the corpus first (Zipf: ~10⁵ distinct words per 10⁸
+    * tokens), so the char-explode touches each distinct word once.
+    * Then one map-combinable (lang, pair) count and a bounded-heap
+    * top-10 per lang. Engine-exact integers end to end.
+    */
+  def txtBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Tables.documents(spark, sfDir)
+      .select($"lang", explode(expr("split(trim(text), ' +')")).as("word"))
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("wn"))
+    wc.withColumn("chars", expr("split(word, '')"))
+      .withColumn("pair", explode(expr(
+        "zip_with(slice(chars, 1, size(chars)-1), " +
+          "slice(chars, 2, size(chars)-1), (a, b) -> concat(a, b))")))
+      .groupBy($"lang", $"pair").agg(sum($"wn").as("n"))
+      .groupBy($"lang")
+      .agg(graft.functions.TopK.topKStr(10)($"pair", $"n".cast("double"))
+        .as("top"))
+      .select($"lang", posexplode($"top").as(Seq("i", "p")))
+      .select($"lang", $"p._1".as("pair"), $"p._2".cast("long").as("n"),
+              ($"i" + 1).cast("int").as("rank"))
+  }
 }

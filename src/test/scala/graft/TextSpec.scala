@@ -201,6 +201,22 @@ class TextSpec extends AnyFunSuite {
     assert(cl.select($"logit_e4_per_token").distinct().count() > 1)
   }
 
+  test("BPE pair counts: scalar replay with within-word multiplicity") {
+    import spark.implicits._
+    // "aaab aaab ba" → wc: aaab×2, ba×1
+    //   aaab: aa×2, aa... pairs per occurrence: aa,aa,ab → ×2 words
+    //   ba: ba×1  ⇒ aa→4, ab→2, ba→1
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, "aaab aaab ba", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.text.TextAnalysis.txtBpePairs(spark, dir)
+      .select($"pair", $"n", $"rank").as[(String, Long, Int)]
+      .collect().toSet
+    assert(got == Set(("aa", 4L, 1), ("ab", 2L, 2), ("ba", 1L, 3)))
+  }
+
   test("bigram LM surprisal: scalar replay on a 2-doc corpus") {
     import spark.implicits._
     // corpus: "a b a c" + "b a b"
