@@ -98,6 +98,7 @@ object SparkEntry {
     "evt_out_of_order"     -> (Events.evtOutOfOrder _),
     "evt_rate_limit"       -> (Events.evtRateLimit _),
     "evt_log_integrity"    -> (Events.evtLogIntegrity _),
+    "evt_concurrency"      -> (Events.evtConcurrency _),
     // text analysis
     "txt_tokens"           -> (graft.text.TextAnalysis.txtTokens _),
     "txt_quality"          -> (graft.text.TextAnalysis.txtQuality _),
@@ -163,6 +164,8 @@ object SparkEntry {
                                  graft.similarity.Similarity.simSqAnn(s, d)),
     "sim_matryoshka"       -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simMatryoshka(s, d)),
+    "sim_ivfsq_ann"        -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simIvfSq(s, d)),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
@@ -1262,6 +1265,36 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   // count(*) AS avg_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "evt_concurrency" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS prev_ts
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+        |     AS ns FROM x),
+        |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM y),
+        |iv AS (SELECT user_id, sid, min(ts) AS s,
+        |   max(ts) + INTERVAL 1 SECOND AS e FROM z GROUP BY 1, 2),
+        |dd AS (SELECT s, e, CAST(t.d AS DATE) AS day
+        |  FROM iv, unnest(generate_series(CAST(s AS DATE),
+        |    CAST(e AS DATE), INTERVAL 1 DAY)) t(d)),
+        |c AS (SELECT day,
+        |   greatest(s, CAST(day AS TIMESTAMP)) AS cs,
+        |   least(e, CAST(day + 1 AS TIMESTAMP)) AS ce
+        |  FROM dd),
+        |b AS (SELECT day, cs AS bts, 1 AS delta FROM c WHERE cs < ce
+        | UNION ALL SELECT day, ce, -1 FROM c WHERE cs < ce),
+        |r AS (SELECT day, sum(delta) OVER (PARTITION BY day
+        |   ORDER BY bts, delta
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM b)
+        |SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+        | CAST(max(running) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY 1""".stripMargin,
     "evt_log_integrity" ->
       """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
         |   CAST(row_number() OVER (PARTITION BY event_id % 8
@@ -1283,6 +1316,52 @@ object SparkEntry {
         | CAST(md5_number_lower('curr:' || CAST(doc_id AS VARCHAR))
         |   % 9223372036854775808 AS BIGINT) AS order_key
         |FROM documents""".stripMargin,
+    "sim_ivfsq_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cd AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(m ORDER BY i) AS cv
+        |  FROM cd GROUP BY label),
+        |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id < 10),
+        |pr AS (SELECT query_id, cell,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, cell) AS crank
+        |  FROM q0 CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 5),
+        |dim AS (SELECT CAST(d AS INT) AS d,
+        |   min(v[CAST(d+1 AS INT)]) AS lo, max(v[CAST(d+1 AS INT)]) AS hi
+        |  FROM e CROSS JOIN range(0, 64) t(d) GROUP BY 1),
+        |r AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+        |  FROM dim),
+        |cc AS (SELECT vec_id, label, list_transform(range(0, 64), i ->
+        |   CASE WHEN r.hi[CAST(i+1 AS INT)] = r.lo[CAST(i+1 AS INT)] THEN 0
+        |   ELSE CAST(least(greatest(floor(
+        |       (v[CAST(i+1 AS INT)] - r.lo[CAST(i+1 AS INT)])
+        |       / (r.hi[CAST(i+1 AS INT)] - r.lo[CAST(i+1 AS INT)]) * 255.0),
+        |     0), 255) AS INT) END) AS c
+        |  FROM e CROSS JOIN r),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |   CAST(list_sum(list_transform(range(0, 64), i ->
+        |     (q.c[CAST(i+1 AS INT)] - 128) * (c.c[CAST(i+1 AS INT)] - 128)))
+        |     AS BIGINT) AS score
+        |  FROM cc q
+        |  JOIN probes p ON p.query_id = q.vec_id
+        |  JOIN cc c ON c.label = p.cell AND c.vec_id != q.vec_id),
+        |sl AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, vec_id) AS rn FROM s)
+        |  WHERE rn <= 20)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sl.query_id, sl.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY sl.query_id
+        |     ORDER BY list_cosine_similarity(q.v, n.v) DESC, sl.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(q.v, n.v), 4) AS cosine
+        |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+        |  JOIN e n ON n.vec_id = sl.vec_id)
+        |WHERE rank <= 5""".stripMargin,
     "sim_matryoshka" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

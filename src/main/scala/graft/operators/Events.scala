@@ -494,6 +494,55 @@ object Events {
            coalesce(sum($"late_s"), lit(0L)).cast("long").as("total_late_s"))
   }
 
+  /** Peak session concurrency per day — the capacity-planning number
+    * (how many sessions were open AT ONCE, not merely per window): a
+    * classic +1/−1 boundary sweep over the sessionized intervals.
+    * Sessions come from the [[evtSessionize]] gap rule (30-min
+    * inactivity, end-exclusive end = last event + 1 s so zero-length
+    * sessions still occupy an instant); each session emits a +1 at
+    * its clipped start and a −1 at its clipped end per day it
+    * touches, and the per-day running sum's maximum is the peak. Ends
+    * sort before starts at the same instant (delta ascending), so
+    * back-to-back sessions never double-count.
+    *
+    * Scale: sessionization partitions by user (cardinality grows with
+    * data); the sweep's window partitions by DAY — day-sized sorted
+    * boundary lists, so parallelism = days of history, the natural
+    * partition of an event-time log at 100 TB (a year of history =
+    * 365-way; finer clipping, e.g. per hour, subdivides further with
+    * the identical clip rule). Day-spanning sessions stay exact via
+    * the midnight clip: the −1 at 24:00 belongs to the old day, the
+    * +1 at 00:00 to the new one.
+    */
+  def evtConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val iv = Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wu))
+      .withColumn("ns", when($"prev_ts".isNull ||
+        unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+        .otherwise(0))
+      .withColumn("sid", sum($"ns").over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("s"),
+           (max($"ts") + expr("interval 1 second")).as("e"))
+    val clipped = iv
+      .select($"s", $"e",
+        explode(expr("sequence(to_date(s), to_date(e))")).as("day"))
+      .withColumn("cs", greatest($"s", expr("timestamp(day)")))
+      .withColumn("ce", least($"e", expr("timestamp(date_add(day, 1))")))
+      .filter($"cs" < $"ce")
+    val bounds = clipped.select($"day", $"cs".as("bts"), lit(1).as("delta"))
+      .union(clipped.select($"day", $"ce".as("bts"), lit(-1).as("delta")))
+    val wd = Window.partitionBy($"day").orderBy($"bts", $"delta")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds.withColumn("running", sum($"delta").over(wd))
+      .groupBy($"day")
+      .agg(expr("cast(count(1) div 2 as bigint)").as("n_sessions"),
+           max($"running").cast("long").as("peak_concurrent"))
+  }
+
   /** Consumer-log integrity audit — the offset-contiguity check a
     * consumer group runs after an outage (the reference's committed-
     * offset bookkeeping, `jc/DemoApplication.java:130-160`, trusts the

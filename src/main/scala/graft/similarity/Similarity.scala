@@ -426,37 +426,101 @@ object Similarity {
     simSqAnn(spark, sfDir, defaultQueries(spark, sfDir),
       excludeSelf = true)
 
+  /** Trained SQ model: per-dimension [lo, hi] — a 64-row aggregate
+    * folded to one row of two arrays (dims are fixed; the struct
+    * sort keys on d, making the array order deterministic).
+    */
+  private def sqRanges(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .agg(expr("array_sort(collect_list(struct(d, lo, hi)))").as("rs"))
+      .select(expr("transform(rs, r -> r.lo)").as("lo"),
+              expr("transform(rs, r -> r.hi)").as("hi"))
+  }
+
+  /** The identical affine int8 map on corpus and query vectors; a
+    * degenerate dimension (hi = lo) codes to 0 everywhere.
+    */
+  private def sqQuantize(df: DataFrame, ranges: DataFrame,
+                         vcol: String, out: String): DataFrame =
+    df.crossJoin(broadcast(ranges)).withColumn(out, expr(
+      s"transform(sequence(0, size($vcol) - 1), i -> " +
+        "CASE WHEN hi[i] = lo[i] THEN 0 ELSE " +
+        s"cast(least(greatest(floor(($vcol[i] - lo[i]) " +
+        "/ (hi[i] - lo[i]) * 255.0), 0D), 255D) as int) END)"))
+      .drop("lo", "hi")
+
+  /** Centered integer dot product of two int8 code arrays. */
+  private val sqDot =
+    "aggregate(zip_with(qc, cc, (a, b) -> " +
+      "cast((a - 128) * (b - 128) as bigint)), 0L, (acc, x) -> acc + x)"
+
   def simSqAnn(spark: SparkSession, sfDir: String,
                queries: DataFrame,
                excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    // trained SQ model: per-dimension [lo, hi] — a 64-row aggregate
-    // folded to one row of two arrays (dims are fixed; the struct
-    // sort keys on d, making the array order deterministic)
-    val ranges = e.select(posexplode($"v").as(Seq("d", "x")))
-      .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
-      .agg(expr("array_sort(collect_list(struct(d, lo, hi)))").as("rs"))
-      .select(expr("transform(rs, r -> r.lo)").as("lo"),
-              expr("transform(rs, r -> r.hi)").as("hi"))
-    // identical affine map on both corpus and query vectors; a
-    // degenerate dimension (hi = lo) codes to 0 everywhere
-    def quantize(df: DataFrame, vcol: String, out: String): DataFrame =
-      df.crossJoin(broadcast(ranges)).withColumn(out, expr(
-        s"transform(sequence(0, size($vcol) - 1), i -> " +
-          "CASE WHEN hi[i] = lo[i] THEN 0 ELSE " +
-          s"cast(least(greatest(floor(($vcol[i] - lo[i]) " +
-          "/ (hi[i] - lo[i]) * 255.0), 0D), 255D) as int) END)"))
-        .drop("lo", "hi")
-    val coded = quantize(e.select($"vec_id", $"v"), "v", "cc")
-    val qcoded = quantize(queries, "qv", "qc").select($"query_id", $"qc")
+    val ranges = sqRanges(e)
+    val coded = sqQuantize(e.select($"vec_id", $"v"), ranges, "v", "cc")
+    val qcoded = sqQuantize(queries, ranges, "qv", "qc")
+      .select($"query_id", $"qc")
     val scored = (if (excludeSelf)
         coded.join(broadcast(qcoded), col("query_id") =!= col("vec_id"))
       else coded.crossJoin(broadcast(qcoded)))
-      .withColumn("score", expr(
-        "aggregate(zip_with(qc, cc, (a, b) -> " +
-          "cast((a - 128) * (b - 128) as bigint)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score", expr(sqDot))
     val shortlist = scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
+        .as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    shortlist
+      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+  }
+
+  /** IVF + SQ8 composed ANN — the FAISS `IVFx,SQ8` index, completing
+    * the quantization matrix ([[simIvfPqAnn]] composes cells with PQ
+    * codes; this composes them with [[simSqAnn]]'s scalar codes): the
+    * coarse probe restricts candidates to each query's nprobe=5
+    * nearest cells, and ONLY those cells' int8 codes are scored with
+    * the centered integer dot, then the top-20 shortlist re-ranks
+    * with exact cosine. vs IVF+PQ: 4× (not 32×) compression but a
+    * table-free integer multiply-add scan — the right trade when the
+    * scan is ALU-bound rather than memory-bound. Candidate work is
+    * corpus × nprobe/cells; the probe relation and the quantized
+    * queries broadcast; the one corpus-wide op is the equi-join of
+    * codes to their cell's probing queries, exactly the
+    * [[simIvfPqAnn]] shape.
+    */
+  def simIvfSq(spark: SparkSession, sfDir: String): DataFrame =
+    simIvfSq(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
+
+  def simIvfSq(spark: SparkSession, sfDir: String,
+               queries: DataFrame,
+               excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val ranges = sqRanges(e)
+    val coded = sqQuantize(
+      e.select($"vec_id", $"label", $"v"), ranges, "v", "cc")
+    val qcoded = sqQuantize(queries, ranges, "qv", "qc")
+      .select($"query_id", $"qc")
+    val probes = probeCells(spark, sfDir, queries)
+      .join(broadcast(qcoded), Seq("query_id"))
+    val cond =
+      if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
+      else $"label" === $"cell"
+    val shortlist = coded.join(broadcast(probes), cond)
+      .withColumn("score", expr(sqDot))
+      .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
         .as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))

@@ -458,6 +458,31 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"SQ8 recall $recall below 0.5")
   }
 
+  test("IVF+SQ8 ANN: candidates honor the probes, recall beats chance") {
+    import spark.implicits._
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfsq = Similarity.simIvfSq(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivfsq.keySet == brute.keySet)
+    assert(ivfsq.values.forall(_.size == 5))
+    // every neighbor lies in one of its query's probed cells
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    val probes = Similarity.probeCells(spark, sf,
+        Similarity.defaultQueries(spark, sf))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    ivfsq.foreach { case (q, ns) => ns.foreach { n =>
+      assert(probes(q).contains(labels(n)),
+        s"query $q returned $n from an unprobed cell") } }
+    val recall = brute.map { case (q, b) =>
+      (ivfsq(q) & b).size.toDouble / b.size }.sum / brute.size
+    assert(recall >= 0.4, s"IVF+SQ8 recall $recall below 0.4")
+  }
+
   test("matryoshka ANN: prefix-dim shortlist recalls most full-dim neighbors") {
     import spark.implicits._
     val brute = Similarity.simBruteTopk(spark, sf)

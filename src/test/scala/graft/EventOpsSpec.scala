@@ -43,6 +43,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0, 5L, 2L, 150L, 250L)))
   }
 
+  test("concurrency sweep: overlap peak, midnight clip, hand-computed") {
+    import spark.implicits._
+    val dir = writeEvents(Seq(
+      // user 1: one session [10:00:00, 10:10:01)
+      (1L, 36000L, 1L, "a", 1.0), (2L, 36300L, 1L, "a", 1.0),
+      (3L, 36600L, 1L, "a", 1.0),
+      // user 2: single-event session [10:05:00, 10:05:01) — overlaps u1
+      (10L, 36300L, 2L, "a", 1.0),
+      // user 4: session spanning midnight [23:50:00, 00:05:01 next day)
+      (20L, 85800L, 4L, "a", 1.0), (21L, 86700L, 4L, "a", 1.0)))
+    val r = Events.evtConcurrency(spark, dir)
+      .select($"day".cast("string"), $"n_sessions", $"peak_concurrent")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      ("1970-01-01", 3L, 2L),   // u1+u2 overlap at 10:05 → peak 2
+      ("1970-01-02", 1L, 1L)))  // u4's carried session alone
+  }
+
   test("log integrity: finds exactly the simulated poll loss") {
     import spark.implicits._
     // ids 0..79 → 8 partitions × offsets 0..9; the audit drops
