@@ -533,8 +533,14 @@ object Events {
       .withColumn("cs", greatest($"s", expr("timestamp(day)")))
       .withColumn("ce", least($"e", expr("timestamp(date_add(day, 1))")))
       .filter($"cs" < $"ce")
-    val bounds = clipped.select($"day", $"cs".as("bts"), lit(1).as("delta"))
-      .union(clipped.select($"day", $"ce".as("bts"), lit(-1).as("delta")))
+    // one struct-explode, NOT a union of two selects: a union would
+    // read `clipped` twice and re-run the whole sessionize window
+    // chain per branch (caught by the plan audit's window count)
+    val bounds = clipped
+      .select($"day", explode(array(
+        struct($"cs".as("bts"), lit(1).as("delta")),
+        struct($"ce".as("bts"), lit(-1).as("delta")))).as("b"))
+      .select($"day", $"b.bts".as("bts"), $"b.delta".as("delta"))
     val wd = Window.partitionBy($"day").orderBy($"bts", $"delta")
       .rowsBetween(Window.unboundedPreceding, 0)
     bounds.withColumn("running", sum($"delta").over(wd))

@@ -563,5 +563,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // degree histogram: count + left join + ≤max-degree rollup
     val dh = capture(graft.graph.Graph.graphDegreeHist(spark, sf), "simple")
     assert(!dh.contains("CartesianProduct"), dh)
+    // IVF+SQ8: probes and quantized queries broadcast; the corpus-side
+    // work is the code scan restricted by the probe join — no
+    // cartesian against the corpus, no shuffled join of it either
+    val ivfsq = capture(graft.similarity.Similarity.simIvfSq(spark, sf),
+      "simple")
+    assert(!ivfsq.contains("CartesianProduct"), ivfsq)
+    assert(!ivfsq.contains("SortMergeJoin"),
+      s"IVF+SQ8 shuffled a join that must broadcast\n$ivfsq")
+    // concurrency sweep: two windows (per-user sessionize, per-day
+    // sweep), no joins — the union is a read-side concat
+    val cc = capture(Events.evtConcurrency(spark, sf), "simple")
+    assert("Window \\[".r.findAllIn(cc).size == 3 && !cc.contains("Join"),
+      cc) // sessionize lag + session-id running sum + the day sweep
   }
 }
