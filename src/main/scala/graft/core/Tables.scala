@@ -54,6 +54,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** The engine's ONE doc_id → basis-point hash (md5 lower-63-bit mod
+    * 10⁴) behind every sampling/split/curation decision
+    * ([[graft.operators.Analytics.pipelineSplit]]/`pipelineSample`/
+    * `pipelineCurate`, [[graft.dedup.Dedup.pipelineDecontam]]).
+    * Single definition so the decontamination audit can never
+    * silently diverge from the split it audits; hash-based (not RNG)
+    * so membership is reproducible across runs, engines, and
+    * partitionings.
+    */
+  def docBasisPoints: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000")
+
+  /** The canonical 90/5/5 train/val/test assignment over
+    * [[docBasisPoints]] — shared by `pipelineSplit` and
+    * `pipelineDecontam` (same single-definition rationale).
+    */
+  def splitOf(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(h < 9000, lit("train")).when(h < 9500, lit("val")).otherwise(lit("test"))
+  }
+
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -794,11 +794,8 @@ object Dedup {
   def pipelineDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-      .withColumn("h", expr(
-        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) " +
-          "% 10000"))
-      .withColumn("split",
-        when($"h" < 9000, "train").when($"h" < 9500, "val").otherwise("test"))
+      .withColumn("h", Tables.docBasisPoints)
+      .withColumn("split", Tables.splitOf($"h"))
     // both split sides read the band relation — pin it once or the
     // 64-slot signature computes twice (the dedupMinhash pattern)
     val bands = minhashBands(docs, keep = Seq("source", "split")).persist()

@@ -366,8 +366,7 @@ object Analytics {
           expr("cast(size(array_distinct(tri)) as bigint)")).cast("double") /
           greatest(expr("cast(size(tri) as bigint)"), lit(1L)).cast("double"))
       .withColumn("content_hash", md5(lower(trim($"text"))))
-      .withColumn("h", expr(
-        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000"))
+      .withColumn("h", Tables.docBasisPoints)
       .join(broadcast(rates), $"source" === $"r_source", "left_outer")
       .withColumn("kb", coalesce($"keep_bp", lit(500L)))
       .withColumn("rn", row_number().over(hashW))
@@ -407,8 +406,7 @@ object Analytics {
       ("src3", 1250L), ("src4", 625L))).toDF("r_source", "keep_bp")
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
-      .withColumn("h", expr(
-        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000"))
+      .withColumn("h", Tables.docBasisPoints)
       .join(broadcast(rates), $"source" === $"r_source", "left_outer")
       .withColumn("kb", coalesce($"keep_bp", lit(500L)))
       .groupBy($"source")
@@ -430,10 +428,8 @@ object Analytics {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", expr("cast(size(split(trim(text), ' +')) as bigint)"))
-      .withColumn("h", expr(
-        "(graft_md5lower64(cast(doc_id as string)) & 9223372036854775807) % 10000"))
-      .withColumn("split",
-        when($"h" < 9000, "train").when($"h" < 9500, "val").otherwise("test"))
+      .withColumn("h", Tables.docBasisPoints)
+      .withColumn("split", Tables.splitOf($"h"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"),
            sum($"n_tokens").cast("long").as("n_tokens"))

@@ -84,21 +84,57 @@ object AnnIndex {
     * clears the tombstones — exactly the delete story of every
     * LSM/lakehouse layout. Dynamic partition overwrite on `delete_batch`
     * makes replaying a delete batch idempotent, same as [[append]].
+    *
+    * Each tombstone is SEQUENCED against the ingest log: it records
+    * the index's max ingest batch at delete time (`as_of_batch`) and
+    * masks only code rows from batches ≤ that mark, so a later
+    * `append` that re-adds a deleted vec_id is a visible UPDATE, not
+    * silently masked — LSM semantics, where a tombstone shadows only
+    * OLDER writes. (A replayed delete recomputes its mark; replay
+    * within the recovery window, i.e. before the next append, for
+    * exact idempotence — the same window [[append]] replay assumes.)
     */
   def delete(ids: DataFrame, indexPath: String, batchId: Long): Unit =
     ids.select(col("vec_id"))
+      .withColumn("as_of_batch", lit(maxIngestBatch(indexPath)))
       .withColumn("delete_batch", lit(batchId))
       .write.partitionBy("delete_batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(tombstonesPath(indexPath))
 
-  /** The live tombstone ids, or None before any delete. */
+  /** Highest ingest batch physically present — read from the code
+    * directory's partition values (metadata-only, no file scan).
+    */
+  private def maxIngestBatch(indexPath: String): Long =
+    Option(new java.io.File(codesPath(indexPath)).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName).collect {
+        case n if n.startsWith("ingest_batch=") =>
+          n.stripPrefix("ingest_batch=").toLong
+      }.foldLeft(-1L)(math.max)
+
+  /** The live tombstones as (vec_id, as_of_batch), or None before any
+    * delete. A vec_id deleted more than once masks up to its LATEST
+    * mark.
+    */
   def readTombstones(spark: SparkSession,
                      indexPath: String): Option[DataFrame] =
     if (new java.io.File(tombstonesPath(indexPath)).exists())
       Some(spark.read.parquet(tombstonesPath(indexPath))
-        .select(col("vec_id")).distinct())
+        .groupBy(col("vec_id"))
+        .agg(max(col("as_of_batch")).as("as_of_batch")))
     else None
+
+  /** Drop tombstone-masked rows from a code relation that carries
+    * `ingest_batch`: a row dies only if its vec_id is tombstoned AND
+    * it was ingested at or before the tombstone's mark (see [[delete]]).
+    */
+  private def dropMasked(codes: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.map { t =>
+      codes.join(t,
+        codes("vec_id") === t("vec_id") &&
+          codes("ingest_batch") <= t("as_of_batch"), "left_anti")
+    }.getOrElse(codes)
 
   /** IVFADC query against the STORED artifacts only — no raw-vector
     * read, no re-derivation: centroids → probe, codebook → broadcast
@@ -112,11 +148,12 @@ object AnnIndex {
     val centroids = spark.read.parquet(centroidsPath(indexPath))
     val codebook = spark.read.parquet(codebookPath(indexPath))
     val raw = readCodes(spark, indexPath)
-      .select($"vec_id", $"label", $"m", $"code")
+      .select($"vec_id", $"label", $"m", $"code", $"ingest_batch")
     // deleted vectors never score: anti-join the tombstone set (tiny
-    // until the next compaction folds the dead rows away physically)
-    val codes = readTombstones(spark, indexPath)
-      .map(t => raw.join(t, Seq("vec_id"), "left_anti")).getOrElse(raw)
+    // until the next compaction folds the dead rows away physically);
+    // as-of-sequenced so a post-delete re-append of the same id scores
+    val codes = dropMasked(raw, readTombstones(spark, indexPath))
+      .select($"vec_id", $"label", $"m", $"code")
     val probes = Similarity.probeFrom(centroids, queries, nprobe)
     val lookups = codes
       .join(broadcast(probes), $"label" === $"cell")
@@ -180,16 +217,25 @@ object AnnIndex {
     }
     rmTree(old); rmTree(tmp)
     val raw = readCodes(spark, indexPath)
-      .select($"vec_id", $"label", $"m", $"code")
-    // compaction REALIZES pending deletes: tombstoned rows are
+      .select($"vec_id", $"label", $"m", $"code", $"ingest_batch")
+    // compaction REALIZES pending deletes: tombstone-masked rows are
     // dropped from the rewritten base partition and the tombstone set
-    // is cleared — after this, queries pay no anti-join at all
-    val codes = readTombstones(spark, indexPath)
-      .map(t => raw.join(t, Seq("vec_id"), "left_anti")).getOrElse(raw)
-    val nFiles = math.max(1, (codes.count() / 8000000L).toInt)
-    codes.withColumn("ingest_batch", lit(-1L))
-      .repartition(nFiles, $"label")
-      .write.partitionBy("ingest_batch").parquet(tmp.toString)
+    // is cleared — after this, queries pay no anti-join at all. The
+    // as-of sequencing (see [[delete]]) means a row re-appended AFTER
+    // its delete survives the rewrite.
+    val codes = dropMasked(raw, readTombstones(spark, indexPath))
+      .select($"vec_id", $"label", $"m", $"code")
+    val n = codes.count()
+    if (n == 0)
+      // delete-everything: partitionBy on zero rows writes NO files
+      // and the next readCodes fails schema inference — write the
+      // empty base partition dir explicitly so the schema survives
+      codes.repartition(1)
+        .write.parquet(tmp.resolve("ingest_batch=-1").toString)
+    else
+      codes.withColumn("ingest_batch", lit(-1L))
+        .repartition(math.max(1, (n / 8000000L).toInt), $"label")
+        .write.partitionBy("ingest_batch").parquet(tmp.toString)
     Files.move(live, old)
     Files.move(tmp, live)
     rmTree(old)

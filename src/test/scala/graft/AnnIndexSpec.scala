@@ -208,4 +208,61 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().toSet == after,
       "physical-delete answers differ from tombstone-path answers")
   }
+
+  test("a re-appended vec_id shadows its older tombstone (LSM as-of sequencing)") {
+    import spark.implicits._
+    val all = vecs()
+    val idx = Files.createTempDirectory("graft-ann-readd").toString + "/index"
+    AnnIndex.seed(all, idx)
+    val q = Similarity.defaultQueries(spark, sf)
+    val victims = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .select($"neighbor_id".as("vec_id")).distinct()
+    val victimIds = victims.as[Long].collect().toSet
+    val baseline = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    AnnIndex.delete(victims, idx, batchId = 0)
+    // re-add the deleted vectors in a LATER ingest batch: the
+    // tombstone masks only writes at or before its as-of mark, so the
+    // newer rows must score — this is an UPDATE, not a masked write
+    AnnIndex.append(all.join(victims, Seq("vec_id"), "left_semi"), idx, 7)
+    val readded = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    assert(readded == baseline,
+      "delete→re-append did not restore the pre-delete answers")
+    // each surviving vector contributes exactly one code row per
+    // subspace (the old masked copy is gone, not double-counted)
+    AnnIndex.compactCodes(spark, idx)
+    val perVec = AnnIndex.readCodes(spark, idx)
+      .groupBy($"vec_id").agg(count(lit(1)).as("n"))
+      .select($"n").distinct().as[Long].collect().toSeq
+    assert(perVec == Seq(8L), s"code-row multiplicity after compact: $perVec")
+    // compaction physically kept the re-added rows (the ADVICE bug:
+    // compact dropped them, then cleared the tombstone)
+    assert(victimIds.subsetOf(AnnIndex.readCodes(spark, idx)
+      .select($"vec_id").distinct().as[Long].collect().toSet),
+      "compaction dropped re-added vectors")
+    assert(AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet == baseline,
+      "post-compaction answers differ from pre-delete baseline")
+  }
+
+  test("delete-everything then compact leaves a readable empty index") {
+    import spark.implicits._
+    val all = vecs()
+    val idx = Files.createTempDirectory("graft-ann-empty").toString + "/index"
+    AnnIndex.seed(all, idx)
+    AnnIndex.delete(all.select($"vec_id"), idx, batchId = 0)
+    AnnIndex.compactCodes(spark, idx)
+    // the codes directory must still be schema-readable (a zero-row
+    // partitionBy write emits no parquet files at all — the edge this
+    // guards) and a query must return empty, not throw
+    assert(AnnIndex.readCodes(spark, idx).count() == 0)
+    assert(AnnIndex.query(spark, idx,
+      Similarity.defaultQueries(spark, sf), excludeSelf = true).count() == 0)
+    // the empty index is still appendable and then answers queries
+    AnnIndex.append(all, idx, 1)
+    assert(AnnIndex.query(spark, idx,
+      Similarity.defaultQueries(spark, sf), excludeSelf = true).count() > 0,
+      "re-grown index returned no answers")
+  }
 }
