@@ -166,6 +166,7 @@ object SparkEntry {
                                  graft.similarity.Similarity.simMatryoshka(s, d)),
     "sim_ivfsq_ann"        -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simIvfSq(s, d)),
+    "sim_ivfsq_stored"     -> (graft.similarity.AnnIndex.simIvfSqStored _),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
@@ -195,6 +196,8 @@ object SparkEntry {
     // from the persisted artifacts (seeded on this corpus), so the
     // recompute oracle is its oracle too
     ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann")) +
+    // same contract for the SQ8 stored index vs its recompute twin
+    ("sim_ivfsq_stored" -> oracleSqlBase("sim_ivfsq_ann")) +
     // recall@5 composes the constituent replays verbatim as
     // subqueries (DuckDB allows a CTE-bearing SELECT in parentheses)
     ("sim_recall_eval" -> {

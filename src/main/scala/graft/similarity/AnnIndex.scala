@@ -38,6 +38,8 @@ object AnnIndex {
   private def codebookPath(p: String) = p + "/codebook"
   private def codesPath(p: String) = p + "/codes"
   private def tombstonesPath(p: String) = p + "/tombstones"
+  private def sqRangesPath(p: String) = p + "/sqranges"
+  private def vectorsPath(p: String) = p + "/vectors"
 
   /** Build the index from a (vec_id, label, v: array&lt;double&gt;)
     * corpus: train and persist the coarse centroids and the PQ
@@ -179,16 +181,21 @@ object AnnIndex {
     * production twin of this helper is a real scheduled build job
     * writing to a durable store path.
     */
-  def ensureSeeded(spark: SparkSession, sfDir: String): String = {
+  def ensureSeeded(spark: SparkSession, sfDir: String): String =
+    ensureSeededWith(spark, sfDir, "graft-ann-index", seed)
+
+  private def ensureSeededWith(spark: SparkSession, sfDir: String,
+                               cacheDir: String,
+                               seedFn: (DataFrame, String) => Unit): String = {
     val vecs = Similarity.vectors(spark, sfDir)
     val n = vecs.count()
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(sfDir).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ann-index/${key}_$n"
+    val path = s"${sys.props("java.io.tmpdir")}/$cacheDir/${key}_$n"
     val marker = new java.io.File(path, "_SEEDED")
     if (!marker.exists()) {
-      seed(vecs, path)
+      seedFn(vecs, path)
       marker.createNewFile()
     }
     path
@@ -203,42 +210,156 @@ object AnnIndex {
     * probe join's restriction key — in files of ~8M code rows.
     */
   def compactCodes(spark: SparkSession, indexPath: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import spark.implicits._
-    val live = Paths.get(codesPath(indexPath))
-    val old = Paths.get(codesPath(indexPath) + ".old")
-    val tmp = Paths.get(codesPath(indexPath) + ".compacting")
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    val ts = readTombstones(spark, indexPath)
+    compactDir(spark, codesPath(indexPath), ts, rowsPerFile = 8000000L)
+    // an SQ index also carries the rerank vector store — rewrite it
+    // under the same tombstone mask so both artifacts stay aligned
+    if (new java.io.File(vectorsPath(indexPath)).exists())
+      compactDir(spark, vectorsPath(indexPath), ts, rowsPerFile = 1000000L)
+    rmTree(java.nio.file.Paths.get(tombstonesPath(indexPath)))
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
+      val walk = java.nio.file.Files.walk(p)
       try walk.iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(Files.delete)
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
       finally walk.close()
     }
+
+  /** Rewrite one ingest_batch-partitioned artifact directory into its
+    * base partition, dropping tombstone-masked rows (compaction
+    * REALIZES pending deletes — after it, queries pay no anti-join at
+    * all; the as-of sequencing in [[delete]] means a row re-appended
+    * AFTER its delete survives the rewrite). Schema-agnostic: works
+    * for PQ code rows, SQ code rows, and the SQ vector store alike
+    * (any schema with vec_id + a `label` cell column).
+    */
+  private def compactDir(spark: SparkSession, dir: String,
+                         ts: Option[DataFrame], rowsPerFile: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    val tmp = Paths.get(dir + ".compacting")
     rmTree(old); rmTree(tmp)
-    val raw = readCodes(spark, indexPath)
-      .select($"vec_id", $"label", $"m", $"code", $"ingest_batch")
-    // compaction REALIZES pending deletes: tombstone-masked rows are
-    // dropped from the rewritten base partition and the tombstone set
-    // is cleared — after this, queries pay no anti-join at all. The
-    // as-of sequencing (see [[delete]]) means a row re-appended AFTER
-    // its delete survives the rewrite.
-    val codes = dropMasked(raw, readTombstones(spark, indexPath))
-      .select($"vec_id", $"label", $"m", $"code")
-    val n = codes.count()
+    val raw = spark.read.parquet(dir)
+    val dataCols = raw.columns.filterNot(_ == "ingest_batch").map(col)
+    val rows = dropMasked(raw, ts).select(dataCols: _*)
+    val n = rows.count()
     if (n == 0)
       // delete-everything: partitionBy on zero rows writes NO files
-      // and the next readCodes fails schema inference — write the
-      // empty base partition dir explicitly so the schema survives
-      codes.repartition(1)
+      // and the next read fails schema inference — write the empty
+      // base partition dir explicitly so the schema survives
+      rows.repartition(1)
         .write.parquet(tmp.resolve("ingest_batch=-1").toString)
     else
-      codes.withColumn("ingest_batch", lit(-1L))
-        .repartition(math.max(1, (n / 8000000L).toInt), $"label")
+      rows.withColumn("ingest_batch", lit(-1L))
+        .repartition(math.max(1, (n / rowsPerFile).toInt), col("label"))
         .write.partitionBy("ingest_batch").parquet(tmp.toString)
     Files.move(live, old)
     Files.move(tmp, live)
     rmTree(old)
-    rmTree(Paths.get(tombstonesPath(indexPath)))
   }
+
+  // ---------------------------------------------------------------
+  // SQ8 stored index — the second production quantization scheme
+  // with build-once/search-many parity (round-10 verdict item 3).
+  // ---------------------------------------------------------------
+
+  /** Build an IVF+SQ8 index from a (vec_id, label, v) corpus — the
+    * FAISS `IVFx,SQ8` artifact ([[Similarity.simIvfSq]]'s recompute
+    * twin): freeze the coarse centroids AND the per-dimension [lo,hi]
+    * scalar ranges at seed time, write the seed corpus's affine int8
+    * codes as the base partition, and persist the raw vectors
+    * alongside as the exact-rerank store (the IVFFlat/DiskANN serving
+    * layout: the 4×-compressed codes are the SCAN, the full vectors
+    * are cold point-lookup storage touched only for ≤20 rows/query).
+    * Unlike the PQ index's corpus-independent sign codes, an SQ code
+    * depends on the FROZEN ranges — which is exactly why they are an
+    * artifact: `seed(S); appendSq(B)` codes B with S's ranges, the
+    * same rows a re-encode under the frozen model would produce
+    * (spec-asserted), and re-training ranges is the scheduled job.
+    */
+  def seedSq(vecs: DataFrame, indexPath: String): Unit = {
+    val ranges = Similarity.sqRanges(vecs)
+    Similarity.centroidsOf(vecs)
+      .write.mode("overwrite").parquet(centroidsPath(indexPath))
+    ranges.write.mode("overwrite").parquet(sqRangesPath(indexPath))
+    Similarity.sqQuantize(
+        vecs.select(col("vec_id"), col("label"), col("v")), ranges, "v", "cc")
+      .select(col("vec_id"), col("label"), col("cc"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch")
+      .mode("overwrite").parquet(codesPath(indexPath))
+    vecs.select(col("vec_id"), col("label"), col("v"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch")
+      .mode("overwrite").parquet(vectorsPath(indexPath))
+  }
+
+  /** Append a batch to a seeded SQ index: quantize with the STORED
+    * frozen ranges and write the batch's code + vector partitions.
+    * Dynamic partition overwrite keeps at-least-once replay
+    * idempotent, same as [[append]].
+    */
+  def appendSq(vecs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val ranges = vecs.sparkSession.read.parquet(sqRangesPath(indexPath))
+    Similarity.sqQuantize(
+        vecs.select(col("vec_id"), col("label"), col("v")), ranges, "v", "cc")
+      .select(col("vec_id"), col("label"), col("cc"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(codesPath(indexPath))
+    vecs.select(col("vec_id"), col("label"), col("v"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(vectorsPath(indexPath))
+  }
+
+  /** IVF+SQ8 query against the STORED artifacts only — centroids →
+    * probe, frozen ranges → quantize the queries, probed cells' int8
+    * codes → centered-integer-dot shortlist, stored vectors →
+    * exact-cosine rerank. Identical output to
+    * [[Similarity.simIvfSq]] when seeded on the same corpus (shared
+    * probe/quantize/score/rerank helpers; spec-asserted).
+    */
+  def querySq(spark: SparkSession, indexPath: String, queries: DataFrame,
+              excludeSelf: Boolean = false, nprobe: Int = 5): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(centroidsPath(indexPath))
+    val ranges = spark.read.parquet(sqRangesPath(indexPath))
+    val ts = readTombstones(spark, indexPath)
+    val codes = dropMasked(
+        spark.read.parquet(codesPath(indexPath)), ts)
+      .select($"vec_id", $"label", $"cc")
+    val stored = dropMasked(
+        spark.read.parquet(vectorsPath(indexPath)), ts)
+      .select($"vec_id", $"v")
+    val qcoded = Similarity.sqQuantize(queries, ranges, "qv", "qc")
+      .select($"query_id", $"qc")
+    val probes = Similarity.probeFrom(centroids, queries, nprobe)
+      .join(broadcast(qcoded), Seq("query_id"))
+    val cond =
+      if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
+      else $"label" === $"cell"
+    val shortlist = codes.join(broadcast(probes), cond)
+      .withColumn("score", expr(Similarity.sqDot))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
+        .as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    Similarity.exactTop5(shortlist, stored, queries)
+  }
+
+  /** The `sim_ivfsq_stored` bench/oracle entry: [[ensureSeeded]]'s
+    * seed-once contract for the SQ artifact, then the default query
+    * set answered from the stored index. Output is identical to
+    * [[Similarity.simIvfSq]]; the build/query split is the operator.
+    */
+  def simIvfSqStored(spark: SparkSession, sfDir: String): DataFrame =
+    querySq(spark, ensureSeededWith(spark, sfDir, "graft-ann-index-sq",
+      seedSq), Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
 }

@@ -389,16 +389,7 @@ object Similarity {
     // fetch raw vectors for shortlist members only (equi-join on id —
     // at scale this is the point-lookup stage against the vector
     // store), exact cosine, bounded-heap top-5
-    shortlist
-      .join(vectors(spark, sfDir).select($"vec_id", $"v"), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cos", cosineSim($"qv", $"v"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
+    exactTop5(shortlist, vectors(spark, sfDir), queries)
   }
 
   /** Scalar-quantization (int8) ANN — the third quantization scheme
@@ -430,7 +421,7 @@ object Similarity {
     * folded to one row of two arrays (dims are fixed; the struct
     * sort keys on d, making the array order deterministic).
     */
-  private def sqRanges(e: DataFrame): DataFrame = {
+  private[similarity] def sqRanges(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.select(posexplode($"v").as(Seq("d", "x")))
       .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
@@ -442,7 +433,7 @@ object Similarity {
   /** The identical affine int8 map on corpus and query vectors; a
     * degenerate dimension (hi = lo) codes to 0 everywhere.
     */
-  private def sqQuantize(df: DataFrame, ranges: DataFrame,
+  private[similarity] def sqQuantize(df: DataFrame, ranges: DataFrame,
                          vcol: String, out: String): DataFrame =
     df.crossJoin(broadcast(ranges)).withColumn(out, expr(
       s"transform(sequence(0, size($vcol) - 1), i -> " +
@@ -452,7 +443,7 @@ object Similarity {
       .drop("lo", "hi")
 
   /** Centered integer dot product of two int8 code arrays. */
-  private val sqDot =
+  private[similarity] val sqDot =
     "aggregate(zip_with(qc, cc, (a, b) -> " +
       "cast((a - 128) * (b - 128) as bigint)), 0L, (acc, x) -> acc + x)"
 
@@ -473,16 +464,7 @@ object Similarity {
       .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
         .as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))
-    shortlist
-      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cos", cosineSim($"qv", $"v"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
+    exactTop5(shortlist, e, queries)
   }
 
   /** IVF + SQ8 composed ANN — the FAISS `IVFx,SQ8` index, completing
@@ -524,16 +506,7 @@ object Similarity {
       .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
         .as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))
-    shortlist
-      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cos", cosineSim($"qv", $"v"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
+    exactTop5(shortlist, e, queries)
   }
 
   /** Matryoshka (truncated-dimension) two-stage ANN — the MRL serving
@@ -569,16 +542,7 @@ object Similarity {
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(40)($"vec_id", $"hs").as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))
-    shortlist
-      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cos", cosineSim($"qv", $"v"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
+    exactTop5(shortlist, e, queries)
   }
 
   /** IVF + PQ composed ANN — the canonical IVFADC index (Jégou et
@@ -642,6 +606,28 @@ object Similarity {
     * exposed so callers (and specs) can inspect exactly which cells a
     * query touches. Output is queries × nprobe rows: broadcast-sized.
     */
+  /** The exact-rerank tail every two-stage ANN shares: point-lookup
+    * the shortlist's raw vectors (equi-join on id — at scale, the
+    * fetch against the vector store), exact cosine, bounded-heap
+    * top-5 with ties by neighbor id. Also the stored-index tail
+    * ([[AnnIndex.querySq]]), where `corpus` is the persisted vector
+    * artifact instead of the live table.
+    */
+  private[similarity] def exactTop5(shortlist: DataFrame, corpus: DataFrame,
+                                    queries: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    shortlist
+      .join(corpus.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+  }
+
   def probeCells(spark: SparkSession, sfDir: String, queries: DataFrame,
                  nprobe: Int = 5): DataFrame =
     probeFrom(centroidsOf(vectors(spark, sfDir)), queries, nprobe)

@@ -246,6 +246,71 @@ class AnnIndexSpec extends AnyFunSuite {
       "post-compaction answers differ from pre-delete baseline")
   }
 
+  test("SQ8 stored-index query == recompute-per-query simIvfSq") {
+    val idx = Files.createTempDirectory("graft-ann-sq").toString + "/index"
+    AnnIndex.seedSq(vecs(), idx)
+    val got = AnnIndex.querySq(spark, idx,
+      Similarity.defaultQueries(spark, sf), excludeSelf = true)
+    val want = Similarity.simIvfSq(spark, sf)
+    assertSameResult(got, want, "sq stored vs recompute")
+  }
+
+  test("SQ8 appends quantize with the FROZEN ranges; batching-invariant; delete/compact shared") {
+    import spark.implicits._
+    val all = vecs()
+    val seedPart = all.filter($"vec_id" % 4 =!= 0)
+    val b1 = all.filter($"vec_id" % 8 === 0)
+    val b2 = all.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 =!= 0)
+    val root = Files.createTempDirectory("graft-ann-sq-append").toString
+    def sqCodeRows(idx: String) =
+      spark.read.parquet(s"$idx/codes")
+        .select($"vec_id", $"label", $"cc")
+        .as[(Long, Long, Seq[Int])].collect().toSet
+    // grown two ways → identical stored codes and answers
+    AnnIndex.seedSq(seedPart, s"$root/a")
+    AnnIndex.appendSq(b1, s"$root/a", 0)
+    AnnIndex.appendSq(b2, s"$root/a", 1)
+    AnnIndex.seedSq(seedPart, s"$root/b")
+    AnnIndex.appendSq(b1.union(b2), s"$root/b", 0)
+    assert(sqCodeRows(s"$root/a") == sqCodeRows(s"$root/b"),
+      "append batching changed the stored SQ codes")
+    // frozen-model contract: the grown index's codes DIFFER from a
+    // from-scratch seed of the full corpus (which retrains the
+    // ranges on all vectors) — the opposite of the PQ sign codes,
+    // and exactly why the ranges are a persisted artifact
+    AnnIndex.seedSq(all, s"$root/c")
+    assert(sqCodeRows(s"$root/a") != sqCodeRows(s"$root/c"),
+      "SQ codes unexpectedly corpus-independent (frozen ranges unused?)")
+    val q = Similarity.defaultQueries(spark, sf)
+    assertSameResult(
+      AnnIndex.querySq(spark, s"$root/a", q, excludeSelf = true),
+      AnnIndex.querySq(spark, s"$root/b", q, excludeSelf = true),
+      "batching-dependent SQ query answers")
+    // the shared delete/compaction machinery: tombstoned ids stop
+    // scoring, and compaction physically drops them from BOTH the
+    // codes and the rerank vector store, answers unchanged
+    val idx = s"$root/a"
+    val victims = AnnIndex.querySq(spark, idx, q, excludeSelf = true)
+      .select($"neighbor_id".as("vec_id")).distinct()
+    val victimIds = victims.as[Long].collect().toSet
+    AnnIndex.delete(victims, idx, batchId = 0)
+    val after = AnnIndex.querySq(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    assert(!after.exists(r => victimIds.contains(r.getLong(1))),
+      "a deleted vector still scored in the SQ index")
+    AnnIndex.compactCodes(spark, idx)
+    assert(AnnIndex.readTombstones(spark, idx).isEmpty)
+    assert(sqCodeRows(idx).forall { case (id, _, _) => !victimIds.contains(id) },
+      "compaction kept tombstoned SQ code rows")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .select($"vec_id").as[Long].collect().toSet
+      .intersect(victimIds).isEmpty,
+      "compaction kept tombstoned vector-store rows")
+    assert(AnnIndex.querySq(spark, idx, q, excludeSelf = true)
+      .collect().toSet == after,
+      "SQ physical-delete answers differ from tombstone-path answers")
+  }
+
   test("delete-everything then compact leaves a readable empty index") {
     import spark.implicits._
     val all = vecs()
