@@ -185,6 +185,7 @@ object SparkEntry {
     "mm_frame_sample"      -> (graft.multimodal.Multimodal.mmFrameSample _),
     "mm_decode_batch"      -> (graft.multimodal.Multimodal.mmDecodeBatch _),
     "mm_phash"             -> (graft.multimodal.Multimodal.mmPerceptualHash _),
+    "mm_phash_pairs"       -> (graft.multimodal.Multimodal.mmPhashPairs _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -2206,6 +2207,43 @@ object SparkEntry {
         |   AS phash
         |FROM cs JOIN tot t ON cs.doc_id = t.doc_id
         |GROUP BY cs.doc_id, cs.len""".stripMargin,
+    // phash near-dup pairs: same phash CTE, then the oracle's own
+    // candidate device — a 4-chunk (16,16,16,15) pigeonhole over the
+    // 63 bits, lossless for hamming <= 3 like the Spark side's 3-of-6
+    // block combos (both blockings are exact, so the verified pair
+    // set is identical)
+    "mm_phash_pairs" ->
+      """WITH d0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |seg AS (SELECT doc_id, len, CAST(i AS INT) AS i,
+        |   ((i+1)*len)//63 - (i*len)//63 AS w,
+        |   substr(text, CAST((i*len)//63 AS INT) + 1,
+        |     CAST(((i+1)*len)//63 - (i*len)//63 AS INT)) AS frame
+        |  FROM d0 CROSS JOIN range(0, 63) t(i)),
+        |cs AS (SELECT doc_id, len, i, w,
+        |   CAST(coalesce(list_sum(list_transform(range(1, length(frame)+1),
+        |     j -> ord(substr(frame, CAST(j AS INT), 1)))), 0) AS BIGINT) AS s
+        |  FROM seg),
+        |tot AS (SELECT doc_id, sum(s) AS total FROM cs GROUP BY 1),
+        |d AS (SELECT cs.doc_id,
+        |   CAST(sum(CASE WHEN cs.s * cs.len > t.total * cs.w
+        |     THEN CAST(power(2, cs.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |     AS phash
+        |  FROM cs JOIN tot t ON cs.doc_id = t.doc_id GROUP BY cs.doc_id),
+        |e AS (SELECT doc_id, phash, CAST(i AS INT) AS chunk_idx,
+        |   (phash >> CAST(i*16 AS INT))
+        |     & CASE WHEN i = 3 THEN 32767 ELSE 65535 END AS chunk_val
+        |  FROM d CROSS JOIN range(0, 4) t(i)),
+        |p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM e a JOIN e b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2, hamming FROM (
+        |  SELECT p.doc_id_1, p.doc_id_2,
+        |    CAST(bit_count(xor(ca.phash, cb.phash)) AS INT) AS hamming
+        |  FROM p JOIN d ca ON ca.doc_id = p.doc_id_1
+        |         JOIN d cb ON cb.doc_id = p.doc_id_2)
+        |WHERE hamming <= 3""".stripMargin,
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

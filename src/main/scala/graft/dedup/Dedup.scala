@@ -554,19 +554,9 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // 6 block offsets/widths over the 64-bit simhash
-    val offs = Seq(0, 11, 22, 33, 44, 54)
-    val bits = Seq(11, 11, 11, 11, 10, 10)
-    def block(i: Int) =
-      shiftright(col("simhash"), offs(i)).bitwiseAND((1L << bits(i)) - 1)
-    // all C(6,3) combos; key packs the 3 block values into fixed
-    // 21-bit fields (block width ≤ 11 < 21, no overlap)
-    val combos = (0 until 6).combinations(3).toSeq
-    val comboCol = array(combos.zipWithIndex.map { case (c, id) =>
-      struct(lit(id).as("combo_id"),
-        shiftleft(block(c(0)), 42).bitwiseOR(shiftleft(block(c(1)), 21))
-          .bitwiseOR(block(c(2))).as("key"))
-    }: _*)
+    // the shared 3-of-6 block-combination machinery ([[Pigeonhole]]),
+    // on its 64-bit split
+    val scheme = Pigeonhole.Sim64
     val d = withWordSet(Tables.documents(spark, sfDir))
       // digest + bit votes fused in ONE native expression: a lambda
       // inside transform() is interpreted per element, so the
@@ -577,7 +567,8 @@ object Dedup {
       // but both blockings are lossless for d ≤ 3, so the verified
       // pair set is identical)
       .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
-      .select($"doc_id", $"simhash", explode(comboCol).as("ck"))
+      .select($"doc_id", $"simhash",
+        explode(scheme.comboKeys($"simhash")).as("ck"))
       .select($"doc_id", $"simhash",
         $"ck.combo_id".as("combo_id"), $"ck.key".as("key"))
       // persist the 20-rows-per-doc combo relation: when the
@@ -587,34 +578,16 @@ object Dedup {
       .persist()
     val a = d.select($"combo_id", $"key", $"doc_id".as("doc_id_1"), $"simhash".as("h1"))
     val b = d.select($"combo_id", $"key", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
-    // EXACTLY-ONCE emission, no pair-distinct: a hamming ≤ 3 pair
-    // matches one join row per 3-subset of its untouched blocks (up
-    // to 20 for identical docs), and the old `.distinct()` shuffled
-    // all of those copies (~40 M rows at sf1 for 2.7 M pairs). A pair
-    // is instead emitted only from its CANONICAL combo — the
-    // lexicographically smallest 3-subset of the untouched set U,
-    // i.e. the row whose combo (i<j<k) has no untouched block below k
-    // outside {i,j}: untouchedMask & lowMask(combo) == 0, a per-row
-    // bitmask test against a 20-entry literal table. The canonical
-    // combo's blocks are untouched, so its join row always exists —
-    // nothing is lost — and no other combo passes, so nothing
-    // duplicates; the distinct disappears entirely.
-    val xorCol = $"h1".bitwiseXOR($"h2")
-    val untouchedMask = (0 until 6).map { b =>
-      when(shiftright(xorCol, offs(b))
-        .bitwiseAND((1L << bits(b)) - 1) === 0, 1 << b).otherwise(0)
-    }.reduce(_ + _)
-    val lowMasks = combos.map { c =>
-      lit(((1 << c(2)) - 1) & ~(1 << c(0)) & ~(1 << c(1)))
-    }
     a.join(b, Seq("combo_id", "key"))
       .filter($"doc_id_1" < $"doc_id_2")
       // hamming BEFORE the canonical-combo test: bit_count is per-row
-      // cheap and most co-bucketed pairs fail it
+      // cheap and most co-bucketed pairs fail it; then exactly-once
+      // emission from the canonical combo (no pair-distinct — the old
+      // `.distinct()` shuffled ~40 M copies at sf1 for 2.7 M pairs;
+      // see [[Pigeonhole.Scheme.canonicalOnly]])
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter($"hamming" <= 3)
-      .filter((untouchedMask
-        .bitwiseAND(element_at(array(lowMasks: _*), $"combo_id" + 1))) === 0)
+      .filter(scheme.canonicalOnly($"h1", $"h2", $"combo_id"))
       .select($"doc_id_1", $"doc_id_2", $"hamming")
   }
 
