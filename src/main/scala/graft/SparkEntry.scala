@@ -469,14 +469,19 @@ object SparkEntry {
         |   unnest(list_transform(range(1, len(words)),
         |     i -> words[i] || ' ' || words[i+1])) AS bigram
         |  FROM w),
-        |tf AS (SELECT doc_id, lang, w1, bigram, count(*) AS tf
-        |  FROM b GROUP BY 1, 2, 3, 4),
-        |c2 AS (SELECT bigram, count(*) AS cnt2 FROM b GROUP BY 1),
-        |c1 AS (SELECT w1, count(*) AS cnt1 FROM b GROUP BY 1),
+        |hb AS (SELECT doc_id, lang,
+        |   CAST(md5_number_lower(w1) % 9223372036854775808 AS BIGINT) AS h1,
+        |   CAST(md5_number_lower(bigram) % 9223372036854775808 AS BIGINT)
+        |     AS h2
+        |  FROM b),
+        |tf AS (SELECT doc_id, lang, h1, h2, count(*) AS tf
+        |  FROM hb GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT h2, count(*) AS cnt2 FROM hb GROUP BY 1),
+        |c1 AS (SELECT h1, count(*) AS cnt1 FROM hb GROUP BY 1),
         |s AS (SELECT tf.doc_id, tf.lang, tf.tf,
         |   CAST(round(10000 * ln(c1.cnt1::DOUBLE / c2.cnt2)) AS BIGINT)
         |     AS bg_e4
-        |  FROM tf JOIN c2 USING(bigram) JOIN c1 USING(w1))
+        |  FROM tf JOIN c2 USING(h2) JOIN c1 USING(h1))
         |SELECT doc_id, lang,
         | CAST(sum(tf) AS BIGINT) AS n_bigrams,
         | CAST(sum(tf * bg_e4) AS BIGINT) AS surprisal_e4,
