@@ -20,13 +20,14 @@ R=${1:?round tag, e.g. r09}
 # the three event-ops audits (tiny outputs, window/offset arithmetic
 # that MUST hold on 10M events), and the two new two-stage ANN paths
 # (50-row outputs; their oracles scan the corpus once in DuckDB).
-# sim_ivfsq_ann is NOT in the subset: its DuckDB replay materializes
-# the centroid-training AND sq-range unnests (e × 64 rows, each
-# carrying the 64-double vector) plus the code relation in one query
-# — measured >78 GB of DuckDB spill at sf10 before ENOSPC. It stays
-# hash-gated at the three regular SFs; its sq core is sf10-gated via
-# sim_sq_ann and its probe core via sim_kmeans.
-SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs"
+# sim_ivfsq_ann / sim_ivfsq_stored use a STAGED oracle at sf10
+# (tools/oracle_sim_ivfsq_staged.sql, injected below): the inline
+# replay materialized the centroid-training and sq-range unnests
+# (e × 64 rows carrying the 64-double vector) in one pipeline and
+# spilled >78 GB before ENOSPC; the staged temp-table rewrite (the
+# dedup_components oracle technique) runs in seconds. Equivalence of
+# staged vs inline SQL is asserted at sf0.01+sf0.1 (round-11 check).
+SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
@@ -38,6 +39,12 @@ import json, sys
 out, subset = sys.argv[1], set(sys.argv[2].split(","))
 p = f"{out}/oracle_sql.json"
 d = {k: v for k, v in json.load(open(p)).items() if k in subset}
+# swap in the staged (temp-table) oracle for the IVF+SQ pair — the
+# inline single-query form spills at sf10 (see header comment)
+staged = open("tools/oracle_sim_ivfsq_staged.sql").read()
+for k in ("sim_ivfsq_ann", "sim_ivfsq_stored"):
+    if k in d:
+        d[k] = staged
 json.dump(d, open(p, "w"), indent=1)
 EOF
 python3 tools/localverify.py /root/repo/bench-data/sf10 $OUT \
