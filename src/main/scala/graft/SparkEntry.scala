@@ -167,6 +167,7 @@ object SparkEntry {
     "sim_ivfsq_ann"        -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simIvfSq(s, d)),
     "sim_ivfsq_stored"     -> (graft.similarity.AnnIndex.simIvfSqStored _),
+    "sim_matryoshka_stored" -> (graft.similarity.AnnIndex.simMatryoshkaStored _),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
@@ -199,6 +200,8 @@ object SparkEntry {
     ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann")) +
     // same contract for the SQ8 stored index vs its recompute twin
     ("sim_ivfsq_stored" -> oracleSqlBase("sim_ivfsq_ann")) +
+    // and for the prefix-scan strategy over the same stored vectors
+    ("sim_matryoshka_stored" -> oracleSqlBase("sim_matryoshka")) +
     // recall@5 composes the constituent replays verbatim as
     // subqueries (DuckDB allows a CTE-bearing SELECT in parentheses)
     ("sim_recall_eval" -> {

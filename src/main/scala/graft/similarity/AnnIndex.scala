@@ -362,4 +362,49 @@ object AnnIndex {
   def simIvfSqStored(spark: SparkSession, sfDir: String): DataFrame =
     querySq(spark, ensureSeededWith(spark, sfDir, "graft-ann-index-sq",
       seedSq), Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
+
+  /** Matryoshka two-stage query against the SAME stored vector
+    * artifact the SQ index persists — completing stored-index parity
+    * for the third production quantization scheme, and demonstrating
+    * the real serving architecture: ONE persisted vector store backs
+    * MULTIPLE query strategies (the int8 code scan in [[querySq]],
+    * the 16-dim prefix scan here — at 100 TB, with vectors stored
+    * dimension-chunked, the prefix read moves 4× fewer bytes via
+    * column pruning; Matryoshka has no trained model, so the vector
+    * store IS its entire index). Identical output to
+    * [[Similarity.simMatryoshka]] when seeded on the same corpus
+    * (same stage-1 prefix cosine, top-40 shortlist, shared
+    * [[Similarity.exactTop5]] rerank; spec-asserted), tombstones
+    * honored like every stored query path.
+    */
+  def queryMatryoshka(spark: SparkSession, indexPath: String,
+                      queries: DataFrame,
+                      excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val stored = dropMasked(
+        spark.read.parquet(vectorsPath(indexPath)),
+        readTombstones(spark, indexPath))
+      .select($"vec_id", $"v")
+    val eh = stored.withColumn("vh", expr("slice(v, 1, 16)"))
+      .select($"vec_id", $"vh")
+    val qh = queries.withColumn("qh", expr("slice(qv, 1, 16)"))
+      .select($"query_id", $"qh")
+    val cand =
+      if (excludeSelf) eh.join(broadcast(qh), $"query_id" =!= $"vec_id")
+      else eh.crossJoin(broadcast(qh))
+    val shortlist = cand
+      .withColumn("hs", graft.functions.cosineSim($"qh", $"vh"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(40)($"vec_id", $"hs").as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    Similarity.exactTop5(shortlist, stored, queries)
+  }
+
+  /** The `sim_matryoshka_stored` bench/oracle entry — shares the
+    * `sim_ivfsq_stored` seed (one artifact, two query strategies).
+    */
+  def simMatryoshkaStored(spark: SparkSession, sfDir: String): DataFrame =
+    queryMatryoshka(spark, ensureSeededWith(spark, sfDir,
+      "graft-ann-index-sq", seedSq),
+      Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
 }

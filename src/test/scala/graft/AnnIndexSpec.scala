@@ -311,6 +311,29 @@ class AnnIndexSpec extends AnyFunSuite {
       "SQ physical-delete answers differ from tombstone-path answers")
   }
 
+  test("Matryoshka stored query == recompute twin; one artifact, two strategies") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-ann-mat").toString + "/index"
+    AnnIndex.seedSq(vecs(), idx)
+    val q = Similarity.defaultQueries(spark, sf)
+    assertSameResult(
+      AnnIndex.queryMatryoshka(spark, idx, q, excludeSelf = true),
+      Similarity.simMatryoshka(spark, sf),
+      "matryoshka stored vs recompute")
+    // the SAME artifact serves the SQ strategy too (the one-store/
+    // many-indexes serving shape), and deletes mask both strategies
+    val victims = AnnIndex.queryMatryoshka(spark, idx, q, excludeSelf = true)
+      .select($"neighbor_id".as("vec_id")).distinct()
+    val victimIds = victims.as[Long].collect().toSet
+    AnnIndex.delete(victims, idx, batchId = 0)
+    assert(!AnnIndex.queryMatryoshka(spark, idx, q, excludeSelf = true)
+      .collect().exists(r => victimIds.contains(r.getLong(1))),
+      "a deleted vector still scored in the matryoshka path")
+    assert(!AnnIndex.querySq(spark, idx, q, excludeSelf = true)
+      .collect().exists(r => victimIds.contains(r.getLong(1))),
+      "a deleted vector still scored in the sq path")
+  }
+
   test("delete-everything then compact leaves a readable empty index") {
     import spark.implicits._
     val all = vecs()
