@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
+  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellSimPairs, CellTopK, CodepointSum, Phash63, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -74,6 +74,13 @@ package object functions {
   /** Sum of Unicode code points of a string column. */
   def codepointSum(s: Column): Column =
     Bridge.column(CodepointSum(Bridge.expression(s)))
+
+  /** 63-segment perceptual hash of a string (single-pass fused form
+    * of the segment/codepoint-sum/threshold pipeline — see
+    * [[org.apache.spark.sql.graft.Phash63]]).
+    */
+  def phash63(s: Column): Column =
+    Bridge.column(Phash63(Bridge.expression(s)))
 
   /** Dot product of two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =

@@ -145,20 +145,18 @@ object Multimodal {
     */
   def mmPerceptualHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // resample → feature → threshold → pack fused into the native
+    // single-pass [[org.apache.spark.sql.graft.Phash63]] — the
+    // transform(sequence(0,62), ...) formulation paid an interpreted
+    // lambda dispatch + a substring materialization per segment per
+    // row (same-protocol sf10 probe A/B:
+    // mm_phash_pairs 12.37 → 3.37 s); output bit-identical
+    // (ExpressionPropertySpec pins native == pipeline on unicode
+    // edges + the corpus), oracle unchanged
     Tables.documents(spark, sfDir)
       .filter(length($"text") > 0)
-      .withColumn("len", length($"text").cast("long"))
-      .withColumn("sums", expr(
-        "transform(sequence(0, 62), i -> struct(" +
-          "((i+1)*len) div 63 - (i*len) div 63 as w, " +
-          "graft_codepoint_sum(substring(text, cast((i*len) div 63 as int) + 1, " +
-            "cast(((i+1)*len) div 63 - (i*len) div 63 as int))) as s))"))
-      .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x.s)"))
-      .withColumn("phash", expr(
-        "aggregate(zip_with(sums, sequence(0, 62), " +
-          "(p, i) -> IF(p.s * len > total * p.w, shiftleft(1L, cast(i as int)), 0L)), " +
-          "0L, (acc, x) -> acc + x)"))
-      .select($"doc_id", $"len".as("n_chars_used"), $"phash")
+      .select($"doc_id", length($"text").cast("long").as("n_chars_used"),
+              graft.functions.phash63($"text").as("phash"))
   }
 
   /** Perceptual-hash near-dup pairs (hamming ≤ 3) — the dedup

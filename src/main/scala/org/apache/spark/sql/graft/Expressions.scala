@@ -257,6 +257,59 @@ case class CodepointSum(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The full 63-segment perceptual hash of a string in ONE pass — the
+  * fused form of [[graft.multimodal.Multimodal.mmPerceptualHash]]'s
+  * `transform(sequence(0,62), i -> codepoint_sum(substring(...)))`
+  * pipeline, which paid an INTERPRETED lambda dispatch plus a
+  * substring materialization per segment per row (63 partial string
+  * copies each scanned once more for its code-point sum). Here the
+  * string is walked once: code points accumulate into their segment's
+  * slot (segment boundaries ⌊i·len/63⌋ in CODE POINTS, matching
+  * Spark `substring`/`length` semantics), then bit i is set when
+  * segment i's sum·len exceeds total·width_i — cross-multiplied
+  * integers, bit-identical to the expression pipeline and to the
+  * DuckDB oracle's substr/ord replay (spec-asserted equal on the
+  * corpus plus unicode edge cases).
+  */
+case class Phash63(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      n += 1; i += Character.charCount(s.codePointAt(i))
+    }
+    if (n == 0L) return 0L
+    val sums = new Array[Long](63)
+    i = 0
+    var p = 0L
+    var seg = 0
+    while (i < s.length) {
+      while (seg < 62 && p >= (seg + 1) * n / 63) seg += 1
+      val cp = s.codePointAt(i)
+      sums(seg) += cp
+      i += Character.charCount(cp); p += 1
+    }
+    var total = 0L
+    var k = 0
+    while (k < 63) { total += sums(k); k += 1 }
+    var phash = 0L
+    k = 0
+    while (k < 63) {
+      val w = (k + 1) * n / 63 - k * n / 63
+      if (sums(k) * n > total * w) phash |= 1L << k
+      k += 1
+    }
+    phash
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash straight from an `array<string>` token set: md5
   * digest (lower 64 bits little-endian — DuckDB's `md5_number_lower`)
   * and the ±1 bit votes fused in one tight loop. Replaces the

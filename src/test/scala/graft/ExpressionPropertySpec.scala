@@ -197,4 +197,45 @@ class ExpressionPropertySpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).toSeq
     assert(edge == Seq(1.0, 0.0))
   }
+
+  test("phash63 == the segment/codepoint-sum expression pipeline") {
+    import spark.implicits._
+    // the pre-fusion formulation, kept here as the reference
+    val pipeline =
+      "aggregate(zip_with(" +
+        "transform(sequence(0, 62), i -> struct(" +
+          "((i+1)*len) div 63 - (i*len) div 63 as w, " +
+          "graft_codepoint_sum(substring(s, cast((i*len) div 63 as int) + 1, " +
+            "cast(((i+1)*len) div 63 - (i*len) div 63 as int))) as s)), " +
+        "sequence(0, 62), (p, i) -> IF(p.s * len > " +
+          "aggregate(transform(sequence(0, 62), j -> " +
+            "graft_codepoint_sum(substring(s, cast((j*len) div 63 as int) + 1, " +
+              "cast(((j+1)*len) div 63 - (j*len) div 63 as int)))), " +
+            "0L, (acc, x) -> acc + x) * p.w, " +
+          "shiftleft(1L, cast(i as int)), 0L)), 0L, (acc, x) -> acc + x)"
+    val edge = Seq(
+      "a", "ab", "aaaaaaa", "abcdefghij",
+      ("x" * 62), ("x" * 63), ("x" * 64), ("y" * 1000),
+      "na\u00efve caf\u00e9 \u4f60\u597d\u4e16\u754c " * 9,
+      (1 to 200).map(i => ('a' + i % 26).toChar).mkString,
+      "\ud83d\ude00\ud83d\ude01\ud83d\ude02" * 30)
+    val rnd = new scala.util.Random(11)
+    val fuzz = (1 to 60).map(_ => rnd.alphanumeric
+      .take(1 + rnd.nextInt(400)).mkString)
+    val df = (edge ++ fuzz).toDF("s")
+      .withColumn("len", org.apache.spark.sql.functions.expr(
+        "cast(length(s) as bigint)"))
+    val bad = df.selectExpr(
+        "s", "graft_phash63(s) AS native", s"$pipeline AS ref")
+      .where("native != ref")
+    assert(bad.count() == 0, bad.take(3).mkString(";"))
+    // and on the corpus itself (the operator's real input)
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.Sf)
+      .where("length(text) > 0")
+      .selectExpr("text AS s", "cast(length(text) as bigint) AS len")
+    val badCorpus = docs.selectExpr(
+        "graft_phash63(s) AS native", s"$pipeline AS ref")
+      .where("native != ref")
+    assert(badCorpus.count() == 0)
+  }
 }
