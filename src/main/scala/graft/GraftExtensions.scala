@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, Phash63, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard, TopKLong, TopKString}
+import org.apache.spark.sql.graft.{CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, Phash63, ShingleMd5, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard, TopKLong, TopKString}
 
 /** SparkSessionExtensions installer: exposes graft's native Catalyst
   * expressions to SQL. Register with
@@ -19,6 +19,7 @@ import org.apache.spark.sql.graft.{CellSimPairs, CellTopK, CodepointSum, CosineS
   *   graft_md5lower64(string)                   → bigint
   *   graft_codepoint_sum(string)                → bigint
   *   graft_phash63(string)                      → bigint
+  *   graft_shingle_md5(array<string>, n)        → array<bigint>
   *   graft_topk(id bigint, score double, k)     → array<struct<_1,_2>> (aggregate)
   *   graft_topk_str(id string, score double, k) → array<struct<_1,_2>> (aggregate)
   *   graft_cell_topk(array<struct<id,vec>>, k)  → rows (generator)
@@ -68,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_phash63"),
       new ExpressionInfo(classOf[Phash63].getName, "graft_phash63"),
       (es: Seq[Expression]) => Phash63(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_md5"),
+      new ExpressionInfo(classOf[ShingleMd5].getName, "graft_shingle_md5"),
+      (es: Seq[Expression]) => ShingleMd5(es.head, intArg(es(1), "n"))))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKLong].getName, "graft_topk"),
       (es: Seq[Expression]) => TopKLong(es.head, es(1), intArg(es(2), "k"))))

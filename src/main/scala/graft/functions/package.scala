@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellSimPairs, CellTopK, CodepointSum, Phash63, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
+  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellSimPairs, CellTopK, CodepointSum, Phash63, ShingleMd5, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -81,6 +81,12 @@ package object functions {
     */
   def phash63(s: Column): Column =
     Bridge.column(Phash63(Bridge.expression(s)))
+
+  /** 63-bit md5 of every word n-gram shingle (fused slice/concat/md5
+    * pipeline — see [[org.apache.spark.sql.graft.ShingleMd5]]).
+    */
+  def shingleMd5(words: Column, n: Int): Column =
+    Bridge.column(ShingleMd5(Bridge.expression(words), n))
 
   /** Dot product of two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =

@@ -168,9 +168,7 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("hashes",
-        expr("transform(sequence(0, greatest(size(words)-4, 0)), " +
-             "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 4))) " +
-             "& 9223372036854775807)"))
+        expr("graft_shingle_md5(words, 4)"))
       .withColumn("fps",
         expr("array_distinct(transform(sequence(0, greatest(size(hashes)-4, 0)), " +
              "j -> array_min(slice(hashes, j+1, 4))))"))
@@ -228,9 +226,7 @@ object TextAnalysis {
     val shingled = Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("g", explode(expr(
-        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
-          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
-          "& 9223372036854775807))")))
+        "array_distinct(graft_shingle_md5(words, 5))")))
       .select($"doc_id", $"g")
     val eval   = shingled.filter($"doc_id" % 29 === 0)
       .select($"doc_id", $"g")
@@ -269,9 +265,7 @@ object TextAnalysis {
     val shingled = Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("g", explode(expr(
-        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
-          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
-          "& 9223372036854775807))")))
+        "array_distinct(graft_shingle_md5(words, 5))")))
       .select($"doc_id", $"g")
     val eval = shingled.filter($"doc_id" % 29 === 0).persist()
     val sketchBytes =
@@ -458,13 +452,15 @@ object TextAnalysis {
     // pin the shingle relation: the df aggregate and the join-back
     // both read it, and a self-join under AQE gets no ReusedExchange —
     // without the persist the per-5-gram md5 computes twice
-    // (same-protocol probe A/B at sf10: 55.3 → 26.2 s)
+    // (same-protocol probe A/B at sf10: 55.3 → 26.2 s). The shingle
+    // hashes come from the fused native graft_shingle_md5 (one pass,
+    // no per-shingle lambda dispatch / slice copy / concat_ws string:
+    // 15.5 → 5.5 s same-protocol sf10 probe, bit-identical by
+    // ExpressionPropertySpec)
     val sh = Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("g", explode(expr(
-        "array_distinct(transform(sequence(0, greatest(size(words)-5, 0)), " +
-          "i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, 5))) " +
-          "& 9223372036854775807))")))
+        "array_distinct(graft_shingle_md5(words, 5))")))
       .select($"doc_id", $"g")
       .persist()
     val df_ = sh.groupBy($"g").agg(count(lit(1)).as("df"))

@@ -257,6 +257,58 @@ case class CodepointSum(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 63-bit md5 hashes of every word n-gram shingle in ONE pass — the
+  * fused form of `transform(sequence(0, greatest(size(words)-n, 0)),
+  * i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, n))) &
+  * 9223372036854775807)`, which paid an interpreted lambda dispatch,
+  * a slice-array copy, AND a concat_ws string materialization per
+  * shingle per row (the hot scan of txt_dup_coverage /
+  * txt_contamination / txt_fingerprint). Word bytes are extracted
+  * once; each shingle streams its words (0x20-separated) through the
+  * thread-local digest — same bytes, same lower-64 little-endian
+  * mapping, same 63-bit mask, so output is bit-identical and the
+  * DuckDB oracles replay unchanged. A shorter-than-n document yields
+  * its single whole-document shingle, exactly like the slice form.
+  */
+case class ShingleMd5(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val size = arr.numElements()
+    val words = new Array[Array[Byte]](size)
+    var i = 0
+    while (i < size) { words(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val m = math.max(size - n, 0) + 1
+    val md = Md5Lower64.digests.get()
+    val out = new Array[Long](m)
+    val sep = Array[Byte](0x20)
+    i = 0
+    while (i < m) {
+      md.reset()
+      val end = math.min(i + n, size)
+      var j = i
+      while (j < end) {
+        if (j > i) md.update(sep)
+        md.update(words(j))
+        j += 1
+      }
+      val d = md.digest()
+      var r = 0L
+      var k = 15
+      while (k >= 8) { r = (r << 8) | (d(k) & 0xffL); k -= 1 }
+      out(i) = r & Long.MaxValue
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The full 63-segment perceptual hash of a string in ONE pass — the
   * fused form of [[graft.multimodal.Multimodal.mmPerceptualHash]]'s
   * `transform(sequence(0,62), i -> codepoint_sum(substring(...)))`

@@ -238,4 +238,30 @@ class ExpressionPropertySpec extends AnyFunSuite {
       .where("native != ref")
     assert(badCorpus.count() == 0)
   }
+
+  test("shingle_md5 == the slice/concat_ws/md5 lambda pipeline") {
+    import spark.implicits._
+    def pipeline(n: Int) =
+      s"transform(sequence(0, greatest(size(words)-$n, 0)), " +
+      s"i -> graft_md5lower64(concat_ws(' ', slice(words, i+1, $n))) " +
+      "& 9223372036854775807)"
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("the", "a", "na\u00efve", "\u4f60\u597d", "word",
+      "x", "\ud83d\ude00", "longer-token", "7", "")
+    val cases = Seq(Seq.empty[String], Seq("solo"), Seq("two", "words")) ++
+      (1 to 60).map(_ => Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    val df = cases.map(Tuple1(_)).toDF("words")
+    for (n <- Seq(4, 5)) {
+      val bad = df.selectExpr(s"graft_shingle_md5(words, $n) AS a",
+          s"${pipeline(n)} AS b")
+        .where("a != b")
+      assert(bad.count() == 0, s"n=$n: " + bad.take(2).mkString(";"))
+    }
+    // and over the corpus's real word arrays
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.Sf)
+      .selectExpr("split(trim(text), ' +') AS words")
+    val badCorpus = docs.selectExpr("graft_shingle_md5(words, 5) AS a",
+        s"${pipeline(5)} AS b").where("a != b")
+    assert(badCorpus.count() == 0)
+  }
 }
