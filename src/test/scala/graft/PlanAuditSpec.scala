@@ -577,4 +577,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(cc).size == 3 && !cc.contains("Join"),
       cc) // sessionize lag + session-id running sum + the day sweep
   }
+
+  test("txt_bigram_lm: shuffles carry 63-bit hash keys, never bigram strings") {
+    val fmt = capture(graft.text.TextAnalysis.txtBigramLm(spark, sf), "formatted")
+    // the corpus-sized aggregate and both model joins key on h1/h2
+    // (md5 longs); no exchange partitions on the string columns
+    assert(fmt.contains("md5lower64"), "hash projection missing")
+    assert(!fmt.contains("hashpartitioning(w1") &&
+           !fmt.contains("hashpartitioning(bigram"),
+      "a shuffle still keys on bigram strings")
+    assert(fmt.contains("h1#") && fmt.contains("h2#"),
+      "hash key columns missing from the plan")
+    // the hashed stream is pinned (both consumers read the cache)
+    assert(fmt.contains("InMemory"), "bigram hash relation not persisted")
+  }
+
+  test("mm_phash_pairs: native phash63, pinned combo relation, no cartesian") {
+    val fmt = capture(
+      graft.multimodal.Multimodal.mmPhashPairs(spark, sf), "formatted")
+    assert(fmt.contains("phash63"),
+      "perceptual hash not computed by the fused native expression")
+    assert(fmt.contains("InMemory"), "combo relation not persisted")
+    assert(!fmt.contains("CartesianProduct"), "pair search went quadratic")
+  }
+
+  test("shingle consumers: fused shinglemd5, no per-shingle lambda pipeline") {
+    for ((name, df) <- Seq(
+        "txt_dup_coverage" -> graft.text.TextAnalysis.txtDupCoverage(spark, sf),
+        "txt_fingerprint" -> graft.text.TextAnalysis.txtFingerprint(spark, sf),
+        "txt_contamination" -> graft.text.TextAnalysis.txtContamination(spark, sf))) {
+      val fmt = capture(df, "formatted")
+      assert(fmt.contains("shinglemd5"), s"$name: native shingle hash missing")
+      assert(!fmt.contains("md5lower64(concat_ws"),
+        s"$name: per-shingle md5 lambda pipeline still in the plan")
+    }
+  }
 }
