@@ -181,6 +181,47 @@ object WriteBench {
         "file zkey ranges disjoint", disjoint(profile))
     }
 
+    // 5. mixture-interleave delivery: range-write by mix_pos so any
+    // file-order prefix of the stream realizes the configured source
+    // mixture (the stride-scheduling invariant, asserted per-file)
+    {
+      val dir = root.resolve("mixture")
+      val rel = graft.operators.Layout.pipelineMixture(spark, sfDir)
+        .join(docs, Seq("doc_id", "source"))
+      val (_, secs) = timed {
+        rel.repartitionByRange($"mix_pos")
+          .sortWithinPartitions($"mix_pos")
+          .write.parquet(dir.toString)
+      }
+      val profile = fileProfile(spark, dir.toString, Seq("mix_pos"))
+      // every file-order PREFIX of the delivery realizes the top
+      // source's configured 40% share — VALID up to the position where
+      // the first source's stream ends (position ranges are
+      // 2³²·stride_s per source, so the guarantee covers prefixes
+      // [0, min_s max_pos_s); beyond it sources drop out by design —
+      // the boundary is read from the written data itself)
+      val written = spark.read.parquet(dir.toString)
+      val minMax = written.groupBy($"source").agg(max($"mix_pos").as("mp"))
+        .agg(min($"mp")).head.getLong(0)
+      val ordered = profile.sortBy(_._3.head)
+      val byFile = written
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"),
+             count(when($"source" === "src0", 1)).as("n0"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      var cn = 0L; var c0 = 0L; var checked = 0
+      val prefixOk = ordered.forall { case (f, _, _, hi) =>
+        val (n, n0) = byFile(f); cn += n; c0 += n0
+        hi.head > minMax || cn < 20000 || {
+          checked += 1; math.abs(c0.toDouble / cn - 0.4) < 0.05
+        }
+      }
+      report("pipeline_mixture_write", secs, dir, profile,
+        s"file mix_pos ranges disjoint + every >=20k-row in-range prefix ($checked checked) within 5pp of the 40% share",
+        disjoint(profile) && prefixOk && checked >= 3)
+    }
+
     val json = "{" +
       s""""sf":"$sfDir","cpus":${spark.sparkContext.defaultParallelism},""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
