@@ -508,6 +508,14 @@ object TextAnalysis {
 
   def txtSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // NEGATIVE RESULT (r11, recorded so it is not re-litigated): the
+    // txtBigramLm 8-byte-hash-key recipe was tried here — md5 term
+    // keys + model counts derived from the pinned tf relation — and
+    // measured FLAT at sf10 (4.68 → 4.55 s, same-protocol probe).
+    // Unlike the bigram stream, these single-word shuffles are
+    // already vocabulary-sized after map-side partial aggregation,
+    // so the string payload never dominates; reverted to the simpler
+    // string form.
     val toks = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang",
         explode(expr("split(trim(text), ' +')")).as("term"))
