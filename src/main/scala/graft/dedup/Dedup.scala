@@ -576,19 +576,10 @@ object Dedup {
       // WITHOUT the pin each side re-runs the md5-per-word simhash
       // over the whole corpus — the most expensive part, paid twice
       .persist()
-    val a = d.select($"combo_id", $"key", $"doc_id".as("doc_id_1"), $"simhash".as("h1"))
-    val b = d.select($"combo_id", $"key", $"doc_id".as("doc_id_2"), $"simhash".as("h2"))
-    a.join(b, Seq("combo_id", "key"))
-      .filter($"doc_id_1" < $"doc_id_2")
-      // hamming BEFORE the canonical-combo test: bit_count is per-row
-      // cheap and most co-bucketed pairs fail it; then exactly-once
-      // emission from the canonical combo (no pair-distinct — the old
-      // `.distinct()` shuffled ~40 M copies at sf1 for 2.7 M pairs;
-      // see [[Pigeonhole.Scheme.canonicalOnly]])
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter($"hamming" <= 3)
-      .filter(scheme.canonicalOnly($"h1", $"h2", $"combo_id"))
-      .select($"doc_id_1", $"doc_id_2", $"hamming")
+    // shared join/emit scaffold: hamming verify before the canonical-
+    // combo exactly-once emission (no pair-distinct — the old
+    // `.distinct()` shuffled ~40 M copies at sf1 for 2.7 M pairs)
+    scheme.pairs(d.withColumnRenamed("simhash", "h"), maxHamming = 3)
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.35), blocked by the

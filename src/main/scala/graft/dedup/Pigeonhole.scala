@@ -69,6 +69,28 @@ object Pigeonhole {
       untouchedMask
         .bitwiseAND(element_at(array(lowMasks: _*), comboId + 1)) === 0
     }
+
+    /** The shared candidate-join/emit scaffold over a keyed relation
+      * (doc_id, h, combo_id, key) — 20 equi-join rows per doc, pair
+      * order (doc_id_1 < doc_id_2), cheap hamming verify BEFORE the
+      * canonical-combo exactly-once filter. ONE definition so the two
+      * consumers (dedup_simhash, mm_phash_pairs) cannot diverge in
+      * emission discipline; the caller persists `keyed` when both
+      * join sides would otherwise recompute an expensive hash.
+      */
+    def pairs(keyed: org.apache.spark.sql.DataFrame,
+              maxHamming: Int): org.apache.spark.sql.DataFrame = {
+      val a = keyed.select(col("combo_id"), col("key"),
+        col("doc_id").as("doc_id_1"), col("h").as("h1"))
+      val b = keyed.select(col("combo_id"), col("key"),
+        col("doc_id").as("doc_id_2"), col("h").as("h2"))
+      a.join(b, Seq("combo_id", "key"))
+        .filter(col("doc_id_1") < col("doc_id_2"))
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+        .filter(col("hamming") <= maxHamming)
+        .filter(canonicalOnly(col("h1"), col("h2"), col("combo_id")))
+        .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
+    }
   }
 
   /** 64-bit simhash split: (11,11,11,11,10,10). */

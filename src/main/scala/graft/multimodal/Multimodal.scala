@@ -184,14 +184,7 @@ object Multimodal {
       .select($"doc_id", $"phash",
         $"ck.combo_id".as("combo_id"), $"ck.key".as("key"))
       .persist()
-    val a = d.select($"combo_id", $"key", $"doc_id".as("doc_id_1"), $"phash".as("h1"))
-    val b = d.select($"combo_id", $"key", $"doc_id".as("doc_id_2"), $"phash".as("h2"))
-    a.join(b, Seq("combo_id", "key"))
-      .filter($"doc_id_1" < $"doc_id_2")
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter($"hamming" <= 3)
-      .filter(scheme.canonicalOnly($"h1", $"h2", $"combo_id"))
-      .select($"doc_id_1", $"doc_id_2", $"hamming")
+    scheme.pairs(d.withColumnRenamed("phash", "h"), maxHamming = 3)
   }
 
 }

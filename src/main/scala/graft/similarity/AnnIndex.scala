@@ -117,15 +117,22 @@ object AnnIndex {
 
   /** The live tombstones as (vec_id, as_of_batch), or None before any
     * delete. A vec_id deleted more than once masks up to its LATEST
-    * mark.
+    * mark. Tombstone files written before the as-of sequencing
+    * existed carry no `as_of_batch` column; they masked EVERY batch
+    * (the vec_id-only anti-join), so they read back as mark
+    * Long.MaxValue — the durable artifact stays openable across the
+    * format change with its original semantics.
     */
   def readTombstones(spark: SparkSession,
                      indexPath: String): Option[DataFrame] =
-    if (new java.io.File(tombstonesPath(indexPath)).exists())
-      Some(spark.read.parquet(tombstonesPath(indexPath))
-        .groupBy(col("vec_id"))
+    if (new java.io.File(tombstonesPath(indexPath)).exists()) {
+      val raw = spark.read.parquet(tombstonesPath(indexPath))
+      val seq =
+        if (raw.columns.contains("as_of_batch")) raw
+        else raw.withColumn("as_of_batch", lit(Long.MaxValue))
+      Some(seq.groupBy(col("vec_id"))
         .agg(max(col("as_of_batch")).as("as_of_batch")))
-    else None
+    } else None
 
   /** Drop tombstone-masked rows from a code relation that carries
     * `ingest_batch`: a row dies only if its vec_id is tombstoned AND
@@ -342,16 +349,11 @@ object AnnIndex {
       .select($"query_id", $"qc")
     val probes = Similarity.probeFrom(centroids, queries, nprobe)
       .join(broadcast(qcoded), Seq("query_id"))
-    val cond =
-      if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
-      else $"label" === $"cell"
-    val shortlist = codes.join(broadcast(probes), cond)
-      .withColumn("score", expr(Similarity.sqDot))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
-        .as("top"))
-      .select($"query_id", explode($"top._1").as("vec_id"))
-    Similarity.exactTop5(shortlist, stored, queries)
+    // shared shortlist + rerank stages — the stored path differs from
+    // [[Similarity.simIvfSq]] ONLY in where its inputs come from
+    Similarity.exactTop5(
+      Similarity.ivfSqShortlist(codes, probes, excludeSelf),
+      stored, queries)
   }
 
   /** The `sim_ivfsq_stored` bench/oracle entry: [[ensureSeeded]]'s
@@ -385,19 +387,9 @@ object AnnIndex {
         spark.read.parquet(vectorsPath(indexPath)),
         readTombstones(spark, indexPath))
       .select($"vec_id", $"v")
-    val eh = stored.withColumn("vh", expr("slice(v, 1, 16)"))
-      .select($"vec_id", $"vh")
-    val qh = queries.withColumn("qh", expr("slice(qv, 1, 16)"))
-      .select($"query_id", $"qh")
-    val cand =
-      if (excludeSelf) eh.join(broadcast(qh), $"query_id" =!= $"vec_id")
-      else eh.crossJoin(broadcast(qh))
-    val shortlist = cand
-      .withColumn("hs", graft.functions.cosineSim($"qh", $"vh"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(40)($"vec_id", $"hs").as("top"))
-      .select($"query_id", explode($"top._1").as("vec_id"))
-    Similarity.exactTop5(shortlist, stored, queries)
+    Similarity.exactTop5(
+      Similarity.matryoshkaShortlist(stored, queries, excludeSelf),
+      stored, queries)
   }
 
   /** The `sim_matryoshka_stored` bench/oracle entry — shares the

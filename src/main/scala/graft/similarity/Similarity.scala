@@ -497,16 +497,29 @@ object Similarity {
       .select($"query_id", $"qc")
     val probes = probeCells(spark, sfDir, queries)
       .join(broadcast(qcoded), Seq("query_id"))
+    exactTop5(ivfSqShortlist(coded, probes, excludeSelf), e, queries)
+  }
+
+  /** The IVF+SQ8 shortlist stage — ONE definition shared by the
+    * recompute path above and the stored-index path
+    * ([[AnnIndex.querySq]]), so the two twins cannot silently diverge
+    * in shortlist width, scoring, or tie-breaking (the same sharing
+    * discipline as [[exactTop5]]). `codes` = (vec_id, label, cc),
+    * `probes` = (query_id, cell, qc).
+    */
+  private[similarity] def ivfSqShortlist(codes: DataFrame,
+                                         probes: DataFrame,
+                                         excludeSelf: Boolean): DataFrame = {
+    import codes.sparkSession.implicits._
     val cond =
       if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
       else $"label" === $"cell"
-    val shortlist = coded.join(broadcast(probes), cond)
+    codes.join(broadcast(probes), cond)
       .withColumn("score", expr(sqDot))
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(20)($"vec_id", $"score".cast("double"))
         .as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))
-    exactTop5(shortlist, e, queries)
   }
 
   /** Matryoshka (truncated-dimension) two-stage ANN — the MRL serving
@@ -533,8 +546,19 @@ object Similarity {
                     excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    val shortlist = crossQueries(
-        e.withColumn("vh", expr("slice(v, 1, 16)")).select($"vec_id", $"vh"),
+    exactTop5(matryoshkaShortlist(e, queries, excludeSelf), e, queries)
+  }
+
+  /** The Matryoshka prefix-scan shortlist stage — shared by the
+    * recompute path above and the stored-vector path
+    * ([[AnnIndex.queryMatryoshka]]); `vecs` = (vec_id, v).
+    */
+  private[similarity] def matryoshkaShortlist(vecs: DataFrame,
+                                              queries: DataFrame,
+                                              excludeSelf: Boolean): DataFrame = {
+    import vecs.sparkSession.implicits._
+    crossQueries(
+        vecs.withColumn("vh", expr("slice(v, 1, 16)")).select($"vec_id", $"vh"),
         queries.withColumn("qh", expr("slice(qv, 1, 16)"))
           .select(col("query_id"), col("qh")),
         excludeSelf)
@@ -542,7 +566,6 @@ object Similarity {
       .groupBy($"query_id")
       .agg(graft.functions.TopK.topK(40)($"vec_id", $"hs").as("top"))
       .select($"query_id", explode($"top._1").as("vec_id"))
-    exactTop5(shortlist, e, queries)
   }
 
   /** IVF + PQ composed ANN — the canonical IVFADC index (Jégou et

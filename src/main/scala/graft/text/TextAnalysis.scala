@@ -568,11 +568,11 @@ object TextAnalysis {
     // stream is PINNED: with 8-byte payloads behind a per-position
     // md5 the persist wins. Same-protocol sf10 probe A/B: strings
     // 10.93 s, hashed no-persist 9.52 s, hashed+persist 7.12 s
-    // (the string-payload persist had measured SLOWER, 23.3 → 32.0 s at sf10, and is recorded as the negative
-    // result is superseded by the
-    // payload change, exactly as the repo heuristic predicts: pin
-    // 8-byte hash relations behind md5 work, never fat string
-    // streams behind cheap codegen).
+    // (the r10 negative result — persisting
+    // the STRING-payload stream measured 23.3 → 32.0 s at sf10 — is
+    // superseded by this payload change, exactly as the repo
+    // heuristic predicts: pin 8-byte hash relations behind md5 work,
+    // never fat string streams behind cheap codegen).
     val bg = Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .select($"doc_id", $"lang", explode(expr(

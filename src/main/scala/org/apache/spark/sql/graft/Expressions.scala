@@ -281,7 +281,13 @@ case class ShingleMd5(child: Expression, n: Int)
     val size = arr.numElements()
     val words = new Array[Array[Byte]](size)
     var i = 0
-    while (i < size) { words(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < size) {
+      // concat_ws SKIPS null elements (no separator either) — match
+      // it, or a null-bearing array NPEs where the pipeline hashed
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      words(i) = if (u == null) null else u.getBytes
+      i += 1
+    }
     val m = math.max(size - n, 0) + 1
     val md = Md5Lower64.digests.get()
     val out = new Array[Long](m)
@@ -291,9 +297,13 @@ case class ShingleMd5(child: Expression, n: Int)
       md.reset()
       val end = math.min(i + n, size)
       var j = i
+      var first = true
       while (j < end) {
-        if (j > i) md.update(sep)
-        md.update(words(j))
+        if (words(j) != null) {
+          if (!first) md.update(sep)
+          md.update(words(j))
+          first = false
+        }
         j += 1
       }
       val d = md.digest()

@@ -334,6 +334,29 @@ class AnnIndexSpec extends AnyFunSuite {
       "a deleted vector still scored in the sq path")
   }
 
+  test("legacy tombstones (no as_of_batch) still open and mask every batch") {
+    import spark.implicits._
+    val all = vecs()
+    val idx = Files.createTempDirectory("graft-ann-legacy").toString + "/index"
+    AnnIndex.seed(all, idx)
+    val q = Similarity.defaultQueries(spark, sf)
+    val victims = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .select($"neighbor_id".as("vec_id")).distinct()
+    val victimIds = victims.as[Long].collect().toSet
+    // simulate a tombstone artifact written by the pre-sequencing
+    // format: (vec_id, delete_batch) only — must read back as an
+    // everything-masking tombstone, not throw
+    victims.withColumn("delete_batch", lit(0L))
+      .write.partitionBy("delete_batch").parquet(s"$idx/tombstones")
+    val after = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    assert(!after.exists(r => victimIds.contains(r.getLong(1))),
+      "legacy tombstone did not mask")
+    AnnIndex.compactCodes(spark, idx)
+    assert(AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet == after, "legacy-tombstone compaction drifted")
+  }
+
   test("delete-everything then compact leaves a readable empty index") {
     import spark.implicits._
     val all = vecs()

@@ -248,7 +248,9 @@ class ExpressionPropertySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(23)
     val vocab = Vector("the", "a", "na\u00efve", "\u4f60\u597d", "word",
       "x", "\ud83d\ude00", "longer-token", "7", "")
-    val cases = Seq(Seq.empty[String], Seq("solo"), Seq("two", "words")) ++
+    val cases = Seq(Seq.empty[String], Seq("solo"), Seq("two", "words"),
+      // concat_ws SKIPS null elements — the fused form must match
+      Seq("a", null, "b"), Seq(null, null), Seq("x", null, "y", "z", null, "w")) ++
       (1 to 60).map(_ => Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
     val df = cases.map(Tuple1(_)).toDF("words")
     for (n <- Seq(4, 5)) {
