@@ -139,6 +139,7 @@ object SparkEntry {
     "pipeline_curate"      -> (Analytics.pipelineCurate _),
     "pipeline_split"       -> (Analytics.pipelineSplit _),
     "pipeline_shard"       -> (Analytics.pipelineShard _),
+    "pipeline_kanon"       -> (Analytics.pipelineKanon _),
     "pipeline_cap"         -> (Analytics.pipelineCap _),
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
     "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
@@ -167,6 +168,8 @@ object SparkEntry {
     "sim_ivfsq_ann"        -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simIvfSq(s, d)),
     "sim_ivfsq_stored"     -> (graft.similarity.AnnIndex.simIvfSqStored _),
+    "sim_filtered_ann"     -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simFilteredAnn(s, d)),
     "sim_matryoshka_stored" -> (graft.similarity.AnnIndex.simMatryoshkaStored _),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
@@ -1226,6 +1229,18 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM d GROUP BY 1""".stripMargin,
+    "pipeline_kanon" ->
+      """SELECT source, lang, len_bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS INT)
+        |   AS suppress,
+        | CAST(CASE WHEN count(*) < 10 THEN count(*) ELSE 0 END AS BIGINT)
+        |   AS suppressed_docs
+        |FROM (SELECT source, lang,
+        |   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) // 64
+        |     AS len_bucket
+        |  FROM documents)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "txt_length_hist" ->
       """WITH d AS (SELECT source,
         |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens
@@ -1967,6 +1982,30 @@ object SparkEntry {
         |     AS INT) AS rank,
         |   round(list_cosine_similarity(p.qv, e.v), 4) AS cosine
         |  FROM probes p JOIN e ON e.label = p.cell AND e.vec_id != p.query_id)
+        |WHERE rank <= 5""".stripMargin,
+    // filtered vector search: the identical probe replay with the
+    // metadata predicate applied to the candidate stream pre-ranking
+    "sim_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cd AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(m ORDER BY i) AS cv
+        |  FROM cd GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (SELECT query_id, qv, cell,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, qv, cell FROM pr WHERE crank <= 5)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT p.query_id, e.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY p.query_id
+        |     ORDER BY list_cosine_similarity(p.qv, e.v) DESC, e.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(p.qv, e.v), 4) AS cosine
+        |  FROM probes p JOIN e ON e.label = p.cell
+        |    AND e.vec_id != p.query_id AND e.vec_id % 3 = 0)
         |WHERE rank <= 5""".stripMargin,
     "sim_lsh_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

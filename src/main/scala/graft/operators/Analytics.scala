@@ -443,6 +443,33 @@ object Analytics {
     * adding shards only moves ~1/n of keys. The profile's max/min
     * spread is the skew check a writer would alert on.
     */
+  /** k-anonymity gate over quasi-identifiers — the re-identification
+    * governance pass a training-data release runs (Sweeney's k-
+    * anonymity, k = 10): group documents by the quasi-identifier
+    * tuple (source, lang, token-length bucket) and flag every group
+    * smaller than k for suppression — a member of such a group is
+    * re-identifiable from its metadata alone, so releases either
+    * drop those rows or generalize the identifier. Output is one row
+    * per group (group size, flag) plus the per-group suppressed mass;
+    * the release list is a semi-join against the flagged groups.
+    *
+    * Scale: ONE map-side-combinable groupBy on the identifier tuple —
+    * group cardinality is |sources|×|langs|×|buckets| (metadata-
+    * sized), so the aggregate collapses in the map stage and the
+    * shuffle is tiny regardless of corpus size. Exact integers only.
+    */
+  def pipelineKanon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("len_bucket",
+        expr("cast(size(split(trim(text), ' +')) as bigint) div 64"))
+      .groupBy($"source", $"lang", $"len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("suppress", ($"n_docs" < 10).cast("int"))
+      .withColumn("suppressed_docs",
+        when($"suppress" === 1, $"n_docs").otherwise(lit(0L)))
+  }
+
   def pipelineShard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

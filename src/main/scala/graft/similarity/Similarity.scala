@@ -130,6 +130,49 @@ object Similarity {
               round($"p._2", 4).as("cosine"))
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * serving feature every production vector store grew in the RAG
+    * era (FAISS IDSelector / the "filtered ANN" problem): "nearest
+    * neighbors among documents matching WHERE ..." — here the
+    * predicate is a curated-partition flag (`vec_id % 3 = 0`, the
+    * stand-in for an indexed metadata column). The filter composes
+    * with the IVF probe, and its ORDER matters at scale: the
+    * predicate applies to the candidate stream BEFORE scoring (inside
+    * the probed-cells join — at 100 TB a stored-index layout pushes
+    * it into the codes scan as a partition/stats prune), never after
+    * top-k, which would silently return fewer than k survivors (the
+    * classic post-filter recall bug). Exact cosine within probed
+    * cells keeps the whole path deterministic — the oracle replays
+    * probe → filter → rank bit-for-bit. Recall caveat (documented,
+    * spec-asserted vs filtered brute force): restrictive filters
+    * thin probed cells, the standard filtered-ANN trade driving
+    * nprobe up as selectivity drops.
+    */
+  def simFilteredAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simFilteredAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
+
+  def simFilteredAnn(spark: SparkSession, sfDir: String,
+                     queries: DataFrame,
+                     excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, sfDir).filter($"vec_id" % 3 === 0)
+    val probes = probeCells(spark, sfDir, queries)
+      .join(broadcast(queries), Seq("query_id"))
+      .select($"query_id", $"qv", $"cell")
+    val cond =
+      if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
+      else $"label" === $"cell"
+    vecs.join(broadcast(probes), cond)
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("neighbor_id"),
+              ($"i" + 1).cast("int").as("rank"),
+              round($"p._2", 4).as("cosine"))
+  }
+
   /** Per-label centroid vectors in long form (label, dim_idx,
     * centroid_val) — mean pooling, the coarse-quantizer training step
     * of [[simIvfAnn]] surfaced as its own operator. posexplode keeps

@@ -552,4 +552,43 @@ class DedupSimSpec extends AnyFunSuite {
     assert(h.agg(sum($"n_nodes")).as[Long].head() ==
       graft.core.Tables.embeddings(spark, sf).count())
   }
+
+  test("filtered ANN: predicate respected pre-ranking, recall vs filtered brute force") {
+    import spark.implicits._
+    val got = graft.similarity.Similarity.simFilteredAnn(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    // every neighbor satisfies the metadata predicate — the filter
+    // ran on the candidate stream, not as a lossy post-filter
+    assert(got.forall(_._2 % 3 == 0), "a neighbor violates the predicate")
+    // filtered BRUTE top-5 (the exact answer under the predicate)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .select($"vec_id", $"label", $"v")
+      .as[(Long, Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val brute = (for {
+      (qid, _, qv) <- vecs if qid < 10
+      (nid, _, nv) <- vecs if nid % 3 == 0 && nid != qid
+    } yield (qid, nid, cos(qv, nv)))
+      .groupBy(_._1).toSeq.flatMap { case (_, c) =>
+        c.sortBy(t => (-t._3, t._2)).take(5).map(t => (t._1, t._2)) }.toSet
+    val recall = (brute & got.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    info(s"filtered ANN recall = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("k-anonymity gate: flag iff group smaller than k, groups partition the corpus") {
+    import spark.implicits._
+    val rows = graft.operators.Analytics.pipelineKanon(spark, sf)
+      .as[(String, String, Long, Long, Int, Long)].collect()
+    assert(rows.forall { case (_, _, _, n, flag, supp) =>
+      (flag == 1) == (n < 10) && supp == (if (n < 10) n else 0L) },
+      "suppress flag/mass inconsistent with group size")
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._4).sum == total, "groups do not partition the corpus")
+  }
 }
