@@ -612,4 +612,24 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name: per-shingle md5 lambda pipeline still in the plan")
     }
   }
+
+  test("sim_filtered_ann: predicate pushed to the embeddings scan, pre-ranking") {
+    val fmt = capture(
+      graft.similarity.Similarity.simFilteredAnn(spark, sf), "formatted")
+    // the metadata filter reaches the parquet scan (at 100 TB this is
+    // the partition/stats prune), and candidates are filtered BEFORE
+    // the top-k aggregate — never a lossy post-filter
+    assert(fmt.contains("PushedFilters"), fmt)
+    assert(!fmt.contains("CartesianProduct"), "filtered search went quadratic")
+  }
+
+  test("pipeline_kanon: one metadata-sized aggregate, partial before the shuffle") {
+    val fmt = capture(
+      graft.operators.Analytics.pipelineKanon(spark, sf), "formatted")
+    // exactly one exchange (the quasi-identifier rollup), map-side
+    // combined — the gate stays metadata-sized at any corpus scale
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(fmt).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$fmt")
+    assert(fmt.contains("partial_count"), "no map-side partial aggregation")
+  }
 }
