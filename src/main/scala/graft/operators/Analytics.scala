@@ -435,14 +435,6 @@ object Analytics {
            sum($"n_tokens").cast("long").as("n_tokens"))
   }
 
-  /** Balanced output sharding: md5-assign every document to one of 16
-    * shards (salted differently from the split/sample hashes so the
-    * three decisions are independent) and profile each shard's doc
-    * and token load. At 100 TB this hash IS the repartition key for
-    * the final write — uniform by construction, no coordinator, and
-    * adding shards only moves ~1/n of keys. The profile's max/min
-    * spread is the skew check a writer would alert on.
-    */
   /** k-anonymity gate over quasi-identifiers — the re-identification
     * governance pass a training-data release runs (Sweeney's k-
     * anonymity, k = 10): group documents by the quasi-identifier
@@ -470,6 +462,14 @@ object Analytics {
         when($"suppress" === 1, $"n_docs").otherwise(lit(0L)))
   }
 
+  /** Balanced output sharding: md5-assign every document to one of 16
+    * shards (salted differently from the split/sample hashes so the
+    * three decisions are independent) and profile each shard's doc
+    * and token load. At 100 TB this hash IS the repartition key for
+    * the final write — uniform by construction, no coordinator, and
+    * adding shards only moves ~1/n of keys. The profile's max/min
+    * spread is the skew check a writer would alert on.
+    */
   def pipelineShard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

@@ -65,13 +65,35 @@ object AnnIndex {
     * partition. Dynamic partition overwrite makes an at-least-once
     * replay of the same `batchId` idempotent. The frozen quantizers
     * are untouched — re-training them is the scheduled job.
+    *
+    * Batch ids must be MONOTONIC: the tombstone as-of sequencing
+    * ([[delete]]) masks code rows with `ingest_batch <= as_of_batch`,
+    * so an append reusing an id at or below an existing tombstone's
+    * mark would be silently shadowed even though it is a new write.
+    * [[requireMonotonic]] enforces `batchId >= max physical batch` —
+    * `==` stays legal because that is exactly the at-least-once
+    * replay of the latest batch the recovery window promises.
     */
-  def append(vecs: DataFrame, indexPath: String, batchId: Long): Unit =
+  def append(vecs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    requireMonotonic(indexPath, batchId)
     Similarity.signCodes(vecs)
       .withColumn("ingest_batch", lit(batchId))
       .write.partitionBy("ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(codesPath(indexPath))
+  }
+
+  /** LSM precondition shared by [[append]]/[[appendSq]]: reject a
+    * batch id below the highest physically present one (see
+    * [[append]]'s doc for why equality is the replay case).
+    */
+  private def requireMonotonic(indexPath: String, batchId: Long): Unit = {
+    val hi = maxIngestBatch(indexPath)
+    require(batchId >= hi,
+      s"append batchId=$batchId < max existing ingest batch $hi: " +
+        "batch ids must be monotonic or tombstone as-of marks would " +
+        "silently mask the new rows")
+  }
 
   /** The stored code rows (vec_id, label, m, code, ingest_batch). */
   def readCodes(spark: SparkSession, indexPath: String): DataFrame =
@@ -121,14 +143,23 @@ object AnnIndex {
     * existed carry no `as_of_batch` column; they masked EVERY batch
     * (the vec_id-only anti-join), so they read back as mark
     * Long.MaxValue — the durable artifact stays openable across the
-    * format change with its original semantics.
+    * format change with its original semantics. The back-compat is
+    * PER ROW, not per directory: a mixed directory (legacy delete
+    * batches next to sequenced ones) is read with `mergeSchema` so
+    * the legacy rows surface as nulls — which coalesce to MaxValue —
+    * instead of the default single-footer schema nondeterministically
+    * either nulling the column (legacy deletes stop masking) or
+    * dropping it (sequenced marks widen to mask-everything).
     */
   def readTombstones(spark: SparkSession,
                      indexPath: String): Option[DataFrame] =
     if (new java.io.File(tombstonesPath(indexPath)).exists()) {
-      val raw = spark.read.parquet(tombstonesPath(indexPath))
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(tombstonesPath(indexPath))
       val seq =
-        if (raw.columns.contains("as_of_batch")) raw
+        if (raw.columns.contains("as_of_batch"))
+          raw.withColumn("as_of_batch",
+            coalesce(col("as_of_batch"), lit(Long.MaxValue)))
         else raw.withColumn("as_of_batch", lit(Long.MaxValue))
       Some(seq.groupBy(col("vec_id"))
         .agg(max(col("as_of_batch")).as("as_of_batch")))
@@ -308,9 +339,10 @@ object AnnIndex {
   /** Append a batch to a seeded SQ index: quantize with the STORED
     * frozen ranges and write the batch's code + vector partitions.
     * Dynamic partition overwrite keeps at-least-once replay
-    * idempotent, same as [[append]].
+    * idempotent, and batch ids must be monotonic, same as [[append]].
     */
   def appendSq(vecs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    requireMonotonic(indexPath, batchId)
     val ranges = vecs.sparkSession.read.parquet(sqRangesPath(indexPath))
     Similarity.sqQuantize(
         vecs.select(col("vec_id"), col("label"), col("v")), ranges, "v", "cc")

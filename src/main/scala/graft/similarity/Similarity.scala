@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.cosineSim
@@ -106,9 +106,22 @@ object Similarity {
 
   def simIvfAnn(spark: SparkSession, sfDir: String,
                 queries: DataFrame,
-                excludeSelf: Boolean = false): DataFrame = {
+                excludeSelf: Boolean = false): DataFrame =
+    ivfTopK(spark, sfDir, queries, excludeSelf, candidateFilter = None)
+
+  /** Shared probe → (optional filter) → score → top-k tail for the
+    * IVF family — [[simIvfAnn]] passes no predicate,
+    * [[simFilteredAnn]] passes its metadata filter. One body so the
+    * two paths cannot diverge; the filter applies to the CANDIDATE
+    * stream before scoring (see simFilteredAnn's doc for why that
+    * side of top-k is the correct one).
+    */
+  private def ivfTopK(spark: SparkSession, sfDir: String,
+                      queries: DataFrame, excludeSelf: Boolean,
+                      candidateFilter: Option[Column]): DataFrame = {
     import spark.implicits._
-    val vecs = vectors(spark, sfDir)
+    val all = vectors(spark, sfDir)
+    val vecs = candidateFilter.map(all.filter).getOrElse(all)
     // each query probes its nprobe nearest cells ([[probeCells]] —
     // the same relation simIvfPqAnn restricts by), qv rejoined for
     // the exact scoring stage
@@ -154,24 +167,9 @@ object Similarity {
 
   def simFilteredAnn(spark: SparkSession, sfDir: String,
                      queries: DataFrame,
-                     excludeSelf: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val vecs = vectors(spark, sfDir).filter($"vec_id" % 3 === 0)
-    val probes = probeCells(spark, sfDir, queries)
-      .join(broadcast(queries), Seq("query_id"))
-      .select($"query_id", $"qv", $"cell")
-    val cond =
-      if (excludeSelf) $"label" === $"cell" && $"vec_id" =!= $"query_id"
-      else $"label" === $"cell"
-    vecs.join(broadcast(probes), cond)
-      .withColumn("cos", cosineSim($"qv", $"v"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(5)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("neighbor_id"),
-              ($"i" + 1).cast("int").as("rank"),
-              round($"p._2", 4).as("cosine"))
-  }
+                     excludeSelf: Boolean = false): DataFrame =
+    ivfTopK(spark, sfDir, queries, excludeSelf,
+      candidateFilter = Some(col("vec_id") % 3 === 0))
 
   /** Per-label centroid vectors in long form (label, dim_idx,
     * centroid_val) — mean pooling, the coarse-quantizer training step

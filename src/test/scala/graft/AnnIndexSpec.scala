@@ -357,6 +357,72 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().toSet == after, "legacy-tombstone compaction drifted")
   }
 
+  test("MIXED legacy + sequenced tombstones: per-row back-compat (mergeSchema)") {
+    import spark.implicits._
+    val all = vecs()
+    val idx = Files.createTempDirectory("graft-ann-mixed").toString + "/index"
+    AnnIndex.seed(all, idx)
+    val q = Similarity.defaultQueries(spark, sf)
+    val answers = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .select($"neighbor_id".as("vec_id")).distinct()
+      .as[Long].collect().toSet.toSeq.sorted
+    assert(answers.size >= 2, "need at least two distinct answers")
+    val (legacyVictim, seqVictim) = (answers.head, answers.last)
+    // one LEGACY tombstone file (no as_of_batch) …
+    Seq(legacyVictim).toDF("vec_id")
+      .withColumn("delete_batch", lit(0L))
+      .write.partitionBy("delete_batch").parquet(s"$idx/tombstones")
+    // … next to one SEQUENCED delete in the same directory — the mix
+    // the single-footer schema read resolved nondeterministically
+    // (legacy rows nulled → stop masking, or the column dropped →
+    // sequenced marks widen to mask-everything)
+    AnnIndex.delete(Seq(seqVictim).toDF("vec_id"), idx, batchId = 1)
+    val after = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    assert(!after.exists(r => r.getLong(1) == legacyVictim),
+      "legacy tombstone stopped masking in a mixed directory")
+    assert(!after.exists(r => r.getLong(1) == seqVictim),
+      "sequenced tombstone stopped masking in a mixed directory")
+    // the sequenced mark kept its LSM semantics: a later re-append of
+    // the sequenced victim scores again (its mark did not widen to
+    // the legacy mask-everything MaxValue)
+    AnnIndex.append(
+      all.filter($"vec_id" === seqVictim), idx, batchId = 5)
+    assert(AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().exists(r => r.getLong(1) == seqVictim),
+      "re-appended sequenced victim stayed masked (mark widened?)")
+    // and compaction under the mixed set realizes the same visibility
+    val preCompact = AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet
+    AnnIndex.compactCodes(spark, idx)
+    assert(AnnIndex.query(spark, idx, q, excludeSelf = true)
+      .collect().toSet == preCompact, "mixed-tombstone compaction drifted")
+  }
+
+  test("append batch ids must be monotonic; latest-batch replay stays legal") {
+    import spark.implicits._
+    val all = vecs()
+    val seedPart = all.filter($"vec_id" % 4 =!= 0)
+    val b1 = all.filter($"vec_id" % 4 === 0)
+    val idx = Files.createTempDirectory("graft-ann-mono").toString + "/index"
+    AnnIndex.seed(seedPart, idx)
+    AnnIndex.append(b1, idx, 3)
+    // replay of the LATEST batch id is the at-least-once recovery
+    // case — allowed
+    AnnIndex.append(b1, idx, 3)
+    // a STALE id at or below an existing tombstone mark would be
+    // silently masked — rejected at write time instead
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(b1, idx, 1)
+    }
+    val sq = Files.createTempDirectory("graft-ann-mono-sq").toString + "/index"
+    AnnIndex.seedSq(seedPart, sq)
+    AnnIndex.appendSq(b1, sq, 2)
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendSq(b1, sq, 0)
+    }
+  }
+
   test("delete-everything then compact leaves a readable empty index") {
     import spark.implicits._
     val all = vecs()
