@@ -122,6 +122,7 @@ object SparkEntry {
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
+    "dedup_substr"         -> (graft.dedup.Dedup.dedupSubstr _),
     "dedup_cross_source"   -> (graft.dedup.Dedup.dedupCrossSource _),
     "pipeline_decontam"    -> (graft.dedup.Dedup.pipelineDecontam _),
     "dedup_paragraph"      -> (graft.dedup.Dedup.dedupParagraph _),
@@ -1451,6 +1452,46 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS content_hash,
         | min(doc_id) AS keep_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_substr" ->
+      """WITH t AS (SELECT doc_id,
+        |   string_split_regex(trim(text), ' +') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
+        |  FROM t),
+        |p AS (SELECT doc_id, n_tokens, w,
+        |   unnest(range(0, greatest(n_tokens-5, 0)+1)) AS pos
+        |  FROM d),
+        |sh AS (SELECT doc_id, n_tokens, pos,
+        |   CAST(md5_number_lower(array_to_string(
+        |     list_slice(w, CAST(pos+1 AS INT), CAST(pos+5 AS INT)), ' '))
+        |     % 9223372036854775808 AS BIGINT) AS g
+        |  FROM p),
+        |cnt AS (SELECT g, count(*) AS c FROM sh GROUP BY 1),
+        |dup AS (SELECT sh.doc_id, sh.pos,
+        |   least(sh.pos + 4, sh.n_tokens - 1) AS e
+        |  FROM sh JOIN cnt USING (g) WHERE cnt.c >= 2),
+        |marked AS (SELECT doc_id, pos, e,
+        |   max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM dup),
+        |sid AS (SELECT doc_id, pos, e,
+        |   sum(CASE WHEN pme IS NULL OR pos > pme + 1
+        |       THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS span_id
+        |  FROM marked),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS ee
+        |  FROM sid GROUP BY 1, 2),
+        |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |   CAST(sum(ee - s + 1) AS BIGINT) AS removed_tokens
+        |  FROM spans GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        | coalesce(p.n_spans, 0) AS n_spans,
+        | coalesce(p.removed_tokens, 0) AS removed_tokens,
+        | (10000 * coalesce(p.removed_tokens, 0)) // d.n_tokens
+        |   AS removed_bp
+        |FROM d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
     "dedup_minhash" ->
       """WITH d AS (SELECT doc_id,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w

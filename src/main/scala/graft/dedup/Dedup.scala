@@ -775,4 +775,84 @@ object Dedup {
       .withColumn("n_leaked", coalesce($"n_leaked", lit(0L)))
       .withColumn("leaked_bp", expr("n_leaked * 10000 div n_train"))
   }
+
+  /** Substring-level exact dedup — the ExactSubstr gate of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): find every token SPAN of length ≥ k that occurs more
+    * than once in the ENTIRE corpus (counting multiplicity, so a
+    * phrase repeated within one document is duplicated too) and plan
+    * its removal. C4/RefinedWeb-class pipelines run this alongside
+    * MinHash because doc-level dedup misses boilerplate embedded in
+    * otherwise-unique pages. Lee et al. build a corpus suffix array;
+    * the shuffle-native equivalent is position-level k-gram marking:
+    * a position starts a duplicated k-window iff its k-token shingle
+    * hash occurs ≥ 2 times corpus-wide, and every maximal duplicated
+    * span of length L ≥ k is exactly the interval union of its L−k+1
+    * duplicated k-windows — so interval-merging the marked windows
+    * per doc reconstructs the ≥ k-token spans without any suffix
+    * array. Output is the per-doc removal plan: one row per document
+    * with its maximal-span count, removed token count, and removed
+    * fraction in basis points (exact integers; clean docs report 0).
+    *
+    * k = 5 here so the gate bites on the test corpus (production runs
+    * 50; k is a parameter of [[substrSpans]]). A document shorter
+    * than k tokens contributes its single whole-document shingle —
+    * such a doc is removable only as an exact whole-doc duplicate.
+    *
+    * Scale notes (100 TB): the shingle relation reduces to 8-byte
+    * md5 hashes in the scan pass ([[graft.text.TextAnalysis
+    * .txtDupCoverage]]'s native ShingleMd5) and is persisted because
+    * the occurrence count and the join-back both read it (the
+    * recorded pin-8-byte-hashes A/B). The count join-back is a plain
+    * hash-partitioned equi-join on the hash — never broadcast, never
+    * doc×doc; span coalescing is one per-doc sort window over only
+    * the DUPLICATED positions (a small fraction of corpus tokens);
+    * everything is linear in corpus shingles.
+    */
+  def dedupSubstr(spark: SparkSession, sfDir: String): DataFrame =
+    substrSpans(Tables.documents(spark, sfDir), k = 5)
+
+  private[graft] def substrSpans(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .withColumn("n_tokens", expr("cast(size(words) as bigint)"))
+    val sh = tok
+      .select($"doc_id", $"n_tokens",
+        posexplode(expr(s"graft_shingle_md5(words, $k)"))
+          .as(Seq("pos", "g")))
+      .select($"doc_id", $"n_tokens", $"pos".cast("long").as("pos"), $"g")
+      .persist()
+    // occurrence count WITH multiplicity (no per-doc distinct):
+    // within-doc repeats are duplicated spans here, unlike
+    // txtDupCoverage's document-frequency criterion
+    val cnt = sh.groupBy($"g").agg(count(lit(1)).as("cnt"))
+    // each duplicated position covers tokens [pos, pos+k-1], clamped
+    // for the short-doc whole-document shingle
+    val dup = sh.join(cnt.filter($"cnt" >= 2), Seq("g"))
+      .select($"doc_id", $"pos",
+        least($"pos" + (k - 1), $"n_tokens" - 1).as("e"))
+    // classic interval union per doc: a window opens a new span iff
+    // it starts past every previous window's end + 1 (overlap OR
+    // adjacency merges — contiguous duplicated text is one span)
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val spans = dup
+      .withColumn("pme", max($"e").over(
+        byPos.rowsBetween(Long.MinValue, -1)))
+      .withColumn("ns",
+        when($"pme".isNull || $"pos" > $"pme" + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(
+        byPos.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("s"), max($"e").as("ee"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum($"ee" - $"s" + 1).as("removed_tokens"))
+    tok.select($"doc_id", $"n_tokens")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .withColumn("n_spans", coalesce($"n_spans", lit(0L)))
+      .withColumn("removed_tokens", coalesce($"removed_tokens", lit(0L)))
+      .withColumn("removed_bp", expr("(10000 * removed_tokens) div n_tokens"))
+  }
 }

@@ -9,6 +9,51 @@ class DedupSimSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.Sf
 
+  test("substr dedup: hand-computed span union (overlap, adjacency, within-doc, short-doc)") {
+    import spark.implicits._
+    // distinct token vocabularies except the INTENDED shared phrases,
+    // so every duplicated 5-gram below is constructed, none accidental
+    val docs = Seq(
+      // clean: no 5-gram occurs twice anywhere
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      // whole-doc exact pair: every position duplicated, ONE span
+      (2L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+      // WITHIN-doc repeat (multiplicity criterion): positions 0 and 6
+      // share a hash, gap 6 > e(4)+1 → two separate spans
+      (4L, "m1 m2 m3 m4 m5 z1 m1 m2 m3 m4 m5"),
+      // OVERLAPPING duplicated windows (positions 0,1) merge: doc 5
+      // fully covered; doc 6's unique trailing token survives
+      (5L, "c1 c2 c3 c4 c5 c6"),
+      (6L, "c1 c2 c3 c4 c5 c6 q1"),
+      // ADJACENT spans merge: [0,4] (shared with doc 8) + [5,9]
+      // (shared with doc 9) → one contiguous span covering doc 7
+      (7L, "d1 d2 d3 d4 d5 e1 e2 e3 e4 e5"),
+      (8L, "d1 d2 d3 d4 d5 f1"),
+      (9L, "g1 e1 e2 e3 e4 e5"),
+      // shorter than k: single whole-doc shingle, dup only as a pair
+      (10L, "s1 s2 s3"),
+      (11L, "s1 s2 s3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substrSpans(docs, k = 5)
+      .select($"doc_id", $"n_tokens", $"n_spans",
+        $"removed_tokens", $"removed_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 10L, 0L, 0L, 0L),
+      (2L, 8L, 1L, 8L, 10000L),
+      (3L, 8L, 1L, 8L, 10000L),
+      (4L, 11L, 2L, 10L, 9090L),
+      (5L, 6L, 1L, 6L, 10000L),
+      (6L, 7L, 1L, 6L, 8571L),
+      (7L, 10L, 1L, 10L, 10000L),
+      (8L, 6L, 1L, 5L, 8333L),
+      (9L, 6L, 1L, 5L, 8333L),
+      (10L, 3L, 1L, 3L, 10000L),
+      (11L, 3L, 1L, 3L, 10000L))
+    assert(got == want, s"span accounting mismatch:\n got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
+  }
+
   test("minhash clustering co-clusters exact near-dup pairs (j >= 0.9)") {
     import spark.implicits._
     val exact = Dedup.dedupNgram(spark, sf)

@@ -309,6 +309,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"contamination join shuffles too much ($exchanges)\n$p")
   }
 
+  test("dedup_substr: linear plan — no doc×doc, hash-key join-back, bounded shuffles") {
+    val p = capture(graft.dedup.Dedup.dedupSubstr(spark, sf), "simple")
+    assert(!p.contains("CartesianProduct"), s"substr dedup went quadratic\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join\n$p")
+    // count join-back on the 8-byte shingle hash + per-doc window +
+    // span rollup + the per-doc left join — everything key-partitioned
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 7, s"substr dedup shuffles too much ($exchanges)\n$p")
+  }
+
   test("evt_top_types: rank window runs over the aggregate, not raw events") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = Events.evtTopTypes(spark, sf).queryExecution.optimizedPlan
