@@ -191,6 +191,7 @@ object SparkEntry {
     "mm_decode_batch"      -> (graft.multimodal.Multimodal.mmDecodeBatch _),
     "mm_phash"             -> (graft.multimodal.Multimodal.mmPerceptualHash _),
     "mm_phash_pairs"       -> (graft.multimodal.Multimodal.mmPhashPairs _),
+    "mm_phash_pair_stats"  -> (graft.multimodal.Multimodal.mmPhashPairStats _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -2332,6 +2333,46 @@ object SparkEntry {
         |  FROM p JOIN d ca ON ca.doc_id = p.doc_id_1
         |         JOIN d cb ON cb.doc_id = p.doc_id_2)
         |WHERE hamming <= 3""".stripMargin,
+    // aggregate twin: same pair pipeline, folded to the <=4-row
+    // hamming histogram — the sf10-gateable face of the pair family
+    // (DuckDB streams the pairs internally, the compare never holds
+    // the list)
+    "mm_phash_pair_stats" ->
+      """WITH d0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |seg AS (SELECT doc_id, len, CAST(i AS INT) AS i,
+        |   ((i+1)*len)//63 - (i*len)//63 AS w,
+        |   substr(text, CAST((i*len)//63 AS INT) + 1,
+        |     CAST(((i+1)*len)//63 - (i*len)//63 AS INT)) AS frame
+        |  FROM d0 CROSS JOIN range(0, 63) t(i)),
+        |cs AS (SELECT doc_id, len, i, w,
+        |   CAST(coalesce(list_sum(list_transform(range(1, length(frame)+1),
+        |     j -> ord(substr(frame, CAST(j AS INT), 1)))), 0) AS BIGINT) AS s
+        |  FROM seg),
+        |tot AS (SELECT doc_id, sum(s) AS total FROM cs GROUP BY 1),
+        |d AS (SELECT cs.doc_id,
+        |   CAST(sum(CASE WHEN cs.s * cs.len > t.total * cs.w
+        |     THEN CAST(power(2, cs.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |     AS phash
+        |  FROM cs JOIN tot t ON cs.doc_id = t.doc_id GROUP BY cs.doc_id),
+        |e AS (SELECT doc_id, phash, CAST(i AS INT) AS chunk_idx,
+        |   (phash >> CAST(i*16 AS INT))
+        |     & CASE WHEN i = 3 THEN 32767 ELSE 65535 END AS chunk_val
+        |  FROM d CROSS JOIN range(0, 4) t(i)),
+        |p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM e a JOIN e b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_id_1, doc_id_2, hamming FROM (
+        |  SELECT p.doc_id_1, p.doc_id_2,
+        |    CAST(bit_count(xor(ca.phash, cb.phash)) AS INT) AS hamming
+        |  FROM p JOIN d ca ON ca.doc_id = p.doc_id_1
+        |         JOIN d cb ON cb.doc_id = p.doc_id_2)
+        |  WHERE hamming <= 3)
+        |SELECT hamming, count(*) AS n_pairs,
+        | count(DISTINCT doc_id_1) AS n_left_docs,
+        | count(DISTINCT doc_id_2) AS n_right_docs
+        |FROM pairs GROUP BY 1""".stripMargin,
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

@@ -187,4 +187,25 @@ object Multimodal {
     scheme.pairs(d.withColumnRenamed("phash", "h"), maxHamming = 3)
   }
 
+  /** Aggregate twin of [[mmPhashPairs]] — the pair-mass profile
+    * (pairs and distinct endpoints per hamming distance) instead of
+    * the pair list. This is the SCALE-GATEABLE face of the pair
+    * family: on a clone-heavy corpus the pair list is quadratic in
+    * clone multiplicity (the r11 sf10 corpus measured ~20M rows — a
+    * data-shape artifact, not an operator cost), but its hamming
+    * histogram is ≤ 4 rows, so the oracle can hash-check the ENTIRE
+    * pair computation at sf10 without materializing the list in the
+    * compare. Operationally it is also the dedup monitoring panel: a
+    * mass shift toward higher hamming flags corpus drift before
+    * anyone reads pair samples.
+    */
+  def mmPhashPairStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mmPhashPairs(spark, sfDir)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct($"doc_id_1").as("n_left_docs"),
+           countDistinct($"doc_id_2").as("n_right_docs"))
+  }
+
 }

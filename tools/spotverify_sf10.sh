@@ -22,9 +22,13 @@ R=${1:?round tag, e.g. r09}
 # (50-row outputs; their oracles scan the corpus once in DuckDB).
 # mm_phash joined the subset in r11 as the scale tripwire for the new
 # native Phash63 expression (500k-row output, ~30 s DuckDB replay);
-# mm_phash_pairs stays OUT — on the GenScale corpus every doc is a
-# 100-way clone cluster, so its sf10 output is ~20M pairs (quadratic
-# in clone multiplicity, like the other excluded pair families).
+# mm_phash_pairs's LIST stays OUT — on the GenScale corpus every doc
+# is a ~100-way clone cluster, so its sf10 output is ~20M pairs
+# (quadratic in clone multiplicity) — but since r12 its AGGREGATE
+# twin mm_phash_pair_stats IS in the subset: the <=4-row hamming
+# histogram hash-checks the entire pair computation at sf10 while
+# DuckDB streams the pair list internally, closing the last
+# pair-family exclusion.
 # sim_ivfsq_ann / sim_ivfsq_stored use a STAGED oracle at sf10
 # (tools/oracle_sim_ivfsq_staged.sql, injected below): the inline
 # replay materialized the centroid-training and sq-range unnests
@@ -32,7 +36,7 @@ R=${1:?round tag, e.g. r09}
 # spilled >78 GB before ENOSPC; the staged temp-table rewrite (the
 # dedup_components oracle technique) runs in seconds. Equivalence of
 # staged vs inline SQL is asserted at sf0.01+sf0.1 (round-11 check).
-SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon"
+SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
