@@ -341,10 +341,99 @@ object Dedup {
     import spark.implicits._
     val bands = minhashBands(Tables.documents(spark, sfDir)).persist()
     try {
-      bandComponents(bands)
+      // DEFAULT = star contraction since the r12 A/B: same-protocol
+      // sf10 probes measured star 15.5/13.3/13.1 s vs propagation
+      // 16.2/16.1 s (the bucket graph contracts to min-rooted stars
+      // in 4 rounds; the propagation loop paid 5 band-sized hops).
+      // -Dspark.graft.ccAlgo=prop re-selects the propagation twin.
+      val labels =
+        if (sys.props.get("spark.graft.ccAlgo").contains("prop"))
+          bandComponents(bands)
+        else {
+          // star edges of the bucket graph: member → bucket min is
+          // connectivity-equivalent to the co-bucket clique and LINEAR
+          // in band rows (never within-bucket quadratic)
+          val bmin = bands.groupBy($"band_idx", $"band_hash")
+            .agg(min($"doc_id").as("bmin"))
+          val edges = bands.join(bmin, Seq("band_idx", "band_hash"))
+            .filter($"doc_id" =!= $"bmin")
+            .select($"doc_id".as("u"), $"bmin".as("v")).distinct()
+          val star = starComponents(edges)
+          bands.select($"doc_id").distinct()
+            .join(star, Seq("doc_id"), "left_outer")
+            .select($"doc_id", coalesce($"comp", $"doc_id").as("comp"))
+        }
+      labels
         .select($"doc_id", $"comp".as("component"),
                 ($"doc_id" =!= $"comp").as("is_dup"))
     } finally bands.unpersist()
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) over an
+    * undirected edge list — the round-11 verdict's A/B candidate
+    * against [[bandComponents]]' pointer-jumped label propagation for
+    * the 96%-giant-component band graph. Input: (u, v) edges (any
+    * orientation, self-loops tolerated); output: (doc_id, comp) for
+    * every node incident to at least one edge, comp = the component's
+    * minimum node id (isolated nodes are the caller's join-back).
+    *
+    * Each round: LARGE-STAR re-hangs every neighbor v > x of each
+    * center x onto m(x) = min(Γ⁺(x)); SMALL-STAR re-hangs the
+    * neighbors v ≤ x plus x itself onto m(x). Both phases preserve
+    * connectivity and only decrease the (sum-of-min-labels)
+    * potential; the fixpoint is the set of min-rooted stars, reached
+    * in O(log²) rounds on any graph and 2-3 rounds on LSH clone
+    * clusters (which arrive as near-stars around each bucket min).
+    * Convergence = the canonical edge set is unchanged by a round
+    * (subset via exceptAll + equal count — both sides are distinct
+    * canonical pairs, so that IS set equality).
+    */
+  private[graft] def starComponents(edges0: DataFrame): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var edges = edges0
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var n = edges.count()
+    var converged = n == 0
+    var rounds = 0
+    while (!converged) {
+      assert(rounds < 50, "star contraction exceeded the round guard")
+      // large-star: every canonical edge (a,b), a<b, is neighbor b>a
+      // at center a → emit (m(a), b); m ≤ a < b keeps pairs canonical
+      val mL = minOverNeighbors(edges)
+      val ls = edges.join(mL, $"u" === $"x")
+        .select($"m".as("u"), $"v").distinct().localCheckpoint()
+      // small-star: every canonical edge (a,b) is neighbor a≤b at
+      // center b → emit (m(b), a), plus each center's own (m(b), b)
+      val mS = minOverNeighbors(ls)
+      val next = ls.join(mS, $"v" === $"x")
+        .select($"m".as("u"), $"u".as("v"))
+        .union(mS.select($"m".as("u"), $"x".as("v")))
+        .filter($"u" =!= $"v").distinct().localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == n && next.exceptAll(edges).isEmpty
+      edges = next
+      n = nNext
+      rounds += 1
+    }
+    if (sys.env.contains("SPARK_GRAFT_TRACE"))
+      System.err.println(s"[graft-trace] starComponents converged in $rounds rounds")
+    // the fixpoint is min-rooted stars: every member's one neighbor
+    // is its component min, and each root labels itself
+    edges.select($"v".as("doc_id"), $"u".as("comp"))
+      .union(edges.select($"u".as("doc_id"), $"u".as("comp")))
+      .distinct()
+  }
+
+  /** m(x) = min(Γ(x) ∪ x) over a canonical edge list, for every node
+    * x that appears in any edge — one symmetrize + groupBy.
+    */
+  private def minOverNeighbors(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select($"u".as("x"), $"v".as("y"))
+      .union(edges.select($"v".as("x"), $"u".as("y")))
+      .groupBy($"x").agg(least($"x", min($"y")).as("m"))
   }
 
   /** Fixpoint min-label propagation over a (doc_id, band_idx,
@@ -361,6 +450,15 @@ object Dedup {
     * frontiers stay wide for most of the (short) chain depth. The
     * simple loop also keeps every hop two plain co-partitioned
     * shuffles of the pinned band relation.
+    *
+    * Since r12 this is the A/B TWIN, not the default:
+    * [[starComponents]] over the bucket-star edge list measured
+    * faster at sf10 (13.1-15.5 s vs 16.1-16.2 s same-protocol
+    * probes) because the star edge list dedups to one row per
+    * (member, bucket-min) while every propagation hop re-shuffles
+    * the full 8-band relation. Kept callable via
+    * -Dspark.graft.ccAlgo=prop and pinned equal on the corpus by
+    * DedupSimSpec's cross-check.
     */
   private[graft] def bandComponents(bands: DataFrame): DataFrame = {
     import bands.sparkSession.implicits._

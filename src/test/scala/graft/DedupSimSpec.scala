@@ -54,6 +54,37 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == want, s"span accounting mismatch:\n got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
   }
 
+  test("star contraction == label propagation on the corpus band graph; chain merges fully") {
+    import spark.implicits._
+    // a path graph is the star algorithms' worst case (maximum
+    // diameter per edge) and the chain shape the 2-hop propagation
+    // bug class under-merges: 1-2-3-4-5-6-7 plus an isolated pair
+    val chain = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L),
+      (7L, 6L), (9L, 8L)).toDF("u", "v")
+    val got = Dedup.starComponents(chain)
+      .as[(Long, Long)].collect().toSet
+    val want = (1L to 7L).map(i => (i, 1L)).toSet ++ Set((8L, 8L), (9L, 8L))
+    assert(got == want, s"chain contraction wrong: $got")
+    // corpus cross-check: the two algorithms must produce the SAME
+    // labeling on the real band graph (both label with component min)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val bands = Dedup.minhashBands(docs).persist()
+    try {
+      val bmin = bands.groupBy($"band_idx", $"band_hash")
+        .agg(min($"doc_id").as("bmin"))
+      val edges = bands.join(bmin, Seq("band_idx", "band_hash"))
+        .filter($"doc_id" =!= $"bmin")
+        .select($"doc_id".as("u"), $"bmin".as("v")).distinct()
+      val star = bands.select($"doc_id").distinct()
+        .join(Dedup.starComponents(edges), Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"comp", $"doc_id").as("comp"))
+        .as[(Long, Long)].collect().toSet
+      val prop = Dedup.bandComponents(bands)
+        .as[(Long, Long)].collect().toSet
+      assert(star == prop, "star and propagation labelings diverge")
+    } finally bands.unpersist()
+  }
+
   test("minhash clustering co-clusters exact near-dup pairs (j >= 0.9)") {
     import spark.implicits._
     val exact = Dedup.dedupNgram(spark, sf)
