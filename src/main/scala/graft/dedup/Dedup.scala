@@ -947,10 +947,23 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
            sum($"ee" - $"s" + 1).as("removed_tokens"))
-    tok.select($"doc_id", $"n_tokens")
-      .join(spans, Seq("doc_id"), "left_outer")
-      .withColumn("n_spans", coalesce($"n_spans", lit(0L)))
-      .withColumn("removed_tokens", coalesce($"removed_tokens", lit(0L)))
+      .persist()
+    // doc roster from the PINNED shingle relation (every doc has ≥ 1
+    // shingle row), so neither branch re-scans or re-splits the text
+    val docStats = sh.select($"doc_id", $"n_tokens").distinct()
+    // clean docs join back as inner ∪ anti rather than a left join:
+    // the result is identical, but a left join against the unique-key
+    // span aggregate lets `count()`-style consumers prune the ENTIRE
+    // shingle pipeline (row count = left count), which made the bench
+    // measure 0.39 s for a ~20 s computation at sf10 — both branches
+    // here genuinely depend on the span relation (persisted above, so
+    // the window pipeline runs once, not per branch)
+    val affected = docStats.join(spans, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"removed_tokens")
+    val clean = docStats.join(spans, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens",
+        lit(0L).as("n_spans"), lit(0L).as("removed_tokens"))
+    affected.unionByName(clean)
       .withColumn("removed_bp", expr("(10000 * removed_tokens) div n_tokens"))
   }
 }
