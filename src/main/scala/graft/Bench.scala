@@ -37,6 +37,18 @@ object Bench {
     // SPARK_GRAFT_EXPLAIN=1: print each query's formatted plan to
     // stderr before running (plan-audit aid; off in driver runs)
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    // SPARK_GRAFT_ACTION=count re-selects the legacy r1-r11 action.
+    // DEFAULT (materialize) evaluates the query's OWN physical plan
+    // to the last row — df.count() wraps the plan in Aggregate(count)
+    // FIRST and then optimizes, which let Catalyst prune every final
+    // projection's column work and even eliminate whole expensive
+    // subtrees behind cardinality-preserving joins (a final left join
+    // against a unique-key aggregate: pipeline_decontam measured
+    // 0.67 s at sf10 for a computation whose parquet write costs ~8 s
+    // — the r12 measurement-honesty fix). toRdd.count() runs the
+    // exact plan a consumer of the RESULT pays, without shipping rows
+    // to the driver.
+    val legacyCount = sys.env.get("SPARK_GRAFT_ACTION").contains("count")
     val trace = new StringBuilder
     var idx = 0
     // Per-query failures MUST surface in the committed artifact: round 9
@@ -83,7 +95,8 @@ object Bench {
           System.err.println(s"[bench-explain] ===== $name =====")
           df.explain("formatted")
         }
-        df.count()
+        if (legacyCount) df.count()
+        else df.queryExecution.toRdd.count()
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
