@@ -118,6 +118,7 @@ object SparkEntry {
     "txt_bigram_lm"        -> (graft.text.TextAnalysis.txtBigramLm _),
     "txt_bpe_pairs"        -> (graft.text.TextAnalysis.txtBpePairs _),
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
+    "txt_gopher_rules"     -> (graft.text.TextAnalysis.txtGopherRules _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
     // deduplication
@@ -437,6 +438,40 @@ object SparkEntry {
         |   // n.n_modeled AS entropy_e4
         |FROM nz JOIN n USING (doc_id, lang)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "txt_gopher_rules" ->
+      """WITH d AS (SELECT source,
+        |   string_split_regex(trim(text), ' +') AS words FROM documents),
+        |m AS (SELECT source,
+        |   CAST(len(words) AS BIGINT) AS n,
+        |   CAST(list_sum(list_transform(words, w -> length(w)))
+        |     AS BIGINT) AS wchars,
+        |   CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+        |     AS BIGINT) AS alpha,
+        |   CAST(len(list_filter(list_distinct(words),
+        |     w -> w IN ('the','a','of','and','to','in','is')))
+        |     AS BIGINT) AS stops,
+        |   CAST(len(list_distinct(words)) AS BIGINT) AS dist,
+        |   CAST(list_max(list_transform(list_distinct(words),
+        |     w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS maxrun
+        |  FROM d),
+        |f AS (SELECT source,
+        |   CAST(n < 50 OR n > 100000 AS BIGINT) AS f1,
+        |   CAST(wchars < 3 * n OR wchars > 10 * n AS BIGINT) AS f2,
+        |   CAST(5 * alpha < 4 * n AS BIGINT) AS f3,
+        |   CAST(stops < 2 AS BIGINT) AS f4,
+        |   CAST(10 * dist < 3 * n AS BIGINT) AS f5,
+        |   CAST(5 * maxrun > n AS BIGINT) AS f6
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(f1) AS BIGINT) AS fail_wordcount,
+        | CAST(sum(f2) AS BIGINT) AS fail_meanlen,
+        | CAST(sum(f3) AS BIGINT) AS fail_alpha,
+        | CAST(sum(f4) AS BIGINT) AS fail_stopword,
+        | CAST(sum(f5) AS BIGINT) AS fail_ttr,
+        | CAST(sum(f6) AS BIGINT) AS fail_repetition,
+        | CAST(sum(CASE WHEN f1+f2+f3+f4+f5+f6 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS pass_all
+        |FROM f GROUP BY source""".stripMargin,
     "txt_surprisal" ->
       """WITH t AS (SELECT doc_id, lang,
         |   unnest(string_split_regex(trim(text), ' +')) AS term

@@ -633,4 +633,74 @@ object TextAnalysis {
       .select($"lang", $"p._1".as("pair"), $"p._2".cast("long").as("n"),
               ($"i" + 1).cast("int").as("rank"))
   }
+
+  /** Gopher-style structural quality GATE panel (Rae et al. 2021,
+    * §A1.1): per-source counts of documents failing each rule, plus
+    * the pass-all count. [[txtQuality]] emits per-doc scores for a
+    * downstream consumer; this is the binary rule gate a curation run
+    * reports (the "why did 12% of source X get dropped" panel).
+    *
+    * Rules (paper thresholds where the corpus makes them meaningful;
+    * every ratio comparison is an integer cross-multiplication so the
+    * output is engine-exact — no float ratios anywhere):
+    *   R1 word count in [50, 100000]
+    *   R2 mean word length in [3, 10]          (3n ≤ chars ≤ 10n)
+    *   R3 ≥ 80% of words contain a letter      (5·alpha ≥ 4n)
+    *   R4 ≥ 2 distinct stopwords present
+    *   R5 type-token ratio ≥ 0.3               (10·distinct ≥ 3n)
+    *   R6 most-frequent token ≤ 20% of tokens  (5·maxrun ≤ n)
+    *
+    * Scale (100 TB): one narrow per-row expression pass — JVM
+    * higher-order functions over the token array; the max-frequency
+    * rule rides a run-length scan of the SORTED token array (linear
+    * per doc, never the O(n·distinct) count-per-distinct-word shape) —
+    * then a |sources|-row map-combinable aggregate. No shuffle except
+    * the final tiny groupBy.
+    */
+  def txtGopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRules(Tables.documents(spark, sfDir))
+
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val flags = withTokens(docs)
+      .withColumn("n", $"n_tokens".cast("long"))
+      .withColumn("wchars",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("alpha",
+        expr("cast(size(filter(words, w -> w rlike '[a-z]')) as bigint)"))
+      .withColumn("stops",
+        expr("cast(size(array_intersect(array_distinct(words), " +
+          "array('the','a','of','and','to','in','is'))) as bigint)"))
+      .withColumn("dist",
+        expr("cast(size(array_distinct(words)) as bigint)"))
+      // longest run in the sorted array == max token multiplicity
+      .withColumn("maxrun", expr(
+        """aggregate(array_sort(words),
+          |  named_struct('prev', cast(null as string),
+          |               'run', 0L, 'best', 0L),
+          |  (acc, w) -> named_struct(
+          |    'prev', w,
+          |    'run',  if(acc.prev <=> w, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best,
+          |                     if(acc.prev <=> w, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .select($"source",
+        ($"n" < 50L || $"n" > 100000L).cast("long").as("f1"),
+        ($"wchars" < lit(3L) * $"n" || $"wchars" > lit(10L) * $"n")
+          .cast("long").as("f2"),
+        (lit(5L) * $"alpha" < lit(4L) * $"n").cast("long").as("f3"),
+        ($"stops" < 2L).cast("long").as("f4"),
+        (lit(10L) * $"dist" < lit(3L) * $"n").cast("long").as("f5"),
+        (lit(5L) * $"maxrun" > $"n").cast("long").as("f6"))
+    flags.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"f1").as("fail_wordcount"),
+      sum($"f2").as("fail_meanlen"),
+      sum($"f3").as("fail_alpha"),
+      sum($"f4").as("fail_stopword"),
+      sum($"f5").as("fail_ttr"),
+      sum($"f6").as("fail_repetition"),
+      sum(when($"f1" + $"f2" + $"f3" + $"f4" + $"f5" + $"f6" === 0L, 1L)
+        .otherwise(0L)).as("pass_all"))
+  }
 }

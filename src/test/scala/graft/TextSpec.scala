@@ -235,4 +235,37 @@ class TextSpec extends AnyFunSuite {
       (1L, 3L, 4055L + 0L + 10986L, (4055L + 10986L) / 3),
       (2L, 2L, 4055L, 4055L / 2)))
   }
+
+  test("gopher rule gate: one doc per rule at its exact boundary") {
+    import spark.implicits._
+    def w(n: Int) = (1 to n).map(i => f"w$i%02d")         // 3-char alpha
+    def digits(n: Int) = (1 to n).map(i => f"$i%03d")     // 3-char numeric
+    val docs = Seq(
+      // pass-all, mean word length EXACTLY 3n (boundary pass)
+      (w(48) ++ Seq("the", "and")),
+      // 49 words → fails R1 (wordcount) only
+      (w(47) ++ Seq("the", "and")),
+      // one word ×11 of 50 → 5·11 > 50 → fails R6 (repetition) only
+      (Seq.fill(11)("xxx") ++ w(37) ++ Seq("the", "and")),
+      // one word ×10 of 50 → 5·10 = 50, NOT > → passes (boundary)
+      (Seq.fill(10)("xxx") ++ w(38) ++ Seq("the", "and")),
+      // 1 distinct stopword → fails R4 only
+      (Seq("the") ++ w(49)),
+      // 14 distinct over 50 tokens → 10·14 < 3·50 → fails R5 (TTR) only
+      (Seq("aaa", "bbb", "ccc", "ddd").flatMap(x => Seq.fill(10)(x)) ++
+        w(8) ++ Seq("the", "and")),
+      // 48 11-char words → chars 534 > 10·50 → fails R2 (meanlen) only
+      ((1 to 48).map(i => f"verylong$i%03d") ++ Seq("the", "and")),
+      // 11/50 words letterless → 5·39 < 4·50 → fails R3 (alpha) only
+      (digits(11) ++ w(37) ++ Seq("the", "and")),
+      // 10/50 letterless → 5·40 = 4·50, NOT < → passes (boundary)
+      (digits(10) ++ w(38) ++ Seq("the", "and")))
+      .zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextAnalysis.gopherRules(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("s", 9L, 1L, 1L, 1L, 1L, 1L, 1L, 3L)))
+  }
 }
