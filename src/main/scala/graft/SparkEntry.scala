@@ -165,6 +165,8 @@ object SparkEntry {
     "sim_ivfpq_stored"     -> (graft.similarity.AnnIndex.simIvfPqStored _),
     "sim_sq_ann"           -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simSqAnn(s, d)),
+    "sim_binary_ann"       -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simBinaryAnn(s, d)),
     "sim_matryoshka"       -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simMatryoshka(s, d)),
     "sim_ivfsq_ann"        -> ((s: SparkSession, d: String) =>
@@ -2188,6 +2190,27 @@ object SparkEntry {
         |sl AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
         |   row_number() OVER (PARTITION BY query_id
         |     ORDER BY score DESC, vec_id) AS rn FROM s)
+        |  WHERE rn <= 20)
+        |SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT sl.query_id, sl.vec_id AS neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY sl.query_id
+        |     ORDER BY list_cosine_similarity(q.v, n.v) DESC, sl.vec_id)
+        |     AS INT) AS rank,
+        |   round(list_cosine_similarity(q.v, n.v), 4) AS cosine
+        |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+        |  JOIN e n ON n.vec_id = sl.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "sim_binary_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |   CAST(len(list_filter(range(0, 64), i ->
+        |     (q.v[CAST(i+1 AS INT)] > 0) != (c.v[CAST(i+1 AS INT)] > 0)))
+        |     AS BIGINT) AS hamming
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |sl AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY hamming, vec_id) AS rn FROM s)
         |  WHERE rn <= 20)
         |SELECT query_id, neighbor_id, rank, cosine FROM (
         |  SELECT sl.query_id, sl.vec_id AS neighbor_id,

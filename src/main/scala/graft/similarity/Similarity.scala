@@ -508,6 +508,49 @@ object Similarity {
     exactTop5(shortlist, e, queries)
   }
 
+  /** Binary (sign-bit) quantization ANN — the 1-bit face of the
+    * quantization matrix (faiss `IndexBinaryFlat` shape, the
+    * binary-code front-end of the RaBitQ family): each 64-dim vector
+    * compresses 64× to ONE 8-byte long (bit i = sign of dim i), the
+    * candidate scan is xor + popcount (both codegen'd integer ops —
+    * no array touch, no float math, 8 bytes/vector), and the
+    * hamming top-20 shortlist re-ranks with exact cosine. Hamming on
+    * sign bits approximates angular distance (the Charikar
+    * hyperplane bound with axis-aligned planes — [[simLshAnn]]'s
+    * random rotations traded away for a model-free 8-byte code).
+    *
+    * Scale (100 TB): the corpus-side scan reads 8 bytes per vector —
+    * at 10¹¹ vectors an 800 GB code table vs 25 TB of float32 — and
+    * the only wide op is the per-query bounded-heap top-k; queries
+    * broadcast. Oracle note: DuckDB raises on `1::BIGINT << 63`
+    * (sign bit), so the oracle computes hamming as the COUNT OF
+    * DIFFERING SIGN PREDICATES — identical semantics, no packing.
+    */
+  def simBinaryAnn(spark: SparkSession, sfDir: String): DataFrame =
+    simBinaryAnn(spark, sfDir, defaultQueries(spark, sfDir),
+      excludeSelf = true)
+
+  def simBinaryAnn(spark: SparkSession, sfDir: String,
+                   queries: DataFrame,
+                   excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    def signCode(vcol: String) = expr(
+      s"aggregate(sequence(0, size($vcol) - 1), 0L, " +
+        s"(acc, i) -> acc + if($vcol[i] > 0D, shiftleft(1L, i), 0L))")
+    val coded = e.select($"vec_id", signCode("v").as("code"))
+    val qcoded = queries.select($"query_id", signCode("qv").as("qcode"))
+    val scored = (if (excludeSelf)
+        coded.join(broadcast(qcoded), col("query_id") =!= col("vec_id"))
+      else coded.crossJoin(broadcast(qcoded)))
+      .withColumn("hamming", expr("bit_count(code ^ qcode)"))
+    val shortlist = scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id",
+        -$"hamming".cast("double")).as("top"))
+      .select($"query_id", explode($"top._1").as("vec_id"))
+    exactTop5(shortlist, e, queries)
+  }
+
   /** IVF + SQ8 composed ANN — the FAISS `IVFx,SQ8` index, completing
     * the quantization matrix ([[simIvfPqAnn]] composes cells with PQ
     * codes; this composes them with [[simSqAnn]]'s scalar codes): the

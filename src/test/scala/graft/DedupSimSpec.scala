@@ -534,6 +534,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"SQ8 recall $recall below 0.5")
   }
 
+  test("binary ANN: packed-code hamming == differing-sign count, recall beats chance") {
+    import spark.implicits._
+    // the packed 8-byte code's xor+popcount must equal an unpacked
+    // per-dimension sign comparison (incl. the i=63 sign bit, which
+    // shiftleft maps to Long.MinValue — sum still bit-exact)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .filter($"vec_id" < 40)
+      .select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def code(v: Seq[Double]): Long =
+      v.zipWithIndex.map { case (x, i) => if (x > 0) 1L << i else 0L }.sum
+    for (a <- vecs.keys.take(10); b <- vecs.keys.take(10) if a < b) {
+      val packed = java.lang.Long.bitCount(code(vecs(a)) ^ code(vecs(b)))
+      val direct = vecs(a).zip(vecs(b)).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(packed == direct, s"hamming mismatch for ($a, $b)")
+    }
+    val brute = Similarity.simBruteTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bin = Similarity.simBinaryAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bin.keySet == brute.keySet)
+    assert(bin.values.forall(_.size == 5))
+    // 1 bit/dim is the lossiest quantizer in the matrix — the bar is
+    // "meaningfully above the ~5/500 random baseline", not SQ8 parity
+    val recall = brute.map { case (q, b) =>
+      (bin(q) & b).size.toDouble / b.size }.sum / brute.size
+    assert(recall >= 0.2, s"binary recall $recall below 0.2")
+  }
+
   test("IVF+SQ8 ANN: candidates honor the probes, recall beats chance") {
     import spark.implicits._
     val brute = Similarity.simBruteTopk(spark, sf)
