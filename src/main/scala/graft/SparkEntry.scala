@@ -58,6 +58,8 @@ object SparkEntry {
     "q19_disjunctive"      -> (Relational.q19Disjunctive _),
     "q21_blame_supplier"   -> (Relational.q21BlameSupplier _),
     "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
+    "q16_supplier_variety" -> (Relational.q16SupplierVariety _),
+    "q20_excess_shipments" -> (Relational.q20ExcessShipments _),
     "q9_product_profit"    -> (Relational.q9ProductProfit _),
     "q15_top_supplier"     -> (Relational.q15TopSupplier _),
     "q17_small_quantity"   -> (Relational.q17SmallQuantity _),
@@ -703,6 +705,33 @@ object SparkEntry {
         |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q16_supplier_variety" ->
+      """WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM bridge JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_excess_shipments" ->
+      """WITH sp AS (SELECT l_suppkey, l_partkey,
+        |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sp
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, CAST(sum(qty_sp) AS BIGINT) AS qty_p,
+        |   CAST(count(*) AS BIGINT) AS n_suppliers
+        |  FROM sp GROUP BY 1),
+        |flagged AS (SELECT DISTINCT l_suppkey
+        |  FROM sp JOIN pt USING (l_partkey)
+        |  WHERE qty_sp * n_suppliers > 2 * qty_p)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN flagged ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "q22_idle_customers" ->
       """WITH a AS (SELECT avg(c_acctbal) AS m FROM customer WHERE c_acctbal > 0)
         |SELECT c_mktsegment, count(*) AS n_customers,

@@ -935,6 +935,82 @@ object Relational {
              .as("avg_yearly"))
   }
 
+  /** TPC-H Q16 shape (parts/supplier relationship variety), adapted
+    * to the 7-table schema: the part↔supplier relation is the
+    * DISTINCT (l_partkey, l_suppkey) bridge from lineitem (this
+    * schema has no partsupp — the [[q9ProductProfit]] precedent), the
+    * "customer complaints" supplier exclusion is s_acctbal < 0, and
+    * the attribute filter keeps non-'Brand#1', non-PROMO parts in
+    * the Q16 size heptad. Answers "how many distinct suppliers can
+    * provide each part profile" — the sourcing-diversity panel.
+    *
+    * Scale: ONE corpus-wide shuffle (the distinct on the two bridge
+    * keys, preceded by a scan that reads exactly 2 columns); the
+    * filtered part dim and the 8-byte excluded-supplier set both
+    * broadcast (exclusion is a broadcast ANTI join, never NOT IN's
+    * null-trap subquery), and the final count-distinct aggregates the
+    * already-distinct bridge, so its partial aggregation is exact.
+    */
+  def q16SupplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 9, 16, 25, 36, 49))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val complained = Tables.supplier(spark, sfDir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val bridge = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    bridge
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(complained), $"l_suppkey" === $"s_suppkey",
+        "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape (potential excess-stock suppliers), adapted: no
+    * partsupp.availqty exists, so the threshold inverts to a SHARE
+    * test with the same nested-aggregate skeleton — a supplier is
+    * flagged for a part if its 1995 shipped quantity of that
+    * 'small%'-named part exceeds 2× the mean per-supplier shipment
+    * of the part (qty_sp · n_suppliers > 2 · qty_p, integer
+    * cross-multiplied); flagged suppliers come back as names with
+    * their nation. The Q20 plan chain is intact: filtered part
+    * broadcast → fact aggregate at (supp, part) → per-part rollup of
+    * THAT aggregate (never a second fact scan) → threshold → distinct
+    * supplier semi-join → dim join.
+    *
+    * Scale: the fact scan is pruned to 4 columns + two pushed
+    * predicates before its one shuffle (the (supp, part) aggregate —
+    * map-side combinable); the per-part rollup runs over the
+    * aggregate (|filtered parts| × suppliers rows, not lineitems)
+    * and broadcasts back onto it; everything downstream is
+    * dim-sized. Quantities are integer-valued doubles, summed as
+    * longs — the threshold is engine-exact.
+    */
+  def q20ExcessShipments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_name".like("small%")).select($"p_partkey")
+    val sp = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1996-01-01")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum($"l_quantity".cast("long")).as("qty_sp"))
+    val pt = sp.groupBy($"l_partkey")
+      .agg(sum($"qty_sp").as("qty_p"), count(lit(1)).as("n_suppliers"))
+    val flagged = sp
+      .join(broadcast(pt), Seq("l_partkey"))
+      .filter($"qty_sp" * $"n_suppliers" > lit(2L) * $"qty_p")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(flagged), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+  }
+
   /** Mode (most-frequent-value) aggregate: the modal order status per
     * priority, ties to the lexicographically smallest status —
     * Spark's built-in `mode` is non-deterministic on ties, so the

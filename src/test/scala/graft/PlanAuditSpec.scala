@@ -642,4 +642,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$fmt")
     assert(fmt.contains("partial_count"), "no map-side partial aggregation")
   }
+
+  test("q16: 2-column pruned bridge scan, broadcast dims, anti join broadcast") {
+    val df = Relational.q16SupplierVariety(spark, sf)
+    val fmt = capture(df, "formatted")
+    // the fact scan reads exactly the two bridge keys
+    assert(!fmt.contains("l_quantity") && !fmt.contains("l_extendedprice"),
+      "bridge scan reads columns q16 never uses")
+    val simple = capture(df, "simple")
+    assert(simple.contains("BroadcastHashJoin"), simple)
+    // supplier exclusion is a broadcast ANTI join, not a shuffled one
+    assert("LeftAnti, BuildRight".r.findAllIn(simple).nonEmpty ||
+      simple.contains("LeftAnti"), s"no anti join in plan\n$simple")
+    assert(!simple.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("q20: one fact shuffle, per-part rollup over the aggregate, dims broadcast") {
+    val df = Relational.q20ExcessShipments(spark, sf)
+    val fmt = capture(df, "formatted")
+    // both fact predicates reach the parquet scan
+    assert(fmt.contains("PushedFilters"), fmt)
+    assert(fmt.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate filter not pushed to the fact scan")
+    val simple = capture(df, "simple")
+    assert(!simple.contains("SortMergeJoin"), "a join fell back to sort-merge")
+    assert(!simple.contains("CartesianProduct"))
+  }
 }
