@@ -197,6 +197,7 @@ object SparkEntry {
     "mm_phash"             -> (graft.multimodal.Multimodal.mmPerceptualHash _),
     "mm_phash_pairs"       -> (graft.multimodal.Multimodal.mmPhashPairs _),
     "mm_phash_pair_stats"  -> (graft.multimodal.Multimodal.mmPhashPairStats _),
+    "mm_phash_clusters"    -> (graft.multimodal.Multimodal.mmPhashClusters _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -2460,6 +2461,70 @@ object SparkEntry {
         | count(DISTINCT doc_id_1) AS n_left_docs,
         | count(DISTINCT doc_id_2) AS n_right_docs
         |FROM pairs GROUP BY 1""".stripMargin,
+    // cluster twin: the same pair pipeline, closed transitively with
+    // the dedup_components min-propagation device (16 pointer-jump
+    // rounds + a recursive reach closure over the contracted graph)
+    "mm_phash_clusters" -> {
+      val rounds = (1 to 16).map { k =>
+        s"""n$k AS MATERIALIZED (SELECT v, min(l) AS l FROM (
+           |  SELECT v, l FROM l${k - 1}
+           |  UNION ALL
+           |  SELECT e.b AS v, p.l FROM edges e JOIN l${k - 1} p ON p.v = e.a)
+           | GROUP BY v),
+           |l$k AS MATERIALIZED (SELECT n.v, m.l FROM n$k n JOIN n$k m ON m.v = n.l)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |d0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents WHERE length(text) > 0),
+         |seg AS (SELECT doc_id, len, CAST(i AS INT) AS i,
+         |   ((i+1)*len)//63 - (i*len)//63 AS w,
+         |   substr(text, CAST((i*len)//63 AS INT) + 1,
+         |     CAST(((i+1)*len)//63 - (i*len)//63 AS INT)) AS frame
+         |  FROM d0 CROSS JOIN range(0, 63) t(i)),
+         |cs AS (SELECT doc_id, len, i, w,
+         |   CAST(coalesce(list_sum(list_transform(range(1, length(frame)+1),
+         |     j -> ord(substr(frame, CAST(j AS INT), 1)))), 0) AS BIGINT) AS s
+         |  FROM seg),
+         |tot AS (SELECT doc_id, sum(s) AS total FROM cs GROUP BY 1),
+         |d AS (SELECT cs.doc_id,
+         |   CAST(sum(CASE WHEN cs.s * cs.len > t.total * cs.w
+         |     THEN CAST(power(2, cs.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |     AS phash
+         |  FROM cs JOIN tot t ON cs.doc_id = t.doc_id GROUP BY cs.doc_id),
+         |e2 AS (SELECT doc_id, phash, CAST(i AS INT) AS chunk_idx,
+         |   (phash >> CAST(i*16 AS INT))
+         |     & CASE WHEN i = 3 THEN 32767 ELSE 65535 END AS chunk_val
+         |  FROM d CROSS JOIN range(0, 4) t(i)),
+         |p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |  FROM e2 a JOIN e2 b ON a.chunk_idx = b.chunk_idx
+         |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM (
+         |  SELECT p.doc_id_1, p.doc_id_2,
+         |    CAST(bit_count(xor(ca.phash, cb.phash)) AS INT) AS hamming
+         |  FROM p JOIN d ca ON ca.doc_id = p.doc_id_1
+         |         JOIN d cb ON cb.doc_id = p.doc_id_2)
+         |  WHERE hamming <= 3),
+         |edges AS MATERIALIZED (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pr
+         |  UNION SELECT doc_id_2 AS a, doc_id_1 AS b FROM pr),
+         |l0 AS MATERIALIZED (SELECT v, v AS l FROM (
+         |  SELECT doc_id_1 AS v FROM pr UNION SELECT doc_id_2 FROM pr)),
+         |$rounds,
+         |cedges AS MATERIALIZED (SELECT DISTINCT la.l AS a, lb.l AS b
+         |  FROM edges e JOIN l16 la ON la.v = e.a JOIN l16 lb ON lb.v = e.b
+         |  WHERE la.l != lb.l),
+         |reach(src, dst) AS (
+         |  SELECT l AS src, l AS dst FROM (SELECT DISTINCT l FROM l16)
+         |  UNION
+         |  SELECT r.src, c.b AS dst FROM reach r JOIN cedges c ON r.dst = c.a),
+         |cmin AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+         |SELECT cmin.m AS cluster_rep,
+         | CAST(count(*) AS BIGINT) AS cluster_size,
+         | max(l16.v) AS max_doc_id
+         |FROM l16 JOIN cmin ON cmin.src = l16.l
+         |GROUP BY 1""".stripMargin
+    },
     "mm_decode_batch" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text)/64.0) AS INT) AS n_frames,

@@ -208,4 +208,33 @@ object Multimodal {
            countDistinct($"doc_id_2").as("n_right_docs"))
   }
 
+  /** Near-dup CLUSTERS over the phash pair graph — the
+    * keep-one-per-cluster step an image-dedup pipeline actually
+    * executes after pair generation (pairs are evidence; the cluster
+    * rep is the decision). Transitive closure via the shared
+    * alternating large-star/small-star contraction
+    * ([[graft.dedup.Dedup.starComponents]], the r12 CC default), so
+    * hamming-chained blobs (a~b, b~c, a!~c) land in ONE cluster.
+    *
+    * Scale: this is the LINEAR-output face of the pair family — on a
+    * clone-heavy corpus the pair list is quadratic in clone
+    * multiplicity (~20M rows at sf10) but its cluster relation is
+    * bounded by the blob count, so downstream keep/drop work never
+    * touches the quadratic intermediate again. Contraction rounds are
+    * O(log²) worst case, 2–3 on clone clusters (which arrive as
+    * near-stars around each min).
+    */
+  def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    phashClusters(mmPhashPairs(spark, sfDir))
+
+  private[graft] def phashClusters(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    graft.dedup.Dedup.starComponents(
+        pairs.select($"doc_id_1".as("u"), $"doc_id_2".as("v")))
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("cluster_size"),
+           max($"doc_id").as("max_doc_id"))
+      .select($"comp".as("cluster_rep"), $"cluster_size", $"max_doc_id")
+  }
+
 }

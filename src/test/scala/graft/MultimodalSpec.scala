@@ -56,4 +56,21 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"decode_chars" =!= $"frame_chars")
     assert(boundary.count() == 0, "chunk boundaries disagree")
   }
+
+  test("phash clusters: hamming chains merge transitively, reps are minima") {
+    import spark.implicits._
+    // corpus pairs at the test SF are all disjoint (hamming-0 exact
+    // clones), so the transitive-merge semantics need a synthetic
+    // chain: 1~2, 2~3 (but never 1~3) must land in ONE cluster
+    val pairs = Seq((1L, 2L, 1), (2L, 3L, 1), (5L, 6L, 0))
+      .toDF("doc_id_1", "doc_id_2", "hamming")
+    val got = Multimodal.phashClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L), (5L, 2L, 6L)))
+    // corpus clusters: every cluster has >= 2 members and the rep is
+    // always a member below max_doc_id
+    val corpus = Multimodal.mmPhashClusters(spark, sf)
+    assert(corpus.filter($"cluster_size" < 2 ||
+      $"cluster_rep" >= $"max_doc_id").count() == 0)
+  }
 }
