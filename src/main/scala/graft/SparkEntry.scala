@@ -121,6 +121,7 @@ object SparkEntry {
     "txt_bpe_pairs"        -> (graft.text.TextAnalysis.txtBpePairs _),
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
     "txt_gopher_rules"     -> (graft.text.TextAnalysis.txtGopherRules _),
+    "txt_ccnet_buckets"    -> (graft.text.TextAnalysis.txtCcnetBuckets _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
     // deduplication
@@ -536,6 +537,50 @@ object SparkEntry {
         | CAST(sum(tf * bg_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |   AS mean_surprisal_e4
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "txt_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(text), ' +') AS words FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |   unnest(list_transform(range(1, len(words)), i -> words[i]))
+        |     AS w1,
+        |   unnest(list_transform(range(1, len(words)),
+        |     i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM w),
+        |hb AS (SELECT doc_id, lang,
+        |   CAST(md5_number_lower(w1) % 9223372036854775808 AS BIGINT) AS h1,
+        |   CAST(md5_number_lower(bigram) % 9223372036854775808 AS BIGINT)
+        |     AS h2
+        |  FROM b),
+        |tf AS (SELECT doc_id, lang, h1, h2, count(*) AS tf
+        |  FROM hb GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT h2, count(*) AS cnt2 FROM hb GROUP BY 1),
+        |c1 AS (SELECT h1, count(*) AS cnt1 FROM hb GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.lang, tf.tf,
+        |   CAST(round(10000 * ln(c1.cnt1::DOUBLE / c2.cnt2)) AS BIGINT)
+        |     AS bg_e4
+        |  FROM tf JOIN c2 USING(h2) JOIN c1 USING(h1)),
+        |doc AS (SELECT doc_id, lang,
+        |   CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(tf * bg_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS m
+        |  FROM s GROUP BY 1, 2),
+        |h AS (SELECT lang, m, CAST(count(*) AS BIGINT) AS c
+        |  FROM doc GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |  FROM doc GROUP BY 1),
+        |cu AS (SELECT lang, m, sum(c) OVER (PARTITION BY lang ORDER BY m
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |th AS (SELECT cu.lang,
+        |   min(CASE WHEN 3*cum >= n_lang THEN m END) AS t33,
+        |   min(CASE WHEN 3*cum >= 2*n_lang THEN m END) AS t66
+        |  FROM cu JOIN t USING (lang) GROUP BY 1)
+        |SELECT d.lang,
+        | CASE WHEN d.m <= th.t33 THEN 'head'
+        |      WHEN d.m <= th.t66 THEN 'middle' ELSE 'tail' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(d.n_bigrams) AS BIGINT) AS total_bigrams,
+        | min(d.m) AS min_mean_e4, max(d.m) AS max_mean_e4
+        |FROM doc d JOIN th USING (lang) GROUP BY 1, 2""".stripMargin,
     "txt_dup_coverage" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text),' +') AS w
         |  FROM documents),

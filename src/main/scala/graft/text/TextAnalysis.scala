@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -597,6 +598,60 @@ object TextAnalysis {
       .agg(sum($"tf").as("n_bigrams"),
            sum($"tf" * $"bg_e4").as("surprisal_e4"))
       .withColumn("mean_surprisal_e4", expr("surprisal_e4 div n_bigrams"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split documents into head/middle/tail TERCILES of LM
+    * mean surprisal (low surprisal = head = the kept high-quality
+    * slice) and report each bucket's doc count, bigram mass, and
+    * surprisal range — the quality-partition panel a CCNet-shaped
+    * curation pipeline emits before choosing what to train on.
+    *
+    * Scale (100 TB): CCNet's actual trick, not a global doc sort —
+    * tercile THRESHOLDS are exact order statistics read off the
+    * per-lang HISTOGRAM CDF of the integer surprisal means: one
+    * map-combinable (lang, m) count, a cumulative window over that
+    * histogram (≤ the e4 value range per lang — metadata-sized at
+    * any corpus size, never the doc relation), and t_q = min m with
+    * 3·cum ≥ q·3·n (integer cross-multiplied ⇔ rank ceil(q·n); the
+    * engine's own `approx_percentile` was measured NOT rank-portable
+    * at third-quantiles — its sketch rounds q·n differently when 3
+    * divides 2n, so the histogram CDF is the deterministic recipe).
+    * The |langs|-row threshold model broadcasts back onto the
+    * per-doc LM relation; the bucket label is two integer
+    * comparisons per doc. The expensive input (the [[txtBigramLm]]
+    * per-doc relation) is computed ONCE and pinned — it feeds the
+    * histogram, the totals, and the bucket join, and AQE gives
+    * self-consumers no ReusedExchange; the payload is 4 integer
+    * columns per doc (the pin-small-hash-relations rule).
+    */
+  def txtCcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lm = txtBigramLm(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_bigrams", $"mean_surprisal_e4")
+      .persist()
+    val hist = lm.groupBy($"lang", $"mean_surprisal_e4")
+      .agg(count(lit(1)).as("c"))
+    val totals = lm.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val cum = hist.withColumn("cum",
+      sum($"c").over(Window.partitionBy($"lang")
+        .orderBy($"mean_surprisal_e4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val th = cum.join(broadcast(totals), Seq("lang"))
+      .groupBy($"lang").agg(
+        min(when($"cum" * 3 >= $"n_lang", $"mean_surprisal_e4")).as("t33"),
+        min(when($"cum" * 3 >= lit(2) * $"n_lang", $"mean_surprisal_e4"))
+          .as("t66"))
+    lm.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when($"mean_surprisal_e4" <= $"t33", "head")
+          .when($"mean_surprisal_e4" <= $"t66", "middle")
+          .otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_bigrams").as("total_bigrams"),
+           min($"mean_surprisal_e4").as("min_mean_e4"),
+           max($"mean_surprisal_e4").as("max_mean_e4"))
   }
 
   /** BPE merge-step pair counting — the first iteration of byte-pair-

@@ -268,4 +268,28 @@ class TextSpec extends AnyFunSuite {
       .collect().toSet
     assert(got == Set(("s", 9L, 1L, 1L, 1L, 1L, 1L, 1L, 3L)))
   }
+
+  test("ccnet buckets: terciles tile each language's surprisal range") {
+    import spark.implicits._
+    val b = graft.text.TextAnalysis.txtCcnetBuckets(spark, sf)
+      .select($"lang", $"bucket", $"n_docs", $"min_mean_e4", $"max_mean_e4")
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> (r._3, r._4, r._5)).toMap)
+    val lmCounts = graft.text.TextAnalysis.txtBigramLm(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    for ((lang, bk) <- b) {
+      val n = lmCounts(lang)
+      assert(bk.values.map(_._1).sum == n, s"$lang buckets don't cover the LM docs")
+      // threshold at rank ceil(n/3): head holds at least a third,
+      // tail at most a third (ties can only grow head / shrink tail)
+      assert(3 * bk("head")._1 >= n, s"$lang head too small")
+      assert(3 * bk.get("tail").map(_._1).getOrElse(0L) <= n, s"$lang tail too big")
+      // value ranges are ordered and non-overlapping
+      for (p <- Seq("head" -> "middle", "middle" -> "tail")
+           if bk.contains(p._1) && bk.contains(p._2))
+        assert(bk(p._1)._3 < bk(p._2)._2,
+          s"$lang ${p._1}/${p._2} ranges overlap")
+    }
+    assert(b.nonEmpty)
+  }
 }
