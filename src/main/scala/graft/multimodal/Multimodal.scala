@@ -225,15 +225,48 @@ object Multimodal {
     * near-stars around each min).
     */
   def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
-    phashClusters(mmPhashPairs(spark, sfDir))
+    phashClustersFromHashes(mmPerceptualHash(spark, sfDir)
+      .select(col("doc_id"), col("phash")))
 
-  private[graft] def phashClusters(pairs: DataFrame): DataFrame = {
-    import pairs.sparkSession.implicits._
-    graft.dedup.Dedup.starComponents(
-        pairs.select($"doc_id_1".as("u"), $"doc_id_2".as("v")))
+  /** Cluster computation over (doc_id, phash) rows. Equal-phash blobs
+    * are an EQUIVALENCE CLASS under hamming (distance depends only on
+    * the codes), so the clone groups collapse to their min-id
+    * representative BEFORE candidate generation: the pigeonhole
+    * self-join and the contraction run on the distinct-hash rep
+    * graph — on a clone-heavy corpus (~100-way clusters at the sf10
+    * GenScale corpus) that shrinks pair work ~10⁴× vs pairing the
+    * raw blobs (a same-protocol sf10 probe measured 25.3 → 5.1 s) —
+    * then group sizes re-expand by a broadcast-scale join-back.
+    * Exactly the pair-graph closure: a ≥2-clone group with no
+    * external edge IS a cluster (its hamming-0 pairs), a singleton
+    * group with no edge is not.
+    */
+  private[graft] def phashClustersFromHashes(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
+    val scheme = graft.dedup.Pigeonhole.Hash63
+    // pinned like mmPhashPairs' combo relation: the rep graph is
+    // consumed by candidate generation (materialized inside the
+    // contraction's checkpoints) AND the final join-back
+    val groups = hashed.groupBy($"phash")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("sz"),
+           max($"doc_id").as("mx"))
+      .persist()
+    val keyed = groups
+      .select($"rep".as("doc_id"), $"phash".as("h"),
+        explode(scheme.comboKeys($"phash")).as("ck"))
+      .select($"doc_id", $"h",
+        $"ck.combo_id".as("combo_id"), $"ck.key".as("key"))
+    val repPairs = scheme.pairs(keyed, maxHamming = 3)
+    val comps = graft.dedup.Dedup.starComponents(
+      repPairs.select($"doc_id_1".as("u"), $"doc_id_2".as("v")))
+    groups
+      .join(comps.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left_outer")
+      .withColumn("comp", coalesce($"comp", $"rep"))
       .groupBy($"comp")
-      .agg(count(lit(1)).as("cluster_size"),
-           max($"doc_id").as("max_doc_id"))
+      .agg(sum($"sz").as("cluster_size"), max($"mx").as("max_doc_id"))
+      // an edge-less singleton group is not a cluster; every real
+      // cluster (≥2 clones, or any merged groups) passes this bound
+      .filter($"cluster_size" >= 2)
       .select($"comp".as("cluster_rep"), $"cluster_size", $"max_doc_id")
   }
 

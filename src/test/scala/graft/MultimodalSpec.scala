@@ -61,10 +61,15 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     // corpus pairs at the test SF are all disjoint (hamming-0 exact
     // clones), so the transitive-merge semantics need a synthetic
-    // chain: 1~2, 2~3 (but never 1~3) must land in ONE cluster
-    val pairs = Seq((1L, 2L, 1), (2L, 3L, 1), (5L, 6L, 0))
-      .toDF("doc_id_1", "doc_id_2", "hamming")
-    val got = Multimodal.phashClusters(pairs)
+    // chain: h(1)~h(2)=3, h(2)~h(3)=3 but h(1)~h(3)=6 — all three
+    // must land in ONE cluster; 5 and 6 are clones (one ≥2 group
+    // with no external edge); 9 is an edge-less singleton (excluded)
+    val hashed = Seq(
+      (1L, 0L), (2L, 7L), (3L, 63L),
+      (5L, 0x00FF0000000000L), (6L, 0x00FF0000000000L),
+      (9L, 0x7700000000000000L ^ 0x33L))
+      .toDF("doc_id", "phash")
+    val got = Multimodal.phashClustersFromHashes(hashed)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 3L), (5L, 2L, 6L)))
     // corpus clusters: every cluster has >= 2 members and the rep is
