@@ -989,7 +989,11 @@ object Relational {
     * aggregate (|filtered parts| × suppliers rows, not lineitems)
     * and broadcasts back onto it; everything downstream is
     * dim-sized. Quantities are integer-valued doubles, summed as
-    * longs — the threshold is engine-exact.
+    * longs — the threshold is engine-exact. The (supp, part)
+    * aggregate is PINNED: it feeds both the rollup and the threshold
+    * join (AQE self-consumers get no ReusedExchange) and its payload
+    * is 3 integer columns behind a filtered fact scan — the
+    * pin-small-relations rule; same-protocol sf10 probe 3.9 → 3.5 s.
     */
   def q20ExcessShipments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1000,6 +1004,7 @@ object Relational {
       .join(broadcast(p), $"l_partkey" === $"p_partkey")
       .groupBy($"l_suppkey", $"l_partkey")
       .agg(sum($"l_quantity".cast("long")).as("qty_sp"))
+      .persist()
     val pt = sp.groupBy($"l_partkey")
       .agg(sum($"qty_sp").as("qty_p"), count(lit(1)).as("n_suppliers"))
     val flagged = sp
