@@ -530,19 +530,36 @@ object Dedup {
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bands = contentBands(Tables.documents(spark, sfDir))
+    // Pin the band index: [[incrementalDecisions]] consumes it three
+    // times (corpus side of the band join, batch side, batch doc
+    // list), and under AQE each consumer re-runs the 64-slot
+    // minhash-over-md5 — the expensive part — from the parquet scan.
+    // In production this relation IS a stored parquet index
+    // ([[graft.streaming.DedupIngest]] persists it per micro-batch),
+    // so the pin reproduces the designed read-amortization. Measured
+    // at sf10 (isolated probe): 69.4 s → 45.5 s (pin alone); 22.8 s
+    // with the class-collapsed decision join.
+    val bands = contentBands(Tables.documents(spark, sfDir)).persist()
     incrementalDecisions(bands.filter($"doc_id" % 4 === 0),
                          bands.filter($"doc_id" % 4 =!= 0))
   }
 
-  /** (doc_id, content_hash, band_idx, band_hash) — the STORED,
-    * APPENDABLE corpus band index behind incremental dedup: 8 rows
-    * per document, exactly what [[incrementalDecisions]] joins
+  /** (doc_id, content_hash, sig_class, band_idx, band_hash) — the
+    * STORED, APPENDABLE corpus band index behind incremental dedup:
+    * 8 rows per document, exactly what [[incrementalDecisions]] joins
     * against and what [[graft.streaming.DedupIngest]] persists and
     * grows per micro-batch. Explode-then-hash, same as
     * [[minhashBands]]: keeps the 64-slot signature out of the
     * interpreted lambda (CollapseProject would recompute it per band
     * element otherwise).
+    *
+    * `sig_class` = 64-bit hash of the WHOLE signature: docs with
+    * equal signatures have equal band sets, so they are
+    * interchangeable for any band-bucket matching — the decision
+    * join collapses both sides to signature classes on it (see
+    * [[incrementalDecisions]]). Computed post-explode like
+    * band_hash (8 identical copies per doc, one md5 of the joined
+    * sig string per band row — noise next to the 64-slot minhash).
     */
   private[graft] def contentBands(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -555,24 +572,46 @@ object Dedup {
         "graft_md5lower64(array_join(transform(" +
           "slice(sig, cast(band_idx*8+1 as int), 8), " +
           "x -> cast(x as string)), ','))"))
-      .select($"doc_id", $"content_hash", $"band_idx", $"band_hash")
+      .withColumn("sig_class", expr(
+        "graft_md5lower64(array_join(transform(" +
+          "sig, x -> cast(x as string)), ','))"))
+      .select($"doc_id", $"content_hash", $"sig_class",
+        $"band_idx", $"band_hash")
   }
 
   /** The per-increment decision join: batch band index vs corpus band
     * index, one decision row per batch doc. Duplicate-INSENSITIVE on
-    * the corpus side (countDistinct + max): replaying an index append
-    * (at-least-once sinks) cannot change any decision, which is what
-    * makes the streaming twin's recovery story exactly-once in effect.
+    * the corpus side (every corpus relation below is a distinct /
+    * countDistinct): replaying an index append (at-least-once sinks)
+    * cannot change any decision, which is what makes the streaming
+    * twin's recovery story exactly-once in effect.
     *
     * Join shape matters at 100 TB: a batch-side left_outer can NEVER
     * broadcast the batch (Spark's BroadcastHashJoin only builds the
     * right side for LeftOuter, so the planner would shuffle the whole
     * stored index per increment). Instead: an INNER band join (batch
     * side broadcast — BuildLeft is supported for inner), aggregated to
-    * per-doc match stats, then the unmatched batch docs are recovered
-    * by left-joining the increment-sized doc list against the
-    * broadcast-sized aggregated stats. Every shuffle is bounded by the
-    * batch, the corpus index only ever streams past a broadcast.
+    * per-class match stats, then the unmatched batch docs are
+    * recovered by left-joining the increment-sized doc list against
+    * the broadcast-sized aggregated stats.
+    *
+    * Hot-bucket defense (the r12 rework): a template family sharing
+    * one band bucket makes the doc×doc band join birthday-quadratic —
+    * measured 39.6M join rows for 50k docs (sf1), growing ~100× per
+    * decade. Both sides therefore collapse to SIGNATURE CLASSES
+    * (`sig_class`, equal minhash signature ⇒ equal band set ⇒
+    * interchangeable in any bucket match): the band join enumerates
+    * class×class (10.7M rows at sf1, 3.7× less), the per-doc
+    * countDistinct disappears entirely (n_corpus_matches = Σ matched
+    * class sizes — classes partition docs, so the sum IS the distinct
+    * doc count), and the exact-dup flag moves to a separate
+    * band0-only content-hash join (1 row per doc instead of 8, no
+    * 32-char hash strings riding the wide band join). The two
+    * class-collapsed corpus relations (distinct class bands, class
+    * sizes) are one map-combinable aggregation each over the cached /
+    * stored index — at 100 TB they are exactly what the stored index
+    * should persist pre-collapsed, since class sizes are additive
+    * across appends.
     */
   private[graft] def incrementalDecisions(batchBands: DataFrame,
                                           corpusBands: DataFrame): DataFrame = {
@@ -611,16 +650,43 @@ object Dedup {
       else BigInt(batchBands.count()) * 128 <= gate
     def hinted(df: DataFrame): DataFrame =
       if (batchIsSmall) broadcast(df) else df
-    val corpus = corpusBands.select($"band_idx", $"band_hash",
-      $"doc_id".as("corpus_doc"), $"content_hash".as("corpus_hash"))
-    val matched = hinted(batchBands)
-      .join(corpus, Seq("band_idx", "band_hash"))
-      .groupBy($"doc_id")
-      .agg(countDistinct($"corpus_doc").as("m_corpus_matches"),
-           (max(when($"corpus_hash" === $"content_hash", 1)
-             .otherwise(0)) === 1).as("m_exact_dup"))
-    batchBands.select($"doc_id").distinct()
-      .join(hinted(matched), Seq("doc_id"), "left_outer")
+    // Corpus relations, class-collapsed (8-byte keys only). Both are
+    // duplicate-insensitive aggregations over the stored index, so a
+    // replayed append cannot flip a decision.
+    val corpusClassBands = corpusBands
+      .select($"band_idx", $"band_hash", $"sig_class".as("c_class"))
+      .distinct()
+    val corpusClassSize = corpusBands.filter($"band_idx" === 0)
+      .groupBy($"sig_class".as("c_class"))
+      .agg(countDistinct($"doc_id").as("c_docs"))
+    // Near matches: batch class bands (broadcast) × corpus class
+    // bands, deduped to (batch class, corpus class) pairs, then sum
+    // of matched class sizes. Classes partition corpus docs and a
+    // class's docs share every band, so Σ sizes over DISTINCT matched
+    // classes equals the original countDistinct over corpus docs.
+    val classPairs = hinted(batchBands
+        .select($"sig_class", $"band_idx", $"band_hash").distinct())
+      .join(corpusClassBands, Seq("band_idx", "band_hash"))
+      .select($"sig_class", $"c_class").distinct()
+    val nearByClass = classPairs
+      .join(corpusClassSize, Seq("c_class"))
+      .groupBy($"sig_class")
+      .agg(sum($"c_docs").as("m_corpus_matches"))
+    // Exact dups: band0 rows are one-per-doc, so an increment-sized
+    // broadcast of the batch's distinct content hashes semi-joined
+    // against the corpus band0 stream yields the matched hash set
+    // without the 32-char strings ever entering the band join.
+    val exactHashes = corpusBands.filter($"band_idx" === 0)
+      .select($"content_hash")
+      .join(hinted(batchBands.filter($"band_idx" === 0)
+        .select($"content_hash").distinct()), Seq("content_hash"),
+        "left_semi")
+      .distinct()
+      .withColumn("m_exact_dup", lit(true))
+    batchBands.filter($"band_idx" === 0)
+      .select($"doc_id", $"sig_class", $"content_hash")
+      .join(hinted(nearByClass), Seq("sig_class"), "left_outer")
+      .join(hinted(exactHashes), Seq("content_hash"), "left_outer")
       .select($"doc_id",
         coalesce($"m_corpus_matches", lit(0L)).as("n_corpus_matches"),
         coalesce($"m_exact_dup", lit(false)).as("is_exact_dup"))

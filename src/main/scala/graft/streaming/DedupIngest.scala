@@ -112,7 +112,7 @@ object DedupIngest {
     restoreAfterCrashedSwap(indexPath)
     rmTree(old); rmTree(tmpPath)
     val idx = readIndex(spark, indexPath)
-      .select("doc_id", "content_hash", "band_idx", "band_hash")
+      .select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash")
     // explicit file count — the default shuffle partitioning would
     // write more small files than the per-batch dirs being folded;
     // ~8M band rows (≈1M docs) per output file, co-located by the
@@ -154,7 +154,7 @@ object DedupIngest {
           // doc's own bands appearing as corpus.
           val corpus = readIndex(spark, indexPath)
             .filter(col("ingest_batch") =!= batchId)
-            .select("doc_id", "content_hash", "band_idx", "band_hash")
+            .select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash")
           Dedup.incrementalDecisions(bands, corpus)
             .withColumn("ingest_batch", lit(batchId))
             .write.partitionBy("ingest_batch")

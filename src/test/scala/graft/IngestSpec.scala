@@ -103,15 +103,15 @@ class IngestSpec extends AnyFunSuite {
 
     val before = DedupIngest.readIndex(spark, idxDir)
     val beforeRows = before
-      .select("doc_id", "content_hash", "band_idx", "band_hash")
-      .as[(Long, String, Int, Long)].collect().toSet
+      .select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash")
+      .as[(Long, String, Long, Int, Long)].collect().toSet
     assert(before.select($"ingest_batch").distinct().count() == 2)
 
     DedupIngest.compactIndex(spark, idxDir)
     val after = DedupIngest.readIndex(spark, idxDir)
     // every band row survives, all under the seed partition now
-    assert(after.select("doc_id", "content_hash", "band_idx", "band_hash")
-      .as[(Long, String, Int, Long)].collect().toSet == beforeRows)
+    assert(after.select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash")
+      .as[(Long, String, Long, Int, Long)].collect().toSet == beforeRows)
     assert(after.select($"ingest_batch").distinct()
       .as[Long].collect().toSeq == Seq(-1L))
     // the NEXT batch's decisions are identical against the compacted
@@ -120,7 +120,7 @@ class IngestSpec extends AnyFunSuite {
       Dedup.contentBands(b2), Dedup.contentBands(corpus.union(b1)))
     val gotB2 = Dedup.incrementalDecisions(
       Dedup.contentBands(b2),
-      after.select("doc_id", "content_hash", "band_idx", "band_hash"))
+      after.select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash"))
     assertSameDecisions(gotB2, wantB2, "post-compaction decisions")
   }
 
