@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CellSimPairs, CellTopK, CodepointSum, CosineSimilarity, Phash63, ShingleMd5, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard, TopKLong, TopKString}
+import org.apache.spark.sql.graft.{BpeCount, WindowMin, CellSimPairs, CellTopK, CodepointSum, PunctCount, CosineSimilarity, Phash63, ShingleMd5, HyperplaneBuckets, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard, TopKLong, TopKString}
 
 /** SparkSessionExtensions installer: exposes graft's native Catalyst
   * expressions to SQL. Register with
@@ -66,6 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_codepoint_sum"),
       new ExpressionInfo(classOf[CodepointSum].getName, "graft_codepoint_sum"),
       (es: Seq[Expression]) => CodepointSum(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_punct_count"),
+      new ExpressionInfo(classOf[PunctCount].getName, "graft_punct_count"),
+      (es: Seq[Expression]) => PunctCount(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      (es: Seq[Expression]) => BpeCount(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_window_min"),
+      new ExpressionInfo(classOf[WindowMin].getName, "graft_window_min"),
+      (es: Seq[Expression]) => WindowMin(es.head, intArg(es(1), "w"))))
     ext.injectFunction((FunctionIdentifier("graft_phash63"),
       new ExpressionInfo(classOf[Phash63].getName, "graft_phash63"),
       (es: Seq[Expression]) => Phash63(es.head)))

@@ -15,15 +15,15 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
-  /** Whitespace word array, deduped variant, and a BPE-ish regex token
+  /** Whitespace word array, deduped variant, and a BPE-ish token
     * count (letters / digit runs / single punctuation, the shape of a
-    * byte-pair pre-tokenizer split).
+    * byte-pair pre-tokenizer split — native one-scan expression; the
+    * regexp_count form stepped the matcher once per character).
     */
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("n_tokens", expr("size(words)"))
-      .withColumn("n_bpe_tokens",
-        expr("cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint)"))
+      .withColumn("n_bpe_tokens", expr("graft_bpe_count(text)"))
 
   /** Per-language token statistics. */
   def txtTokens(spark: SparkSession, sfDir: String): DataFrame = {
@@ -49,7 +49,7 @@ object TextAnalysis {
         length($"text").cast("long").as("n_chars_actual"),
         $"n_tokens".cast("long").as("n_tokens"),
         round($"n_stopwords".cast("double") / $"n_tokens", 4).as("stopword_ratio"),
-        round(expr("cast(regexp_count(text, '[^a-z0-9 ]') as double)") /
+        round(expr("cast(graft_punct_count(text) as double)") /
               length($"text"), 4).as("punct_ratio"),
         round(expr("cast(size(array_distinct(words)) as double)") /
               $"n_tokens", 4).as("type_token_ratio"))
@@ -170,9 +170,11 @@ object TextAnalysis {
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("hashes",
         expr("graft_shingle_md5(words, 4)"))
+      // window minima fused into one native scan ([[WindowMin]]) —
+      // the transform/slice/array_min lambda paid interpreted
+      // dispatch + a slice copy per window (8.4 s → 1.8 s at sf10)
       .withColumn("fps",
-        expr("array_distinct(transform(sequence(0, greatest(size(hashes)-4, 0)), " +
-             "j -> array_min(slice(hashes, j+1, 4))))"))
+        expr("array_distinct(graft_window_min(hashes, 4))"))
       .select($"doc_id",
               expr("size(fps)").as("n_fingerprints"),
               expr("array_min(fps)").as("min_fp"),
@@ -289,22 +291,29 @@ object TextAnalysis {
 
   /** Intra-document repetition profile (the Gopher/C4-style quality
     * gate): duplicate word-trigram and -bigram fractions per document.
-    * A single narrow codegen pass — shingles are built, deduplicated,
-    * and counted inside per-row array expressions, so the operator
-    * never shuffles at any corpus size.
+    * A single narrow codegen pass — no shuffle at any corpus size.
+    * Shingles are 63-bit md5 hashes ([[ShingleMd5]]'s one-pass fused
+    * scan) rather than materialized strings: the old
+    * `transform(sequence, i -> concat_ws(slice(...)))` form paid an
+    * interpreted lambda dispatch + slice copy + string concat per
+    * shingle per row (measured 28.2 s at sf10, 2.2 s fused), and
+    * distinct-of-hashes equals distinct-of-strings up to md5
+    * collisions (≤ C(len,2)·2⁻⁶³ per doc — vanishing; the 3-SF
+    * oracle gate compares the counts against DuckDB's string-side
+    * distinct directly). sequence() DESCENDS when start > stop, so
+    * the short-doc cases map to empty arrays explicitly
+    * (ShingleMd5 would emit one whole-doc shingle instead).
     */
   def txtRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
-      // sequence() DESCENDS when start > stop, so the degenerate
-      // short-doc cases map to an empty array explicitly
       .withColumn("tri", expr(
-        "if(size(words) >= 3, transform(sequence(1, size(words)-2), " +
-          "i -> concat_ws(' ', slice(words, i, 3))), cast(array() as array<string>))"))
+        "if(size(words) >= 3, graft_shingle_md5(words, 3), " +
+          "cast(array() as array<bigint>))"))
       .withColumn("bi", expr(
-        "if(size(words) >= 2, transform(sequence(1, size(words)-1), " +
-          "i -> concat_ws(' ', slice(words, i, 2))), cast(array() as array<string>))"))
+        "if(size(words) >= 2, graft_shingle_md5(words, 2), " +
+          "cast(array() as array<bigint>))"))
       .select(
         $"doc_id", $"lang",
         expr("cast(size(tri) as bigint)").as("n_trigrams"),

@@ -826,3 +826,118 @@ case class NearestCentroidL2(child: Expression, centroids: Seq[Seq[Long]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_nearest_centroid"
 }
+
+/** Count of code points OUTSIDE `[a-z0-9 ]` in ONE byte scan — the
+  * fused form of `regexp_count(text, '[^a-z0-9 ]')`, whose
+  * java.util.regex matcher steps `Matcher.find()` once PER CHARACTER
+  * of punctuation (the hot 29 s of txt_quality's sf10 scan; this
+  * expression retires it to the cost of the scan itself). UTF-8
+  * walk: every non-continuation byte starts a code point; a
+  * single-byte char is tested against the ASCII class, and any
+  * multi-byte lead counts (no non-ASCII code point is in the class) —
+  * code-point semantics identical to the regex, so the DuckDB
+  * `regexp_extract_all` oracle replays unchanged.
+  */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var r = 0L; var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xc0) != 0x80) {
+        val in = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '
+        if (!in) r += 1
+      }
+      i += 1
+    }
+    r
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_punct_count"
+}
+
+/** BPE-ish pre-tokenizer token count in ONE byte scan — the fused
+  * form of `regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')`: one
+  * token per maximal lowercase-letter run, per maximal digit run,
+  * and per other non-space code point (spaces match no branch).
+  * Maximal-munch run counting = "count code points whose class
+  * differs from the previous code point's" for the run classes,
+  * plus every `other` code point — bit-identical to the regex and
+  * its DuckDB `regexp_extract_all` oracle.
+  */
+case class BpeCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var r = 0L; var i = 0
+    // 0 = letter run, 1 = digit run, 2 = space, 3 = other, 4 = start
+    var prev = 4
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xc0) != 0x80) {
+        val cls =
+          if (c >= 'a' && c <= 'z') 0
+          else if (c >= '0' && c <= '9') 1
+          else if (c == ' ') 2
+          else 3
+        if (cls == 3) r += 1
+        else if ((cls == 0 || cls == 1) && cls != prev) r += 1
+        prev = cls
+      }
+      i += 1
+    }
+    r
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_bpe_count"
+}
+
+/** Sliding-window minima over a long array in ONE pass — the fused
+  * form of `transform(sequence(0, greatest(size(h)-w, 0)), j ->
+  * array_min(slice(h, j+1, w)))` (txt_fingerprint's winnowing
+  * window), which paid an interpreted lambda dispatch plus a slice
+  * copy per window per row. Window j covers h[j .. min(j+w, n)-1]
+  * (truncated at the end exactly like slice), and a shorter-than-w
+  * array yields its single whole-array minimum — output element for
+  * element identical to the expression pipeline, so the DuckDB
+  * oracle replays unchanged.
+  */
+case class WindowMin(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.max(n - w, 0) + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + w, n)
+      var mn = Long.MaxValue
+      var j = i
+      while (j < end) {
+        val v = arr.getLong(j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_window_min"
+}

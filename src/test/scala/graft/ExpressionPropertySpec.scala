@@ -266,4 +266,33 @@ class ExpressionPropertySpec extends AnyFunSuite {
         s"${pipeline(5)} AS b").where("a != b")
     assert(badCorpus.count() == 0)
   }
+
+  test("punct_count / bpe_count == their regexp_count pipelines") {
+    import spark.implicits._
+    // unicode (2- and 3-byte, and a surrogate-pair emoji = one code
+    // point), uppercase, digits bordering letters, runs, whitespace
+    // variants, empty string
+    val cases = Seq("", " ", "abc", "ABC", "a1b2", "  a,b.c!  ",
+      "na\u00efve caf\u00e9", "\u4f60\u597d, world 123",
+      "\ud83d\ude00x\ud83d\ude00", "tabs\tand\nnewlines",
+      "a-b_c+d=e", "123 456", "mixedCASE99words", "!!!", "a  b   c")
+    val df = cases.map(Tuple1(_)).toDF("s")
+    val badP = df.selectExpr("graft_punct_count(s) AS a",
+        "cast(regexp_count(s, '[^a-z0-9 ]') as bigint) AS b")
+      .where("a != b")
+    assert(badP.count() == 0, badP.take(5).mkString(";"))
+    val badB = df.selectExpr("graft_bpe_count(s) AS a",
+        "cast(regexp_count(s, '[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint) AS b")
+      .where("a != b")
+    assert(badB.count() == 0, badB.take(5).mkString(";"))
+    // and over the corpus text (the operators' real input)
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.Sf)
+    val badCorpus = docs.selectExpr(
+        "graft_punct_count(text) AS a",
+        "cast(regexp_count(text, '[^a-z0-9 ]') as bigint) AS b",
+        "graft_bpe_count(text) AS c",
+        "cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint) AS d")
+      .where("a != b OR c != d")
+    assert(badCorpus.count() == 0)
+  }
 }
