@@ -981,12 +981,16 @@ object Dedup {
     val tok = docs
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("n_tokens", expr("cast(size(words) as bigint)"))
+    // NOT persisted: the shingle stream is ~150M fat rows at sf10
+    // behind a cheap native one-pass scan (ShingleMd5) — caching it
+    // costs more than its two recomputes (the pin-fat-streams
+    // negative result again; same-protocol sf10 A/B: 13.1 s pinned,
+    // 11.8 s recomputed, and the pin held ~5 GB of cache)
     val sh = tok
       .select($"doc_id", $"n_tokens",
         posexplode(expr(s"graft_shingle_md5(words, $k)"))
           .as(Seq("pos", "g")))
       .select($"doc_id", $"n_tokens", $"pos".cast("long").as("pos"), $"g")
-      .persist()
     // occurrence count WITH multiplicity (no per-doc distinct):
     // within-doc repeats are duplicated spans here, unlike
     // txtDupCoverage's document-frequency criterion
@@ -1014,9 +1018,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
            sum($"ee" - $"s" + 1).as("removed_tokens"))
       .persist()
-    // doc roster from the PINNED shingle relation (every doc has ≥ 1
-    // shingle row), so neither branch re-scans or re-splits the text
-    val docStats = sh.select($"doc_id", $"n_tokens").distinct()
+    // doc roster from the PRE-explode relation: doc_id is unique, so
+    // no distinct is needed — the old roster-from-shingles form paid
+    // a 150M-row distinct shuffle for a relation the narrow scan
+    // yields directly
+    val docStats = tok.select($"doc_id", $"n_tokens")
     // clean docs join back as inner ∪ anti rather than a left join:
     // the result is identical, but a left join against the unique-key
     // span aggregate lets `count()`-style consumers prune the ENTIRE

@@ -358,9 +358,13 @@ object Analytics {
     val gated = Tables.documents(spark, sfDir)
       .withColumn("words", expr("split(trim(text), ' +')"))
       .withColumn("n_tokens", expr("cast(size(words) as bigint)"))
+      // 63-bit shingle hashes, not strings (same fusion as
+      // txt_repetition — the transform/slice/concat_ws lambda paid
+      // interpreted dispatch per trigram; distinct-of-hashes ==
+      // distinct-of-strings up to 2⁻⁶³)
       .withColumn("tri", expr(
-        "if(size(words) >= 3, transform(sequence(1, size(words)-2), " +
-          "i -> concat_ws(' ', slice(words, i, 3))), cast(array() as array<string>))"))
+        "if(size(words) >= 3, graft_shingle_md5(words, 3), " +
+          "cast(array() as array<bigint>))"))
       .withColumn("dup_tri",
         (expr("cast(size(tri) as bigint)") -
           expr("cast(size(array_distinct(tri)) as bigint)")).cast("double") /

