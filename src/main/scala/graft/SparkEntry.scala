@@ -121,6 +121,7 @@ object SparkEntry {
     "txt_bpe_pairs"        -> (graft.text.TextAnalysis.txtBpePairs _),
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
     "txt_gopher_rules"     -> (graft.text.TextAnalysis.txtGopherRules _),
+    "txt_heaps_law"        -> (graft.text.TextAnalysis.txtHeapsLaw _),
     "txt_ccnet_buckets"    -> (graft.text.TextAnalysis.txtCcnetBuckets _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
@@ -444,6 +445,23 @@ object SparkEntry {
         |   // n.n_modeled AS entropy_e4
         |FROM nz JOIN n USING (doc_id, lang)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "txt_heaps_law" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |d AS (SELECT doc_id, (doc_id * 10) // (mx + 1) AS bucket,
+        |   string_split_regex(trim(text), ' +') AS w
+        |  FROM documents, mx),
+        |ft AS (SELECT word, min(doc_id) AS first_doc FROM
+        |   (SELECT doc_id, unnest(w) AS word FROM d) GROUP BY word),
+        |nt AS (SELECT (first_doc * 10) // (mx + 1) AS bucket,
+        |   count(*) AS new_types FROM ft, mx GROUP BY 1),
+        |db AS (SELECT bucket, count(*) AS n_docs,
+        |   CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM d GROUP BY 1)
+        |SELECT db.bucket, n_docs, n_tokens,
+        | coalesce(new_types, 0) AS new_types,
+        | CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY db.bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_types
+        |FROM db LEFT JOIN nt ON db.bucket = nt.bucket""".stripMargin,
     "txt_gopher_rules" ->
       """WITH d AS (SELECT source,
         |   string_split_regex(trim(text), ' +') AS words FROM documents),

@@ -767,4 +767,39 @@ object TextAnalysis {
       sum(when($"f1" + $"f2" + $"f3" + $"f4" + $"f5" + $"f6" === 0L, 1L)
         .otherwise(0L)).as("pass_all"))
   }
+
+  /** Vocabulary-growth curve (Heaps' law): how many NEW distinct
+    * words each corpus decile contributes, with the cumulative
+    * vocabulary alongside — the sub-linearity (V ∝ nᵝ, β < 1) is
+    * the standard corpus-health diagnostic a tokenizer-training or
+    * crawl-curation pipeline reads before fixing a vocab budget.
+    * A word's first occurrence is attributed by min(doc_id), deciles
+    * split the doc-id range arithmetically — no global sort, no
+    * window over the corpus. One map-combinable (word → min doc)
+    * aggregate over the token stream, one per-decile rollup of the
+    * scan, and a 10-row cumulative window. Exact integers end to
+    * end.
+    */
+  def txtHeapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+    val mx = docs.agg(max($"doc_id").as("mx"))
+    val d = docs.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("(doc_id * 10) div (mx + 1)"))
+    val perBucket = d.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(expr("cast(size(words) as bigint)")).as("n_tokens"))
+    val newTypes = d
+      .select($"doc_id", explode($"words").as("word"))
+      .groupBy($"word").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr("(first_doc * 10) div (mx + 1)").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left_outer")
+      .withColumn("new_types", coalesce($"new_types", lit(0L)))
+      .withColumn("cum_types", sum($"new_types").over(w))
+  }
 }

@@ -292,4 +292,24 @@ class TextSpec extends AnyFunSuite {
     }
     assert(b.nonEmpty)
   }
+
+  test("heaps law: deciles cover the corpus, cumulative vocab is the global distinct count") {
+    import spark.implicits._
+    val h = graft.text.TextAnalysis.txtHeapsLaw(spark, sf)
+      .orderBy($"bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val vocab = docs.selectExpr("explode(split(trim(text), ' +')) AS w")
+      .select("w").distinct().count()
+    assert(h.map(_._2).sum == nDocs, "deciles don't partition the docs")
+    assert(h.last._5 == vocab, "cumulative types != global distinct words")
+    assert(h.map(_._4).sum == vocab)
+    // cum_types is the running sum of new_types
+    assert(h.scanLeft(0L)(_ + _._4).tail.sameElements(h.map(_._5)))
+    // a growing corpus keeps discovering SOME new vocabulary, but
+    // sub-linearly: later deciles contribute fewer new types than
+    // the first (Heaps sub-linearity on any natural-ish corpus)
+    assert(h.head._4 > h.last._4)
+  }
 }
