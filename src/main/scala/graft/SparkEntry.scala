@@ -941,7 +941,8 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1 GROUP BY o_orderstatus""".stripMargin,
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        |   AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "evt_produce" ->

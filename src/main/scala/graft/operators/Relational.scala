@@ -448,8 +448,15 @@ object Relational {
       .select($"c_custkey".as("custkey"), $"c_mktsegment")
     Skew.saltedJoin(fact, dim, "custkey", 16)
       .groupBy($"c_mktsegment")
+      // integer-cents accumulation: at sf10 a segment's total is
+      // ~7×10¹¹, where one double ulp ≈ 0.12 — a float sum's cent
+      // rounding depends on addition order (the sf10 spot-gate
+      // caught the flip). o_totalprice is an exact 2-decimal value,
+      // so summing cents as longs is exact and order-insensitive;
+      // divide once at the end (the sum_disc_price recipe).
       .agg(count(lit(1)).as("n_orders"),
-           round(sum($"o_totalprice"), 2).as("revenue"))
+           round(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+             / 100.0, 2).as("revenue"))
   }
 
   /** Latest-wins upsert (the CDC/merge idiom in pure Spark): a batch
