@@ -60,7 +60,20 @@ object DedupIngest {
     */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
     restoreAfterCrashedSwap(indexPath)
-    spark.read.parquet(indexPath)
+    val idx = spark.read.parquet(indexPath)
+    // Index-format guard: r12 added sig_class (the decision join's
+    // class-collapse key). A pre-r12 index would otherwise fail at
+    // ANALYSIS time deep inside the decision join — or worse, a
+    // mergeSchema read would surface it as nulls, and null classes
+    // join NOTHING, silently zeroing every near-dup count. The format
+    // bump is loud instead: rebuild is cheap (seedIndex re-derives
+    // the index from the corpus; it carries no state of its own).
+    require(idx.columns.contains("sig_class"),
+      s"stored band index at $indexPath predates the sig_class " +
+        "column (r12 index format); rebuild it with seedIndex — " +
+        "decisions would silently lose all near-dup counts on a " +
+        "null-filled legacy read")
+    idx
   }
 
   private def restoreAfterCrashedSwap(indexPath: String): Unit = {

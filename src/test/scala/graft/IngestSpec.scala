@@ -246,4 +246,19 @@ class IngestSpec extends AnyFunSuite {
            wantAll.exceptAll(twin).count() == 0,
       "evt_mv_merge diverges from the single-pass recompute")
   }
+
+  test("readIndex rejects a pre-sig_class legacy index loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("legacyidx").toString
+    // a legacy (pre-r12) index: same rows, no sig_class column
+    graft.dedup.Dedup.contentBands(
+        Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
+      .drop("sig_class")
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.DedupIngest.readIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("sig_class"))
+  }
 }
