@@ -1679,23 +1679,23 @@ object SparkEntry {
         |   AS bh
         |  FROM sig CROSS JOIN range(0, 8) t(b)),
         |hs AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
-        |b AS (SELECT bands.doc_id, band_idx, bh, ch
-        |  FROM bands JOIN hs ON bands.doc_id = hs.doc_id
-        |  WHERE bands.doc_id % 4 = 0),
-        |c AS (SELECT bands.doc_id AS corpus_doc, band_idx, bh, ch AS cch
-        |  FROM bands JOIN hs ON bands.doc_id = hs.doc_id
-        |  WHERE bands.doc_id % 4 != 0),
+        |b AS (SELECT bands.doc_id, band_idx, bh
+        |  FROM bands WHERE bands.doc_id % 4 = 0),
+        |c AS (SELECT bands.doc_id AS corpus_doc, band_idx, bh
+        |  FROM bands WHERE bands.doc_id % 4 != 0),
+        |bb AS (SELECT doc_id, ch FROM hs WHERE doc_id % 4 = 0),
+        |ex AS (SELECT DISTINCT ch FROM hs WHERE doc_id % 4 != 0),
         |j AS (SELECT b.doc_id,
-        |   count(DISTINCT c.corpus_doc) AS n_corpus_matches,
-        |   coalesce(max(CASE WHEN c.cch = b.ch THEN 1 ELSE 0 END), 0) = 1
-        |     AS is_exact_dup
+        |   count(DISTINCT c.corpus_doc) AS n_corpus_matches
         |  FROM b LEFT JOIN c ON b.band_idx = c.band_idx AND b.bh = c.bh
         |  GROUP BY b.doc_id)
-        |SELECT doc_id, n_corpus_matches, is_exact_dup,
-        | CASE WHEN is_exact_dup THEN 'exact_dup'
+        |SELECT j.doc_id, n_corpus_matches,
+        | (ex.ch IS NOT NULL) AS is_exact_dup,
+        | CASE WHEN ex.ch IS NOT NULL THEN 'exact_dup'
         |      WHEN n_corpus_matches > 0 THEN 'near_dup'
         |      ELSE 'keep' END AS decision
-        |FROM j""".stripMargin,
+        |FROM j JOIN bb ON j.doc_id = bb.doc_id
+        |LEFT JOIN ex ON bb.ch = ex.ch""".stripMargin,
     // Closure oracle over the band graph. The naive formulation (doc-doc
     // clique edges per bucket + full transitive closure) is Σk² reach
     // pairs × clique degree — the regenerated corpus chains 96% of docs

@@ -518,15 +518,23 @@ object Dedup {
     * against the EXISTING corpus — the decision a continuously-
     * ingesting training pipeline runs per increment, without ever
     * re-pairing the corpus against itself. A batch doc is an exact
-    * dup if a corpus doc shares its content hash, a near dup if any
-    * corpus doc shares an LSH band bucket (identical docs share all
-    * 8 bands, so exact ⊂ near and one band join serves both).
-    * Output is linear in the batch: per doc, the count of corpus
-    * near-matches and a keep / near_dup / exact_dup decision.
+    * dup if a corpus doc shares its content hash (normalized text,
+    * [[dedupExact]]'s definition — checked DIRECTLY, so a
+    * case-variant twin is exact even when its un-normalized word set
+    * yields different minhash bands; the pre-r12 band-gated flag
+    * silently missed those), a near dup if any corpus doc shares an
+    * LSH band bucket. Output is linear in the batch: per doc, the
+    * count of corpus near-matches and a keep / near_dup / exact_dup
+    * decision (exact wins; an exact dup whose bands all differ can
+    * report n_corpus_matches = 0).
     * At 100 TB the corpus band index is precomputed and stored (it is
     * exactly [[dedupMinhash]]'s band relation); the daily batch side
     * is increment-sized, so the band join broadcasts it and the
-    * corpus streams past — no corpus-wide shuffle per increment.
+    * corpus streams past it. The r12 class-collapse adds two
+    * map-combinable aggregations over the stored index per increment
+    * (distinct class bands, class sizes) — see
+    * [[incrementalDecisions]] for why and for the production path
+    * that persists them pre-collapsed.
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -606,12 +614,23 @@ object Dedup {
     * class sizes — classes partition docs, so the sum IS the distinct
     * doc count), and the exact-dup flag moves to a separate
     * band0-only content-hash join (1 row per doc instead of 8, no
-    * 32-char hash strings riding the wide band join). The two
-    * class-collapsed corpus relations (distinct class bands, class
-    * sizes) are one map-combinable aggregation each over the cached /
-    * stored index — at 100 TB they are exactly what the stored index
-    * should persist pre-collapsed, since class sizes are additive
-    * across appends.
+    * 32-char hash strings riding the wide band join; this also FIXES
+    * the flag for case-variant twins whose un-normalized word sets
+    * band differently — the old band-gated max() never saw them).
+    *
+    * The honest cost of the collapse: the two class-collapsed corpus
+    * relations (distinct class bands, class sizes) are each one
+    * map-combinable aggregation over the cached/stored index, whose
+    * exchange is bounded by the number of DISTINCT (band, class)
+    * rows — collapse-sized on template corpora, but ≈ index-sized on
+    * a mostly-unique corpus, where the pre-r12 plan had ZERO corpus
+    * exchanges. Per-increment at 100 TB that trade is wrong to pay
+    * repeatedly: the production path persists the class-level
+    * relations IN the stored index (they are strictly smaller than
+    * the doc-level index, and class sizes are additive across
+    * appends, so both maintain incrementally); this method derives
+    * them on the fly because the test corpus is template-heavy and
+    * the derivation is one linear pass.
     */
   private[graft] def incrementalDecisions(batchBands: DataFrame,
                                           corpusBands: DataFrame): DataFrame = {
@@ -683,8 +702,12 @@ object Dedup {
         "left_semi")
       .distinct()
       .withColumn("m_exact_dup", lit(true))
+    // roster distinct: an at-least-once source can deliver a doc
+    // twice inside one micro-batch (two band0 rows) — the contract
+    // is ONE decision row per batch doc
     batchBands.filter($"band_idx" === 0)
       .select($"doc_id", $"sig_class", $"content_hash")
+      .distinct()
       .join(hinted(nearByClass), Seq("sig_class"), "left_outer")
       .join(hinted(exactHashes), Seq("content_hash"), "left_outer")
       .select($"doc_id",

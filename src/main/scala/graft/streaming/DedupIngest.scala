@@ -21,8 +21,13 @@ import graft.dedup.Dedup
   * Scale story (100 TB): the stored index is 8 small rows per corpus
   * document and the batch side is increment-sized, so the decision
   * join broadcasts the batch bands and STREAMS the corpus index past
-  * them — no corpus-wide shuffle per increment, identical to the
-  * batch operator's plan. Both writes are partitioned by the
+  * them, identical to the batch operator's plan. Since r12 the
+  * decision join additionally derives two class-collapsed corpus
+  * aggregates per increment (see
+  * [[graft.dedup.Dedup.incrementalDecisions]] — the hot-bucket
+  * defense and its honest cost; the production path persists them
+  * pre-collapsed in the index rather than re-deriving per
+  * micro-batch). Both writes are partitioned by the
   * micro-batch id with DYNAMIC partition overwrite: a batch replayed
   * after a crash rewrites its own partition instead of double-
   * appending, so the pipeline is idempotent (effectively exactly-once)

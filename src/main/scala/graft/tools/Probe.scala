@@ -30,5 +30,14 @@ object Probe {
       expr("cast(regexp_count(text, '[^a-z0-9 ]') as double)").as("n")))
     time("full_quality")(graft.text.TextAnalysis.txtQuality(spark, sfDir))
     time("full_repetition")(graft.text.TextAnalysis.txtRepetition(spark, sfDir))
+    if (sys.env.contains("SPARK_GRAFT_PROBE_INCR")) {
+      val bands = graft.dedup.Dedup.contentBands(docs)
+      time("content_bands")(bands)
+      val cached = bands.persist()
+      time("bands_cache_fill")(cached)
+      time("bands_cache_read")(cached)
+      time("full_incremental")(
+        graft.dedup.Dedup.dedupIncremental(spark, sfDir))
+    }
   }
 }

@@ -906,33 +906,40 @@ case class BpeCount(child: Expression)
   * array_min(slice(h, j+1, w)))` (txt_fingerprint's winnowing
   * window), which paid an interpreted lambda dispatch plus a slice
   * copy per window per row. Window j covers h[j .. min(j+w, n)-1]
-  * (truncated at the end exactly like slice), and a shorter-than-w
-  * array yields its single whole-array minimum — output element for
-  * element identical to the expression pipeline, so the DuckDB
-  * oracle replays unchanged.
+  * (truncated at the end exactly like slice), a shorter-than-w
+  * array yields its single whole-array minimum, array_min's null
+  * handling is preserved (null elements are skipped; an empty or
+  * all-null window yields a null element — so the empty-array input
+  * returns [null], exactly like the pipeline) — output element for
+  * element identical to the expression pipeline, property-specced
+  * on the edges, so the DuckDB oracle replays unchanged.
   */
 case class WindowMin(child: Expression, w: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(w >= 1)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val m = math.max(n - w, 0) + 1
-    val out = new Array[Long](m)
+    val out = new Array[Any](m)
     var i = 0
     while (i < m) {
       val end = math.min(i + w, n)
       var mn = Long.MaxValue
+      var seen = false
       var j = i
       while (j < end) {
-        val v = arr.getLong(j)
-        if (v < mn) mn = v
+        if (!arr.isNullAt(j)) {
+          val v = arr.getLong(j)
+          if (v < mn) mn = v
+          seen = true
+        }
         j += 1
       }
-      out(i) = mn
+      out(i) = if (seen) mn else null
       i += 1
     }
     new GenericArrayData(out)

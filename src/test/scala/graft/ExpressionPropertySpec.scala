@@ -295,4 +295,22 @@ class ExpressionPropertySpec extends AnyFunSuite {
       .where("a != b OR c != d")
     assert(badCorpus.count() == 0)
   }
+
+  test("window_min == the transform/slice/array_min pipeline incl. empty and null edges") {
+    import spark.implicits._
+    val pipeline = "transform(sequence(0, greatest(size(h)-4, 0)), " +
+      "j -> array_min(slice(h, j+1, 4)))"
+    val rnd = new scala.util.Random(29)
+    val cases: Seq[Seq[java.lang.Long]] =
+      Seq(Seq.empty[java.lang.Long], Seq(7L: java.lang.Long),
+        Seq[java.lang.Long](null, null), Seq[java.lang.Long](3L, null, 1L),
+        Seq[java.lang.Long](null, 5L, null, null, 2L, null)) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextInt(5) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong())))
+    val df = cases.map(Tuple1(_)).toDF("h")
+    val bad = df.selectExpr("graft_window_min(h, 4) AS a", s"$pipeline AS b")
+      .where("NOT (a <=> b)")
+    assert(bad.count() == 0, bad.take(3).mkString(";"))
+  }
 }

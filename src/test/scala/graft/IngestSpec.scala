@@ -261,4 +261,30 @@ class IngestSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("sig_class"))
   }
+
+  test("case-variant twin is an exact dup even when its bands differ") {
+    import spark.implicits._
+    // content_hash normalizes (lower/trim) but the minhash word set
+    // does not, so these two share the hash and NOT the band set —
+    // the pre-r12 band-gated flag silently missed them
+    val batch  = Seq((4L, "Alpha Beta Gamma Delta Epsilon")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val d = graft.dedup.Dedup.incrementalDecisions(
+        graft.dedup.Dedup.contentBands(batch),
+        graft.dedup.Dedup.contentBands(corpus))
+      .select("doc_id", "is_exact_dup", "decision")
+      .as[(Long, Boolean, String)].collect()
+    assert(d.toSeq == Seq((4L, true, "exact_dup")))
+  }
+
+  test("a doc delivered twice in one batch still emits one decision row") {
+    import spark.implicits._
+    val batch = Seq((4L, "some words here"), (4L, "some words here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, "other text entirely")).toDF("doc_id", "text")
+    val d = graft.dedup.Dedup.incrementalDecisions(
+      graft.dedup.Dedup.contentBands(batch),
+      graft.dedup.Dedup.contentBands(corpus))
+    assert(d.count() == 1)
+  }
 }

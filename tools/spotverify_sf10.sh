@@ -49,11 +49,12 @@ R=${1:?round tag, e.g. r09}
 # (salted-join strategy swap), q_approx_percentile (single-sketch
 # array form), txt_tokens/txt_quality/txt_repetition (native
 # PunctCount/BpeCount/ShingleMd5 scans; outputs 5 / 500k / 500k rows,
-# linear replays), pipeline_curate (ShingleMd5 trigram gate), and the
-# new txt_heaps_law. dedup_incremental's rework is NOT here: its
+# linear replays), pipeline_curate (ShingleMd5 trigram gate),
+# txt_fingerprint (native WindowMin winnowing), and the new
+# txt_heaps_law. dedup_incremental's rework is NOT here: its
 # oracle replays 64-slot minhash in interpreted HUGEINT (the excluded
 # family); its restructure is hash-gated at 3 SFs instead.
-SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law"
+SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
