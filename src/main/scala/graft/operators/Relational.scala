@@ -342,33 +342,55 @@ object Relational {
     f.intersect(open).select($"o_custkey".as("c_custkey"))
   }
 
-  /** Sketch-based percentiles: `approx_percentile` (Greenwald-Khanna)
-    * — the mergeable-summary path that replaces exact percentiles at
-    * 100 TB. At accuracy 10⁷ the summary's error band stays below one
-    * rank for any test-scale group (2·n/accuracy < 1 until n ≈ 5M),
-    * so the sketch answers EXACTLY the element at 1-based rank
-    * ⌈q·n⌉ — which is what the SQL oracle computes, making this
-    * hash-checked rather than rows-only. At 100 TB the same code is
-    * the honest sketch (mergeable partials, bounded memory), just with
-    * nonzero error. RelationalSpec additionally bounds the error
-    * against the interpolated [[qPercentiles]].
+  /** Per-group rank percentiles (p50/p90 of order price by status),
+    * answered from a distinct-VALUE histogram like [[qQuantileBuckets]]:
+    * the percentile at 1-based rank ⌈q·n⌉ is the smallest value whose
+    * cumulative count reaches the rank, and prices quantized to cents
+    * keep the value domain tiny relative to the rows (≈150K distinct
+    * under sf10's 15M orders), so the per-status window runs over the
+    * histogram, never the facts. The rank tests are pure integer
+    * cross-multiplications (2·cum ≥ n ⟺ cum ≥ ⌈n/2⌉) — exact at every
+    * SF. The previous exact plan was the Greenwald-Khanna sketch at
+    * accuracy 10⁷ (error < 1 rank only until n ≈ 5M); it cost 15.3 s
+    * at sf10 vs ~1 s here AND its rank guarantee dies just past sf10
+    * group sizes, so the histogram is both the faster and the more
+    * scalable exact path. For a genuinely continuous value domain set
+    * spark.graft.quantileAccuracy to fall back to the mergeable
+    * sketch at that accuracy — the same escape hatch as
+    * [[qQuantileBuckets]]. RelationalSpec additionally bounds the
+    * sketch fallback's error against the interpolated [[qPercentiles]].
     */
   def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, sfDir)
-      .groupBy($"o_orderstatus")
-      // ONE sketch for both quantiles: the array form queries the
-      // same Greenwald-Khanna summary twice instead of building two
-      // (at accuracy 10⁷ the build dominates; measured 32.0 → 16.0 s
-      // at sf10, per-quantile results bit-identical)
-      .agg(
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000000)")
-          .as("aps"),
-        count(lit(1)).as("n_orders"))
-      .select($"o_orderstatus",
-        round($"aps".getItem(0), 2).as("ap50"),
-        round($"aps".getItem(1), 2).as("ap90"),
-        $"n_orders")
+    val o = Tables.orders(spark, sfDir)
+    val accuracy = spark.conf.get("spark.graft.quantileAccuracy", "")
+    if (accuracy.nonEmpty) {
+      // continuous-domain fallback: ONE sketch for both quantiles
+      // (the array form queries the same summary twice; at accuracy
+      // 10⁷ the build dominates — measured 32.0 → 16.0 s at sf10)
+      o.groupBy($"o_orderstatus")
+        .agg(
+          expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), ${accuracy.toLong})")
+            .as("aps"),
+          count(lit(1)).as("n_orders"))
+        .select($"o_orderstatus",
+          round($"aps".getItem(0), 2).as("ap50"),
+          round($"aps".getItem(1), 2).as("ap90"),
+          $"n_orders")
+    } else {
+      val h = o.groupBy($"o_orderstatus", $"o_totalprice")
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nW = Window.partitionBy($"o_orderstatus")
+      h.withColumn("cum", sum($"cnt").over(cumW))
+        .withColumn("n", sum($"cnt").over(nW))
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(min(when($"cum" * 2 >= $"n", $"o_totalprice")), 2).as("ap50"),
+          round(min(when($"cum" * 10 >= $"n" * 9, $"o_totalprice")), 2).as("ap90"),
+          max($"n").as("n_orders"))
+    }
   }
 
   /** TPC-H Q14-shaped promotion effect: lineitem ⋈ broadcast(part)

@@ -80,18 +80,20 @@ class RelationalSpec extends AnyFunSuite {
       }
   }
 
-  test("GK sketch groups stay inside the exact-rank bound the oracle assumes") {
-    // the hash-checked oracle for q_approx_percentile / the
-    // q_quantile_buckets boundaries is only valid while the sketch's
-    // error band is under one rank: 2n/accuracy < 1, i.e. n < 5M per
-    // group at accuracy 1e7. If a verification SF ever crosses this,
-    // the oracle must downgrade to the error-bounded check — this
-    // test is the tripwire.
+  test("sketch fallback (quantileAccuracy knob) agrees with the exact histogram path") {
+    // the default path is the exact distinct-value histogram (valid
+    // at any group size); the knob re-selects the mergeable GK
+    // sketch for continuous domains. While 2n/accuracy < 1 the
+    // sketch answers the identical ⌈q·n⌉-rank element — pin the two
+    // paths against each other at the test SF so neither can drift.
     import spark.implicits._
-    val maxGroup = Relational.qApproxPercentile(spark, sf)
-      .agg(max($"n_orders")).as[Long].head()
-    assert(maxGroup < 5000000L,
-      s"group of $maxGroup rows exceeds the GK exactness bound; " +
-      "the rank-window oracle is no longer valid at this SF")
+    val exact = Relational.qApproxPercentile(spark, sf)
+      .orderBy($"o_orderstatus").collect().toSeq
+    spark.conf.set("spark.graft.quantileAccuracy", "10000000")
+    try {
+      val sketch = Relational.qApproxPercentile(spark, sf)
+        .orderBy($"o_orderstatus").collect().toSeq
+      assert(sketch == exact)
+    } finally spark.conf.unset("spark.graft.quantileAccuracy")
   }
 }
