@@ -64,6 +64,9 @@ object SparkEntry {
     "q15_top_supplier"     -> (Relational.q15TopSupplier _),
     "q17_small_quantity"   -> (Relational.q17SmallQuantity _),
     "q_mode"               -> (Relational.qMode _),
+    "q11_important_stock"  -> (Relational.q11ImportantStock _),
+    "q_window_range"       -> (Relational.qWindowRange _),
+    "q_median_mad"         -> (Relational.qMedianMad _),
     "q_stats"              -> (Analytics.qStats _),
     "q_grouping_sets"      -> (Analytics.qGroupingSets _),
     "q_unpivot"            -> (Analytics.qUnpivot _),
@@ -2261,6 +2264,56 @@ object SparkEntry {
         |   ORDER BY n DESC, o_orderstatus) AS rn FROM c)
         |SELECT o_orderpriority, o_orderstatus AS modal_status,
         | n AS n_orders FROM r WHERE rn = 1""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pp AS (SELECT l_partkey,
+        |   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM pp)
+        |SELECT l_partkey, value_cents FROM pp CROSS JOIN t
+        |WHERE value_cents > total_cents // 10000""".stripMargin,
+    "q_window_range" ->
+      """WITH o AS (SELECT o_custkey,
+        |   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |   CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (SELECT o_custkey,
+        |   sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS trail_cents
+        |  FROM o)
+        |SELECT o_custkey, CAST(max(trail_cents) AS BIGINT) AS peak_90d_cents,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_median_mad" ->
+      """WITH h AS (SELECT o_orderpriority,
+        |   CAST(round(o_totalprice*100) AS BIGINT) AS cents, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT o_orderpriority, cents, cnt,
+        |   sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h),
+        |med AS (SELECT o_orderpriority,
+        |   CAST(min(CASE WHEN cum*2 >= n THEN cents END) AS BIGINT)
+        |     AS median_cents,
+        |   CAST(max(n) AS BIGINT) AS n_orders
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT h.o_orderpriority, abs(h.cents - m.median_cents) AS dev,
+        |   CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |  FROM h JOIN med m ON h.o_orderpriority = m.o_orderpriority
+        |  GROUP BY 1, 2),
+        |dc AS (SELECT o_orderpriority, dev, cnt,
+        |   sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY dev
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM d),
+        |mad AS (SELECT o_orderpriority,
+        |   CAST(min(CASE WHEN cum*2 >= n THEN dev END) AS BIGINT) AS mad_cents
+        |  FROM dc GROUP BY 1)
+        |SELECT m.o_orderpriority, m.median_cents, mad.mad_cents, m.n_orders
+        |FROM med m JOIN mad ON m.o_orderpriority = mad.o_orderpriority""".stripMargin,
     "sim_sq_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

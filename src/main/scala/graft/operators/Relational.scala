@@ -1075,4 +1075,98 @@ object Relational {
       .select($"o_orderpriority", $"o_orderstatus".as("modal_status"),
               $"n".as("n_orders"))
   }
+
+  /** TPC-H Q11 shape (important stock): per-part shipped value for
+    * one nation's suppliers, kept only where the part's value exceeds
+    * a fixed fraction (1/10000) of that nation's grand total — the
+    * group-HAVING-against-a-global-scalar pattern. The fact scans
+    * once: the per-part aggregate feeds both the grand total (a
+    * second metadata-sized aggregate over the ≤|part| relation, NOT a
+    * second fact scan) and the threshold filter, with the one-row
+    * total broadcast. Money stays exact as integer cents × integer
+    * quantity (`CAST(round(px*100) AS BIGINT) * qty` — recipe from
+    * the q1 family); the threshold compare is integer division on
+    * both engines (`total div 10000`), never a float fraction.
+    * No partsupp table exists in this corpus, so shipped lineitem
+    * value stands in for supply-cost × availqty — the plan shape
+    * (fact → filtered dim broadcast → two-level aggregate → scalar
+    * threshold) is Q11's.
+    */
+  def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 3)
+      .select($"s_suppkey")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")
+               * $"l_quantity".cast("long")).as("value_cents"))
+    val total = perPart.agg(sum($"value_cents").as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"value_cents" > expr("total_cents div 10000"))
+      .select($"l_partkey", $"value_cents")
+  }
+
+  /** RANGE-frame window (trailing 90-day spend): each order sees the
+    * same customer's order value over the preceding 90 DAYS (an
+    * event-time range, not a row count — the frame a rolling-spend /
+    * fraud-velocity feature needs), reported as each customer's peak
+    * trailing window. The window partitions by customer — millions of
+    * small independent partitions, the scale-safe window shape (never
+    * a global sort); the range key is days-since-epoch so the frame
+    * bound is pure integer arithmetic. Money is exact integer cents.
+    */
+  def qWindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey",
+        datediff($"o_orderdate", lit("1970-01-01")).as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-90, 0)
+    o.withColumn("trail_cents", sum($"cents").over(w))
+      .groupBy($"o_custkey")
+      .agg(max($"trail_cents").as("peak_90d_cents"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  /** Robust statistics (median + median absolute deviation) per order
+    * priority, both answered from distinct-value histograms — the
+    * [[qApproxPercentile]] rank recipe applied twice: pass 1 finds
+    * each group's exact ⌈n/2⌉-rank median over the cents histogram;
+    * the 5-row median relation broadcasts back onto the SAME
+    * histogram (not the fact table) to build the |value−median|
+    * deviation histogram, and pass 2 ranks that for the MAD. Cost is
+    * bounded by value cardinality at every step; all arithmetic is
+    * integer cents, so the result is exact and engine-independent.
+    */
+  def qMedianMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    def rankMin(hist: DataFrame, valueCol: String): DataFrame = {
+      val cumW = Window.partitionBy($"o_orderpriority").orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nW = Window.partitionBy($"o_orderpriority")
+      hist.withColumn("cum", sum($"cnt").over(cumW))
+        .withColumn("n", sum($"cnt").over(nW))
+        .groupBy($"o_orderpriority")
+        .agg(min(when($"cum" * 2 >= $"n", col(valueCol))).as("med"),
+             max($"n").as("n"))
+    }
+    val med = rankMin(h, "cents")
+      .select($"o_orderpriority", $"med".as("median_cents"), $"n")
+    val dev = h.join(broadcast(med), Seq("o_orderpriority"))
+      .groupBy($"o_orderpriority",
+        abs($"cents" - $"median_cents").as("dev"))
+      .agg(sum($"cnt").as("cnt"))
+    val mad = rankMin(dev, "dev")
+      .select($"o_orderpriority", $"med".as("mad_cents"))
+    med.join(mad, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"median_cents", $"mad_cents",
+              $"n".as("n_orders"))
+  }
 }
