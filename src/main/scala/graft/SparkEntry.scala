@@ -125,6 +125,7 @@ object SparkEntry {
     "txt_entropy"          -> (graft.text.TextAnalysis.txtEntropy _),
     "txt_gopher_rules"     -> (graft.text.TextAnalysis.txtGopherRules _),
     "txt_heaps_law"        -> (graft.text.TextAnalysis.txtHeapsLaw _),
+    "txt_zipf"             -> (graft.text.TextAnalysis.txtZipf _),
     "txt_ccnet_buckets"    -> (graft.text.TextAnalysis.txtCcnetBuckets _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "dedup_cross_source"   -> (graft.dedup.Dedup.dedupCrossSource _),
     "pipeline_decontam"    -> (graft.dedup.Dedup.pipelineDecontam _),
     "dedup_paragraph"      -> (graft.dedup.Dedup.dedupParagraph _),
+    "dedup_boilerplate"    -> (graft.dedup.Dedup.dedupBoilerplate _),
     "dedup_semantic"       -> (graft.dedup.Dedup.dedupSemantic _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
@@ -340,6 +342,24 @@ object SparkEntry {
         | CASE WHEN coalesce(agg.n_blocks, 0) = 0 THEN 0
         |   ELSE (10000 * agg.removed_blocks) // agg.n_blocks END AS removed_bp
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "dedup_boilerplate" ->
+      """WITH w AS (SELECT source, doc_id,
+        |   string_split_regex(trim(text), ' +') AS ws FROM documents),
+        |b AS (SELECT source, doc_id,
+        |   CAST(md5_number_lower(array_to_string(list_slice(ws,
+        |     CAST(t.bi*10+1 AS INT), CAST(t.bi*10+10 AS INT)), ' '))
+        |     % 9223372036854775808 AS BIGINT) AS h
+        |  FROM w, LATERAL unnest(range(len(ws)//10)) AS t(bi)
+        |  WHERE len(ws) >= 10),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM b GROUP BY 1),
+        |hs AS (SELECT h, source, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_blocks,
+        |   CAST(sum(CASE WHEN n_docs >= 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |     AS bp_blocks
+        |  FROM hs JOIN nd USING (h) GROUP BY 1)
+        |SELECT source, total_blocks, bp_blocks,
+        | CAST((10000 * bp_blocks) // total_blocks AS BIGINT) AS bp_share_bp
+        |FROM a""".stripMargin,
     "pipeline_cap" ->
       """WITH d AS (SELECT doc_id, source,
         |   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
@@ -465,6 +485,22 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS cum_types
         |FROM db LEFT JOIN nt ON db.bucket = nt.bucket""".stripMargin,
+    "txt_zipf" ->
+      """WITH w AS (SELECT source, unnest(string_split_regex(trim(text),
+        |   ' +')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS freq FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY freq DESC, term) AS rank FROM c),
+        |p AS (SELECT source,
+        |   CAST(round(ln(rank)*1000) AS BIGINT) AS x,
+        |   CAST(round(ln(freq)*1000) AS BIGINT) AS y
+        |  FROM r WHERE rank <= 512),
+        |a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x*y) AS sxy, sum(x*x) AS sxx FROM p GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        | CAST((10000 * (sx*sy - n*sxy)) // (n*sxx - sx*sx) AS BIGINT)
+        |   AS slope_neg_e4
+        |FROM a""".stripMargin,
     "txt_gopher_rules" ->
       """WITH d AS (SELECT source,
         |   string_split_regex(trim(text), ' +') AS words FROM documents),

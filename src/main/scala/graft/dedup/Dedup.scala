@@ -1061,4 +1061,41 @@ object Dedup {
     affected.unionByName(clean)
       .withColumn("removed_bp", expr("(10000 * removed_tokens) div n_tokens"))
   }
+
+  /** Cross-document boilerplate profile (the CCNet/RefinedWeb
+    * line-level dedup gate): a 10-word block occurring in ≥ 5
+    * DISTINCT documents is boilerplate (headers, footers, template
+    * text), and the gate removes EVERY occurrence — unlike
+    * [[dedupParagraph]], which keeps first occurrences and drops only
+    * later copies. Reported per source as block totals and the
+    * basis-point boilerplate share, the knob a curation run turns
+    * before committing to block-level removal.
+    *
+    * Plan shape: the corpus-sized shingle stream reduces to its
+    * block-hash DOMAIN twice (distinct-doc count per hash; per-(hash,
+    * source) occurrence counts — both map-side-combinable), and the
+    * decision join runs hash-domain ⋈ hash-domain. Corpus-linear,
+    * never doc×doc; no pair list is ever materialized.
+    */
+  def dedupBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blocks = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .filter(size($"words") >= 10)
+      .select($"source", $"doc_id",
+        explode(expr(
+          "transform(sequence(0, cast(size(words) div 10 as int) - 1), " +
+            "b -> graft_md5lower64(array_join(slice(words, b*10+1, 10), ' ')))"))
+          .as("h"))
+    val nd = blocks.select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("n_docs"))
+    val hs = blocks.groupBy($"h", $"source").agg(count(lit(1)).as("cnt"))
+    hs.join(nd, Seq("h"))
+      .groupBy($"source")
+      .agg(sum($"cnt").as("total_blocks"),
+           sum(when($"n_docs" >= 5, $"cnt").otherwise(0L)).as("bp_blocks"))
+      .select($"source", $"total_blocks", $"bp_blocks",
+        expr("CAST((10000 * bp_blocks) div total_blocks AS BIGINT)")
+          .as("bp_share_bp"))
+  }
 }

@@ -802,4 +802,39 @@ object TextAnalysis {
       .withColumn("new_types", coalesce($"new_types", lit(0L)))
       .withColumn("cum_types", sum($"new_types").over(w))
   }
+
+  /** Zipf rank-frequency fit per source: the least-squares slope of
+    * ln(freq) against ln(rank) over each source's top-512 terms — the
+    * corpus-health diagnostic (natural text ≈ −1; template/spam skews
+    * shallower or steeper). Determinism is the float-exactness
+    * recipe: each transcendental is rounded ONCE per (rank, freq)
+    * entry to an integer (e3), every downstream moment (Σx, Σy, Σxy,
+    * Σx²) is exact integer arithmetic, and the slope ships as ONE
+    * integer division of cross-multiplied sums — negated to keep both
+    * operands positive, because Spark's `div` truncates while
+    * DuckDB's `//` floors and the two only agree on non-negatives.
+    * The rank window runs over the per-source VOCABULARY (the
+    * value-domain-bounded window shape, like the histogram
+    * percentiles), never the token stream; the corpus-sized work is
+    * the one map-side-combinable term count.
+    */
+  def txtZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select($"source", explode(expr("split(trim(text), ' +')")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy($"source").orderBy($"freq".desc, $"term")
+    val pts = tf.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 512)
+      .select($"source",
+        round(log($"rank".cast("double")) * 1000).cast("long").as("x"),
+        round(log($"freq".cast("double")) * 1000).cast("long").as("y"))
+    pts.groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+           sum($"x").as("sx"), sum($"y").as("sy"),
+           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"n_terms",
+        expr("(10000 * (sx*sy - n_terms*sxy)) div (n_terms*sxx - sx*sx)")
+          .as("slope_neg_e4"))
+  }
 }
