@@ -102,6 +102,7 @@ object SparkEntry {
     "evt_transitions"      -> (Events.evtTransitions _),
     "evt_out_of_order"     -> (Events.evtOutOfOrder _),
     "evt_rate_limit"       -> (Events.evtRateLimit _),
+    "evt_interarrival"     -> (Events.evtInterarrival _),
     "evt_log_integrity"    -> (Events.evtLogIntegrity _),
     "evt_concurrency"      -> (Events.evtConcurrency _),
     // text analysis
@@ -195,6 +196,8 @@ object SparkEntry {
     "graph_triangles"      -> (graft.graph.Graph.graphTriangles _),
     "graph_pagerank"       -> (graft.graph.Graph.graphPagerank _),
     "graph_degree_hist"    -> (graft.graph.Graph.graphDegreeHist _),
+    "graph_jaccard"        -> ((s: SparkSession, d: String) =>
+                                 graft.graph.Graph.graphJaccard(s, d)),
     "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
@@ -205,6 +208,7 @@ object SparkEntry {
     "mm_phash_pairs"       -> (graft.multimodal.Multimodal.mmPhashPairs _),
     "mm_phash_pair_stats"  -> (graft.multimodal.Multimodal.mmPhashPairStats _),
     "mm_phash_clusters"    -> (graft.multimodal.Multimodal.mmPhashClusters _),
+    "mm_chunk_refcount"    -> (graft.multimodal.Multimodal.mmChunkRefcount _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -2085,6 +2089,51 @@ object SparkEntry {
         |SELECT event_id, event_type, round(value, 2) AS value
         |FROM events JOIN s ON event_type = t
         |WHERE value > mu + 3 * sigma""".stripMargin,
+    "evt_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |   epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |   us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |     AS gap_us
+        |  FROM e),
+        |b AS (SELECT event_type,
+        |   CASE WHEN gap_us < 1000000 THEN 'a_lt_1s'
+        |        WHEN gap_us < 10000000 THEN 'b_1_10s'
+        |        WHEN gap_us < 60000000 THEN 'c_10_60s'
+        |        WHEN gap_us < 600000000 THEN 'd_1_10min'
+        |        ELSE 'e_ge_10min' END AS bucket, gap_us
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+        | CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        | CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "graph_jaccard" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        |sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+        |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |cn AS (SELECT e1.a AS u, e2.a AS v2, count(*) AS common
+        |  FROM sym e1 JOIN sym e2 ON e1.b = e2.b AND e1.a < e2.a
+        |  GROUP BY 1, 2),
+        |j AS (SELECT common, du.deg + dv.deg - common AS un
+        |  FROM cn JOIN deg du ON cn.u = du.a JOIN deg dv ON cn.v2 = dv.a)
+        |SELECT CAST(((10000 * common) // un) // 1000 AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1""".stripMargin,
+    "mm_chunk_refcount" ->
+      """WITH c AS (SELECT unnest(list_transform(
+        |   range(0, CAST(greatest(1, ceil(length(text)/64.0)) AS INT)),
+        |   i -> substr(text, i*64 + 1, 64))) AS chunk
+        |  FROM documents),
+        |h AS (SELECT md5(chunk) AS h, count(*) AS refcount,
+        |   CAST(max(length(chunk)) AS BIGINT) AS chunk_bytes
+        |  FROM c GROUP BY 1)
+        |SELECT refcount, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum((refcount - 1) * chunk_bytes) AS BIGINT) AS dup_bytes
+        |FROM h GROUP BY 1""".stripMargin,
     "mm_chunk_dedup" ->
       """WITH c AS (SELECT source, unnest(list_transform(
         |   range(0, CAST(greatest(1, ceil(length(text)/64.0)) AS INT)),

@@ -207,4 +207,82 @@ object Graph {
       .withColumn("degree", coalesce($"degree", lit(0L)))
       .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** Jaccard link prediction over the near-dup graph, reported as a
+    * decile histogram: for every node pair sharing ≥ 1 neighbor,
+    * jaccard = |N(u)∩N(v)| / |N(u)∪N(v)| in basis points, bucketed by
+    * thousands (bucket = bp div 1000) and counted. The naive plan —
+    * sym ⋈ sym on the shared neighbor — is Σdeg² rows, and on a
+    * clone-heavy corpus (the GenScale bench data turns every vector
+    * into a ~100-way clique) that is quadratic in clone multiplicity.
+    * So the computation runs in CLONE-CLASS space instead (the
+    * dedup-to-representatives rule, same as `mmPhashClusters`):
+    * identical (label, vector) rows form an equivalence class with
+    * interchangeable neighborhoods, class-level edges come from the
+    * same cell generator + round(·,4) ≥ 0.35 predicate as
+    * [[graft.dedup.Dedup.dedupEmbed]], and every node-level quantity
+    * is recovered exactly by size algebra:
+    *   deg(a∈A)      = s_A − 1 + m_A          (m_A = Σ_{B~A} s_B)
+    *   same-class    = s_A − 2 + m_A common, s_A + m_A union,
+    *                   C(s_A,2) pairs
+    *   cross-class   = Σ_{C~A, C~B} s_C + [A~B](s_A + s_B − 2)
+    *                   common, deg_u + deg_v − common union,
+    *                   s_A·s_B pairs
+    * With all-distinct vectors (the oracle corpora) every class is a
+    * singleton and the algebra degenerates to the naive node-space
+    * definition, which is what the DuckDB oracle computes;
+    * GraphSpec pins the clone algebra against a hand-computed
+    * clique fixture. Join work is class-domain sized throughout.
+    */
+  def graphJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graphJaccard(Tables.embeddings(spark, sfDir))
+
+  def graphJaccard(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cls = emb.withColumn("v", col("embedding").cast("array<double>"))
+      .groupBy($"label", $"v")
+      .agg(min($"vec_id").as("cls"), count(lit(1)).as("sz"))
+      .persist() // class domain: ≤ |distinct vectors|, reused 4×
+    val ce = cls.groupBy($"label")
+      .agg(collect_list(struct($"cls".as("vec_id"), $"v")).as("vecs"))
+      .select(graft.functions.cellSimPairs($"vecs", 0.35 - 1e-4)
+        .as(Seq("a", "b", "cos")))
+      .filter(round($"cos", 4) >= 0.35)
+      .select($"a", $"b")
+    val sym = ce.union(ce.select($"b".as("a"), $"a".as("b"))).persist()
+    val szs = cls.select($"cls", $"sz")
+    // m_A: neighbor-class size sum (0 for isolated classes via the
+    // left join at the consumers)
+    val m = sym.join(szs.withColumnRenamed("cls", "nb"), $"b" === $"nb")
+      .groupBy($"a").agg(sum($"sz").as("m"))
+    val withM = szs.join(m.withColumnRenamed("a", "cls"), Seq("cls"), "left_outer")
+      .withColumn("m", coalesce($"m", lit(0L)))
+    // shared-neighbor mass per class pair (x < y by class id)
+    val shared = sym.select($"a".as("x"), $"b".as("c"))
+      .join(sym.select($"a".as("y"), $"b".as("c")), Seq("c"))
+      .filter($"x" < $"y")
+      .join(szs.withColumnRenamed("cls", "c"), Seq("c"))
+      .groupBy($"x", $"y").agg(sum($"sz").as("common0"))
+    val adj = ce.select(least($"a", $"b").as("x"),
+                        greatest($"a", $"b").as("y"), lit(1L).as("isadj"))
+    val cand = shared.join(adj, Seq("x", "y"), "full_outer")
+      .na.fill(0L, Seq("common0", "isadj"))
+    val sx = withM.select($"cls".as("x"), $"sz".as("sx"), $"m".as("mx"))
+    val sy = withM.select($"cls".as("y"), $"sz".as("sy"), $"m".as("my"))
+    val cross = cand.join(sx, Seq("x")).join(sy, Seq("y"))
+      .withColumn("common", $"common0" + $"isadj" * ($"sx" + $"sy" - 2))
+      .filter($"common" >= 1)
+      .withColumn("un",
+        ($"sx" - 1 + $"mx") + ($"sy" - 1 + $"my") - $"common")
+      .select($"common", $"un", ($"sx" * $"sy").as("n_pairs"))
+    val same = withM.filter($"sz" >= 2)
+      .withColumn("common", $"sz" - 2 + $"m")
+      .filter($"common" >= 1)
+      .select($"common", ($"sz" + $"m").as("un"),
+              expr("(sz * (sz - 1)) div 2").as("n_pairs"))
+    cross.unionByName(same)
+      .groupBy(expr("((10000 * common) div un) div 1000").as("bucket"))
+      .agg(sum($"n_pairs").as("n_pairs"))
+  }
 }

@@ -270,4 +270,31 @@ object Multimodal {
       .select($"comp".as("cluster_rep"), $"cluster_size", $"max_doc_id")
   }
 
+  /** Chunk reference-count histogram — the content-addressable-store
+    * sizing twin of [[mmChunkDedup]]: how many 64-byte chunks occur
+    * exactly k times across the corpus, and how many bytes
+    * deduplicated storage saves at each k (`(k−1) × chunk bytes`).
+    * The CAS capacity-planning query: a fat head at k=1 means
+    * chunking buys nothing; mass at high k is shared template bytes.
+    * Chunk hashes reduce per-row (no pair materialization); two
+    * map-side-combinable aggregates (hash domain, then refcount
+    * domain ≤ max multiplicity) after the per-row explode.
+    */
+  def mmChunkRefcount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withBlob(Tables.documents(spark, sfDir))
+      .withColumn("n_chunks_doc",
+        greatest(lit(1L), ceil(length($"text") / lit(64.0))))
+      .withColumn("chunk", explode(expr(
+        "transform(sequence(0, cast(n_chunks_doc as int) - 1)," +
+          " i -> substring(text, i*64 + 1, 64))")))
+      .groupBy(md5($"chunk").as("h"))
+      .agg(count(lit(1)).as("refcount"),
+           // chunk contents are equal within a hash group, so any
+           // group member's length is THE chunk length
+           max(length($"chunk")).cast("long").as("chunk_bytes"))
+      .groupBy($"refcount")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(($"refcount" - 1) * $"chunk_bytes").as("dup_bytes"))
+  }
 }

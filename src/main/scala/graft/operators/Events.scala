@@ -601,4 +601,35 @@ object Events {
            count(when($"rn" > 3, 1)).as("n_throttled"),
            round(sum(when($"rn" <= 3, $"value")), 2).as("kept_value"))
   }
+
+  /** Inter-arrival time analysis: the gap between a user's
+    * consecutive events, bucketed on a log-ish scale and profiled per
+    * the LATER event's type — the arrival-process diagnostic behind
+    * rate-limit tuning and session-gap threshold choices (the 30-min
+    * cut [[evtSessionize]] hard-codes is exactly a decision this
+    * histogram informs). Gaps are integer MICROSECONDS end to end
+    * (`unix_micros`, the ns/µs-safe path — never raw ts compares);
+    * window partitions by user (millions of small independent
+    * partitions), ties broken by event_id; one map-side-combinable
+    * count per (type, bucket) after the window.
+    */
+  def evtInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id",
+              unix_micros($"ts").as("us"))
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .withColumn("bucket",
+        when($"gap_us" < 1000000L, "a_lt_1s")
+          .when($"gap_us" < 10000000L, "b_1_10s")
+          .when($"gap_us" < 60000000L, "c_10_60s")
+          .when($"gap_us" < 600000000L, "d_1_10min")
+          .otherwise("e_ge_10min"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+           min($"gap_us").as("min_gap_us"),
+           max($"gap_us").as("max_gap_us"))
+  }
 }

@@ -316,6 +316,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"recall $recall too low")
   }
 
+  test("graph jaccard: clone-class algebra matches the hand-computed clique fixture") {
+    import spark.implicits._
+    // the oracle corpora have all-distinct vectors (singleton classes),
+    // so the clone branch of the class algebra — the branch the sf10
+    // GenScale bench actually exercises — is pinned here instead:
+    // A=(1,0)x3 ~ B=(.8,.6)x2 ~ C=(.2,.98)x1, A!~C (cos .2 < .35),
+    // plus an other-label clone of A that must contribute nothing.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0), 0), (1L, v(1, 0), 0), (2L, v(1, 0), 0),
+      (10L, v(0.8, 0.6), 0), (11L, v(0.8, 0.6), 0),
+      (20L, v(0.2, 0.98), 0),
+      (30L, v(1, 0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.graph.Graph.graphJaccard(emb)
+      .as[(Long, Long)].collect().toMap
+    // node-space hand computation: within-A pairs (3) j=6000;
+    // within-B (1) j=6666; AxB (6) j=5000; AxC (3) j=5000 via the
+    // shared neighbor class B despite A!~C; BxC (2) j=1666
+    assert(got == Map(6L -> 4L, 5L -> 9L, 1L -> 2L))
+  }
+
   test("graph components: edges never cross components, reps are member minima") {
     import spark.implicits._
     val comp = graft.graph.Graph.graphComponents(spark, sf)
