@@ -240,9 +240,13 @@ object Graph {
   def graphJaccard(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cls = emb.withColumn("v", col("embedding").cast("array<double>"))
-      .groupBy($"label", $"v")
+    // group on the RAW float vectors (half the shuffle payload of the
+    // double cast) and widen to double only on the class reps — the
+    // cast runs on |classes| rows, not the corpus
+    val cls = emb.groupBy($"label", $"embedding")
       .agg(min($"vec_id").as("cls"), count(lit(1)).as("sz"))
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .drop("embedding")
       .persist() // class domain: ≤ |distinct vectors|, reused 4×
     val ce = cls.groupBy($"label")
       .agg(collect_list(struct($"cls".as("vec_id"), $"v")).as("vecs"))
