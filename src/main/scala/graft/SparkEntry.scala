@@ -209,6 +209,7 @@ object SparkEntry {
     "mm_phash_pair_stats"  -> (graft.multimodal.Multimodal.mmPhashPairStats _),
     "mm_phash_clusters"    -> (graft.multimodal.Multimodal.mmPhashClusters _),
     "mm_chunk_refcount"    -> (graft.multimodal.Multimodal.mmChunkRefcount _),
+    "mm_blob_pack"         -> (graft.multimodal.Multimodal.mmBlobPack _),
   )
 
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
@@ -2123,6 +2124,21 @@ object SparkEntry {
         |SELECT CAST(((10000 * common) // un) // 1000 AS BIGINT) AS bucket,
         | CAST(count(*) AS BIGINT) AS n_pairs
         |FROM j GROUP BY 1""".stripMargin,
+    "mm_blob_pack" ->
+      """WITH d AS (SELECT doc_id, source, doc_id // 1000 AS shard,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents),
+        |c AS (SELECT *, coalesce(sum(bytes) OVER (
+        |   PARTITION BY source, shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS cum_before
+        |  FROM d)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        | CAST(cum_before // 4096 AS BIGINT) AS archive_id,
+        | CAST(count(*) AS BIGINT) AS n_blobs,
+        | CAST(sum(bytes) AS BIGINT) AS archive_bytes,
+        | CAST(max(bytes) AS BIGINT) AS max_blob_bytes
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
     "mm_chunk_refcount" ->
       """WITH c AS (SELECT unnest(list_transform(
         |   range(0, CAST(greatest(1, ceil(length(text)/64.0)) AS INT)),

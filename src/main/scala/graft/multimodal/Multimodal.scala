@@ -280,6 +280,34 @@ object Multimodal {
     * map-side-combinable aggregates (hash domain, then refcount
     * domain ≤ max multiplicity) after the per-row explode.
     */
+  /** Blob archive packing (the WebDataset / tar-shard delivery shape):
+    * blobs concatenate in deterministic doc_id order within each
+    * (source, shard) stream and cut every 4096 bytes; each blob
+    * belongs to the archive its FIRST byte lands in — the manifest a
+    * media shard-writer needs (per-archive blob count, payload bytes,
+    * fattest member). Same scale discipline as `pipelinePack`: the
+    * composite (source, doc_id div 1000) stream key keeps running-sum
+    * window partitions proportional to corpus size — a source-only
+    * window would be the low-cardinality global sort this engine
+    * bans, and archive streams are arbitrary so the composite key
+    * costs nothing.
+    */
+  def mmBlobPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBlob(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"source", length($"blob").cast("long").as("bytes"))
+      .withColumn("shard", expr("doc_id div 1000"))
+      .withColumn("cum_before", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("archive_id", expr("cum_before div 4096"))
+      .groupBy($"source", $"shard", $"archive_id")
+      .agg(count(lit(1)).as("n_blobs"),
+           sum($"bytes").as("archive_bytes"),
+           max($"bytes").as("max_blob_bytes"))
+  }
+
   def mmChunkRefcount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     withBlob(Tables.documents(spark, sfDir))
