@@ -198,6 +198,7 @@ object SparkEntry {
     "graph_degree_hist"    -> (graft.graph.Graph.graphDegreeHist _),
     "graph_jaccard"        -> ((s: SparkSession, d: String) =>
                                  graft.graph.Graph.graphJaccard(s, d)),
+    "graph_kcore"          -> (graft.graph.Graph.graphKcore _),
     "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
@@ -2124,6 +2125,41 @@ object SparkEntry {
         |SELECT CAST(((10000 * common) // un) // 1000 AS BIGINT) AS bucket,
         | CAST(count(*) AS BIGINT) AS n_pairs
         |FROM j GROUP BY 1""".stripMargin,
+    "graph_kcore" -> {
+      // Replays the engine exactly: the sim_knn_graph oracle's top-5
+      // per-cell cosine neighbors -> mutual restriction (edge kept iff
+      // its reverse is also a knn edge) -> staged peel rounds (the
+      // dedup_components technique). The engine peels to a FIXPOINT,
+      // so any oracle round past the cascade depth is a no-op — 12 is
+      // comfortably above the observed depth at every gate SF (the
+      // engine's 30-round guard would trip long before 12 becomes too
+      // few silently).
+      val rounds = (1 to 12).map { k =>
+        s"""r$k AS MATERIALIZED (SELECT a FROM s${k - 1}
+           |  GROUP BY a HAVING count(*) >= 3),
+           |s$k AS MATERIALIZED (SELECT s.a, s.b FROM s${k - 1} s
+           |  JOIN r$k x ON s.a = x.a JOIN r$k y ON s.b = y.a)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+         |    AS rank
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id)
+         | WHERE rank <= 5),
+         |s0 AS MATERIALIZED (SELECT k.vec_id AS a, k.neighbor_id AS b
+         |  FROM knn k JOIN knn r
+         |    ON k.vec_id = r.neighbor_id AND k.neighbor_id = r.vec_id),
+         |$rounds,
+         |core AS (SELECT a AS vec_id, count(*) AS core_degree
+         |  FROM s12 GROUP BY 1)
+         |SELECT e.vec_id,
+         | CAST(coalesce(c.core_degree, 0) AS BIGINT) AS core_degree
+         |FROM e LEFT JOIN core c USING (vec_id)""".stripMargin
+    },
     "mm_blob_pack" ->
       """WITH d AS (SELECT doc_id, source, doc_id // 1000 AS shard,
         |   CAST(octet_length(encode(text)) AS BIGINT) AS bytes

@@ -289,4 +289,81 @@ object Graph {
       .groupBy(expr("((10000 * common) div un) div 1000").as("bucket"))
       .agg(sum($"n_pairs").as("n_pairs"))
   }
+
+  /** 3-core of the MUTUAL-kNN similarity graph: keep an edge only
+    * where each vector ranks the other in its top-5
+    * ([[graft.similarity.Similarity.simKnnGraph]] ∩ its own
+    * transpose — the mutual-kNN graph of the density-clustering
+    * literature), then iteratively peel vectors with fewer than 3
+    * live mutual neighbors until none remain. Every vector reports
+    * its neighbor count WITHIN the surviving core (0 = not in the
+    * 3-core — membership is `core_degree > 0`, no separate flag).
+    * Components answer "is this vector linked to ANYTHING"; the
+    * mutual-kNN 3-core answers "does it sit in a locally DENSE
+    * region" — one-way attractions (a sparse outlier pointing at a
+    * hub that ignores it) and thin chains peel away, which is the
+    * graph-side evidence for density-based curation (keep the modes,
+    * quarantine the halo) that per-pair similarity cannot supply.
+    *
+    * Scale design (100 TB): mutual-kNN bounds degree ≤ 5 BY
+    * CONSTRUCTION, so unlike the share-a-band doc graph — whose
+    * class-pair enumeration measured 417M rows at sf10 on this
+    * corpus's hot template buckets, the probe that killed the first
+    * draft of this operator — every peel relation here is ≤ 5·n rows
+    * of two longs. The knn base reuses the cell-packed CellTopK
+    * generator (one corpus shuffle, Σ|cell|² scoring in memory);
+    * mutuality is one self-semi-join; each peel round is a
+    * map-combinable degree count plus two anti-joins on node id over
+    * a relation that only shrinks, with `localCheckpoint` holding
+    * the plan constant-size. The round guard raises rather than
+    * returning a half-peeled core. The DuckDB oracle replays knn →
+    * mutual → 12 staged peel rounds (the dedup_components
+    * technique); the engine's fixpoint exit makes excess oracle
+    * rounds no-ops.
+    */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val knn = graft.similarity.Similarity.simKnnGraph(spark, sfDir)
+      .select($"vec_id", $"neighbor_id").persist()
+    try {
+      // an edge survives iff its reverse is also a knn edge — the
+      // result carries BOTH directions, i.e. it is already symmetric
+      val mutual = knn.join(
+        knn.select($"neighbor_id".as("vec_id"), $"vec_id".as("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi")
+      kcoreOnEdges(
+        mutual.select($"vec_id".as("a"), $"neighbor_id".as("b")),
+        Tables.embeddings(spark, sfDir).select($"vec_id"), 3)
+    } finally { knn.unpersist(); () }
+  }
+
+  /** The peel loop over any SYMMETRIC (a, b) edge relation and node
+    * universe — split out so the spec can pin the cascade semantics
+    * on a hand-built graph (clique + pendant + cascading tail).
+    */
+  private[graft] def kcoreOnEdges(sym: DataFrame, allNodes: DataFrame,
+                                  k: Int): DataFrame = {
+    import sym.sparkSession.implicits._
+    var live = sym.localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      assert(rounds < 30, "k-core cascade exceeded the round guard")
+      val low = live.groupBy($"a").agg(count(lit(1)).as("deg"))
+        .filter($"deg" < k).select($"a")
+      if (low.isEmpty) converged = true
+      else {
+        live = live
+          .join(low, Seq("a"), "left_anti")
+          .join(low.withColumnRenamed("a", "b"), Seq("b"), "left_anti")
+          .localCheckpoint() // cut lineage: constant plan size per round
+        rounds += 1
+      }
+    }
+    // symmetric edges: a node's degree = its row count on the a side
+    val core = live.groupBy($"a".as("vec_id"))
+      .agg(count(lit(1)).as("core_degree"))
+    allNodes.join(core, Seq("vec_id"), "left_outer")
+      .select($"vec_id", coalesce($"core_degree", lit(0L)).as("core_degree"))
+  }
 }

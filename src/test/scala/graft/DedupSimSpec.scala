@@ -338,6 +338,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == Map(6L -> 4L, 5L -> 9L, 1L -> 2L))
   }
 
+  test("3-core peel: clique survives, pendant + chain cascade away") {
+    import spark.implicits._
+    // clique {1,2,3,4} (degree 3 each — the fixpoint); 5 ~ {1,2,6}
+    // (degree 3 INITIALLY, but only via 6); 6 ~ {5,3} (degree 2 —
+    // peeled round 1), which drops 5 to degree 2 → peeled round 2:
+    // the cascade the single-pass degree filter would miss. 7 is an
+    // isolated node — must still appear with core_degree 0.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 6L), (6L, 3L)).toDF("a", "b")
+    val sym = und.union(und.select($"b".as("a"), $"a".as("b")))
+    val nodes = (1L to 7L).toDF("vec_id")
+    val got = graft.graph.Graph.kcoreOnEdges(sym, nodes, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+                      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
   test("graph components: edges never cross components, reps are member minima") {
     import spark.implicits._
     val comp = graft.graph.Graph.graphComponents(spark, sf)
