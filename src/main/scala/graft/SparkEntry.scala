@@ -103,6 +103,7 @@ object SparkEntry {
     "evt_out_of_order"     -> (Events.evtOutOfOrder _),
     "evt_rate_limit"       -> (Events.evtRateLimit _),
     "evt_interarrival"     -> (Events.evtInterarrival _),
+    "evt_cdc_apply"        -> (Events.evtCdcApply _),
     "evt_log_integrity"    -> (Events.evtLogIntegrity _),
     "evt_concurrency"      -> (Events.evtConcurrency _),
     // text analysis
@@ -152,6 +153,8 @@ object SparkEntry {
     "pipeline_split"       -> (Analytics.pipelineSplit _),
     "pipeline_shard"       -> (Analytics.pipelineShard _),
     "pipeline_kanon"       -> (Analytics.pipelineKanon _),
+    "pipeline_chunk"       -> (Analytics.pipelineChunk _),
+    "pipeline_expectations" -> (Analytics.pipelineExpectations _),
     "pipeline_cap"         -> (Analytics.pipelineCap _),
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
     "pipeline_mixture"     -> (graft.operators.Layout.pipelineMixture _),
@@ -1419,6 +1422,65 @@ object SparkEntry {
         |     AS len_bucket
         |  FROM documents)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "pipeline_chunk" ->
+      """WITH d AS (SELECT doc_id,
+        |   string_split_regex(trim(text), ' +') AS w,
+        |   CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |   unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                  ELSE (n - 64 + 47) // 48 + 1 END)) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        | CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+        | CAST(least(64, n - i * 48) AS BIGINT) AS n_toks,
+        | CAST(md5_number_lower(array_to_string(
+        |     list_slice(w, CAST(i * 48 + 1 AS INT), CAST(i * 48 + 64 AS INT)),
+        |     ' ')) % 9223372036854775808 AS BIGINT) AS chunk_hash
+        |FROM c""".stripMargin,
+    "pipeline_expectations" ->
+      """WITH doc_agg AS (SELECT count(*) AS n_rows,
+        |   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS key_null,
+        |   count(*) - count(DISTINCT doc_id) AS key_dup,
+        |   sum(CASE WHEN text IS NULL OR length(text) = 0
+        |       THEN 1 ELSE 0 END) AS text_empty,
+        |   sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+        |       THEN 1 ELSE 0 END) AS lang_domain,
+        |   sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+        |     AS nchars_drift
+        |  FROM documents),
+        |ord_agg AS (SELECT count(*) AS n_rows,
+        |   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS key_null,
+        |   count(*) - count(DISTINCT o_orderkey) AS key_dup,
+        |   sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+        |     AS price_positive,
+        |   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS date_null
+        |  FROM orders),
+        |evt_agg AS (SELECT count(*) AS n_rows,
+        |   sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS key_null,
+        |   count(*) - count(DISTINCT event_id) AS key_dup,
+        |   sum(CASE WHEN event_type NOT IN
+        |       ('signup','click','view','purchase','error')
+        |       THEN 1 ELSE 0 END) AS type_domain,
+        |   sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS value_nonneg,
+        |   sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_null
+        |  FROM events)
+        |SELECT 'documents' AS tbl, c.k AS constraint,
+        |  CAST(n_rows AS BIGINT) AS n_rows, CAST(c.v AS BIGINT) AS n_violations
+        |FROM doc_agg, LATERAL (VALUES ('key_null', key_null),
+        |  ('key_dup', key_dup), ('text_empty', text_empty),
+        |  ('lang_domain', lang_domain), ('nchars_drift', nchars_drift)) c(k, v)
+        |UNION ALL
+        |SELECT 'orders', c.k, CAST(n_rows AS BIGINT), CAST(c.v AS BIGINT)
+        |FROM ord_agg, LATERAL (VALUES ('key_null', key_null),
+        |  ('key_dup', key_dup), ('price_positive', price_positive),
+        |  ('date_null', date_null)) c(k, v)
+        |UNION ALL
+        |SELECT 'events', c.k, CAST(n_rows AS BIGINT), CAST(c.v AS BIGINT)
+        |FROM evt_agg, LATERAL (VALUES ('key_null', key_null),
+        |  ('key_dup', key_dup), ('type_domain', type_domain),
+        |  ('value_nonneg', value_nonneg), ('ts_null', ts_null)) c(k, v)"""
+        .stripMargin,
     "txt_length_hist" ->
       """WITH d AS (SELECT source,
         |   CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) AS n_tokens
@@ -2109,6 +2171,19 @@ object SparkEntry {
         | CAST(min(gap_us) AS BIGINT) AS min_gap_us,
         | CAST(max(gap_us) AS BIGINT) AS max_gap_us
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "evt_cdc_apply" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
+        |   CASE WHEN event_type = 'signup' THEN 'I'
+        |        WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT user_id, event_type, value, op,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn,
+        |   count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM c)
+        |SELECT user_id, event_type AS final_type, value AS final_value,
+        | CAST(n_ops AS BIGINT) AS n_ops
+        |FROM r WHERE rn = 1 AND op != 'D'""".stripMargin,
     "graph_jaccard" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

@@ -615,4 +615,96 @@ object Analytics {
       .agg(count(lit(1)).as("n_docs"),
            sum($"n_tokens").cast("long").as("n_tokens"))
   }
+
+  /** Fixed-size token chunking with overlap — the RAG / context-
+    * window ingestion splitter: whitespace tokens, 64-token chunks
+    * advancing by 48 (16-token overlap so no chunk boundary severs
+    * context), each chunk fingerprinted with the md5-63 convention
+    * so chunk-level dedup and retrieval indexing can run downstream
+    * on `chunk_hash` alone. A doc that fits one chunk emits exactly
+    * one; otherwise the last chunk is the shortest suffix that still
+    * ends at the final token (never a fully-contained tail).
+    *
+    * Scale (100 TB): zero shuffle — the chunk INDEX is exploded
+    * first and the slice/hash computed per exploded row (Generate is
+    * a CollapseProject barrier, so the token array is not recomputed
+    * per chunk — the lambda-inlining trap in the verify notes).
+    * Output is linear: corpus tokens × (1 + overlap/stride).
+    */
+  def pipelineChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunk = 64; val stride = 48
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim($"text"), " +").as("w"))
+      .withColumn("n", size($"w").cast("long"))
+      // chunk count: 1 if n <= chunk else ceil((n-chunk)/stride) + 1
+      .withColumn("hi",
+        when($"n" <= chunk, lit(0L))
+          .otherwise(($"n" - chunk + (stride - 1)) / stride).cast("int"))
+      .select($"doc_id", $"w", $"n",
+              explode(sequence(lit(0), $"hi")).as("i"))
+      .select($"doc_id", $"i".cast("long").as("chunk_idx"),
+        ($"i" * stride + 1).cast("long").as("start_tok"),
+        least(lit(chunk.toLong), $"n" - $"i" * stride).as("n_toks"),
+        expr(s"graft_md5lower64(concat_ws(' ', slice(w, i * $stride + 1, $chunk)))" +
+             " & 9223372036854775807").as("chunk_hash"))
+  }
+
+  /** Data-quality expectation audit (the Deequ/Great-Expectations
+    * idiom): per-table constraint checks — key completeness + key
+    * uniqueness, domain membership, non-emptiness, derived-column
+    * consistency, value bounds — evaluated in ONE aggregate pass per
+    * table and reported as (tbl, constraint, n_rows, n_violations).
+    * The report never asserts: a production gate alerts on
+    * `n_violations > 0`, and the row counts make the check itself
+    * auditable (a zero-violation report over zero rows is a broken
+    * feed, not a clean one).
+    *
+    * Scale (100 TB): each table contributes one map-side-combinable
+    * aggregate (the uniqueness check rides the same pass as a
+    * count-distinct); the unpivot to report rows happens on the
+    * 1-row aggregate output, so the shuffle carries constraint
+    * partials, never rows. Constraint count × tables is the output
+    * bound regardless of corpus size.
+    */
+  def pipelineExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def viol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(c, 1L).otherwise(0L))
+    val docs = Tables.documents(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      viol($"doc_id".isNull).as("key_null"),
+      (count(lit(1)) - countDistinct($"doc_id")).as("key_dup"),
+      viol($"text".isNull || length($"text") === 0).as("text_empty"),
+      viol(!$"lang".isin("de", "en", "es", "fr", "zh")).as("lang_domain"),
+      viol($"n_chars" =!= length($"text")).as("nchars_drift"))
+      .selectExpr("'documents' AS tbl", "n_rows",
+        "stack(5, 'key_null', key_null, 'key_dup', key_dup," +
+          " 'text_empty', text_empty, 'lang_domain', lang_domain," +
+          " 'nchars_drift', nchars_drift) AS (constraint, n_violations)")
+    val orders = Tables.orders(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      viol($"o_orderkey".isNull).as("key_null"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("key_dup"),
+      viol(!($"o_totalprice" > 0.0)).as("price_positive"),
+      viol($"o_orderdate".isNull).as("date_null"))
+      .selectExpr("'orders' AS tbl", "n_rows",
+        "stack(4, 'key_null', key_null, 'key_dup', key_dup," +
+          " 'price_positive', price_positive, 'date_null', date_null)" +
+          " AS (constraint, n_violations)")
+    val events = Tables.events(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      viol($"event_id".isNull).as("key_null"),
+      (count(lit(1)) - countDistinct($"event_id")).as("key_dup"),
+      viol(!$"event_type".isin(
+        "signup", "click", "view", "purchase", "error")).as("type_domain"),
+      viol(!($"value" >= 0.0)).as("value_nonneg"),
+      viol($"ts".isNull).as("ts_null"))
+      .selectExpr("'events' AS tbl", "n_rows",
+        "stack(5, 'key_null', key_null, 'key_dup', key_dup," +
+          " 'type_domain', type_domain, 'value_nonneg', value_nonneg," +
+          " 'ts_null', ts_null) AS (constraint, n_violations)")
+    docs.unionByName(orders).unionByName(events)
+      .select($"tbl", $"constraint", $"n_rows", $"n_violations")
+  }
 }

@@ -632,4 +632,38 @@ object Events {
            min($"gap_us").as("min_gap_us"),
            max($"gap_us").as("max_gap_us"))
   }
+
+  /** CDC changelog apply (the Debezium-materialize idiom): the event
+    * log is read as a row-image changelog — signup = INSERT, error =
+    * DELETE tombstone (account closed), every other type = UPDATE
+    * carrying the new image — and replayed per user in (ts, event_id)
+    * order down to final table state. Latest image wins; a user whose
+    * LAST op is a delete is absent from the result, while any op
+    * after a delete re-inserts (a tombstone masks the past, not the
+    * future). [[graft.operators.Relational.qUpsertLatest]] covers the
+    * upsert half of MERGE; this adds the delete half that compacting
+    * a keyed CDC topic needs (the reference's compacted-topic +
+    * tombstone semantics, jc/DemoApplication.java:95-160).
+    *
+    * Scale (100 TB): one shuffle on the table key, then rank and op
+    * count inside each key group — no self-join against a snapshot,
+    * no driver state; parallelism scales with key count. This is the
+    * batch twin of the streaming MV path (MvIngest): both reduce the
+    * log to last-image-wins state.
+    */
+  def evtCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byKey = Window.partitionBy($"user_id")
+    val latest = byKey.orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value",
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"))
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_ops", count(lit(1)).over(byKey))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"user_id", $"event_type".as("final_type"),
+              $"value".as("final_value"), $"n_ops")
+  }
 }

@@ -176,4 +176,67 @@ class ContinuationOpsSpec extends AnyFunSuite {
       ("src0", 0L, 0L, 2L, 5000L, 3000L),
       ("src0", 0L, 1L, 1L, 4000L, 4000L)))
   }
+
+  test("chunking: exact-fit doc is ONE chunk, n=65 forces two, strides cover the tail") {
+    import spark.implicits._
+    val dir = tmp("chunk")
+    def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    // 64 tokens = exactly one chunk (no fully-contained tail chunk);
+    // 65 = the +1 token forces a second, overlapping suffix chunk;
+    // 113 = 64 + 48 + 1 → three chunks at starts 1/49/97, last is 17
+    writeDocs(dir, Seq((1L, toks(64), "s"), (2L, toks(65), "s"),
+                       (3L, toks(113), "s"), (4L, toks(64), "s")))
+    val rows = graft.operators.Analytics.pipelineChunk(spark, dir)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, 0L, 1L, 64L),
+      (2L, 0L, 1L, 64L), (2L, 1L, 49L, 17L),
+      (3L, 0L, 1L, 64L), (3L, 1L, 49L, 64L), (3L, 2L, 97L, 17L),
+      (4L, 0L, 1L, 64L)))
+    // identical content → identical fingerprint (the dedup contract),
+    // and the distinct 65-token doc hashes differently
+    val hashes = graft.operators.Analytics.pipelineChunk(spark, dir)
+      .filter($"chunk_idx" === 0)
+      .select($"doc_id", $"chunk_hash").as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(4L) && hashes(1L) == hashes(2L))
+    assert(hashes.values.forall(_ >= 0L))
+  }
+
+  test("expectations: seeded violations are counted per constraint, clean checks report zero") {
+    import spark.implicits._
+    val dir = tmp("expect")
+    // documents: doc 2 duplicated (key_dup 1), doc 3 lies about
+    // n_chars, doc 4 carries an out-of-domain lang
+    Seq((1L, "ok text", "en", "s", 7L), (2L, "dup", "en", "s", 3L),
+        (2L, "dup", "en", "s", 3L), (3L, "drift", "en", "s", 99L),
+        (4L, "bad lang", "xx", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, 100.0), (2L, 0.0))  // order 2 violates price > 0
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_seconds(lit(0L)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10L, 1L, "click", 1.0), (2L, 20L, 1L, "view", -0.5))
+      .toDF("event_id", "epoch_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds($"epoch_s")).drop("epoch_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Analytics.pipelineExpectations(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("documents", "key_null", 5L, 0L),
+      ("documents", "key_dup", 5L, 1L),
+      ("documents", "text_empty", 5L, 0L),
+      ("documents", "lang_domain", 5L, 1L),
+      ("documents", "nchars_drift", 5L, 1L),
+      ("orders", "key_null", 2L, 0L),
+      ("orders", "key_dup", 2L, 0L),
+      ("orders", "price_positive", 2L, 1L),
+      ("orders", "date_null", 2L, 0L),
+      ("events", "key_null", 2L, 0L),
+      ("events", "key_dup", 2L, 0L),
+      ("events", "type_domain", 2L, 0L),
+      ("events", "value_nonneg", 2L, 1L),
+      ("events", "ts_null", 2L, 0L)))
+  }
 }

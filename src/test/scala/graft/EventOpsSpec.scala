@@ -89,4 +89,28 @@ class EventOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect()
     assert(r.toSeq == Seq(("x", 9L, 7L, 2L, 7.0)))
   }
+
+  test("cdc apply: trailing delete removes, delete then re-insert survives, ts tie by event_id") {
+    import spark.implicits._
+    val dir = writeEvents(Seq(
+      // u1: plain insert + update → final image is the update
+      (1L, 100L, 1L, "signup", 1.0),
+      (2L, 200L, 1L, "click", 5.0),
+      // u2: last op is the delete tombstone → absent from the result
+      (3L, 100L, 2L, "signup", 1.0),
+      (4L, 200L, 2L, "error", 0.0),
+      // u3: delete then a LATER update → re-inserted (tombstones mask
+      // the past, not the future)
+      (5L, 100L, 3L, "signup", 1.0),
+      (6L, 200L, 3L, "error", 0.0),
+      (7L, 300L, 3L, "view", 7.0),
+      // u4: two ops at the SAME ts → higher event_id is the image
+      (8L, 100L, 4L, "signup", 1.0),
+      (9L, 100L, 4L, "purchase", 9.0)))
+    val got = graft.operators.Events.evtCdcApply(spark, dir)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set((1L, "click", 5.0, 2L),
+                      (3L, "view", 7.0, 3L),
+                      (4L, "purchase", 9.0, 2L)))
+  }
 }
