@@ -169,6 +169,7 @@ object SparkEntry {
     "sim_ivf_ann"          -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simIvfAnn(s, d)),
     "sim_centroids"        -> (graft.similarity.Similarity.simCentroids _),
+    "sim_index_profile"    -> (graft.similarity.Similarity.simIndexProfile _),
     "sim_pq_ann"           -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simPqAnn(s, d)),
     "sim_pq_rerank"        -> ((s: SparkSession, d: String) =>
@@ -202,6 +203,7 @@ object SparkEntry {
     "graph_jaccard"        -> ((s: SparkSession, d: String) =>
                                  graft.graph.Graph.graphJaccard(s, d)),
     "graph_kcore"          -> (graft.graph.Graph.graphKcore _),
+    "graph_clustco"        -> (graft.graph.Graph.graphClustco _),
     "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
     "mm_binary_meta"       -> (graft.multimodal.Multimodal.mmBinaryMeta _),
@@ -1924,6 +1926,28 @@ object SparkEntry {
         |SELECT vec_id, count(*) AS n_triangles
         |FROM (SELECT unnest([x, y, z]) AS vec_id FROM tri)
         |GROUP BY 1""".stripMargin,
+    "graph_clustco" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2),
+        |tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        |  FROM p p1 JOIN p p2 ON p1.b = p2.a
+        |  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b),
+        |t AS (SELECT vec_id, count(*) AS nt
+        |  FROM (SELECT unnest([x, y, z]) AS vec_id FROM tri) GROUP BY 1),
+        |d AS (SELECT vec_id, count(*) AS dg
+        |  FROM (SELECT a AS vec_id FROM p
+        |        UNION ALL SELECT b AS vec_id FROM p) GROUP BY 1),
+        |n AS (SELECT e.vec_id, coalesce(d.dg, 0) AS dg,
+        |   coalesce(t.nt, 0) AS nt
+        |  FROM e LEFT JOIN d USING (vec_id) LEFT JOIN t USING (vec_id))
+        |SELECT CAST(CASE WHEN dg < 2 THEN -1
+        |   ELSE ((10000 * 2 * nt) // (dg * (dg - 1))) // 1000 END
+        |   AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM n GROUP BY 1""".stripMargin,
     "q_collect_list" ->
       """SELECT n_name, count(*) AS n_suppliers,
         | array_to_string(list_sort(list_distinct(list(s_name))), ',')
@@ -1965,6 +1989,23 @@ object SparkEntry {
         | count(*) AS n_vectors
         |FROM embeddings CROSS JOIN range(1, 65) t(i)
         |GROUP BY 1, 2""".stripMargin,
+    "sim_index_profile" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cd AS (SELECT label, i, avg(v[CAST(i AS INT)]) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cd GROUP BY 1),
+        |g AS (SELECT e.label AS cell, count(*) AS n_vectors,
+        |   round(sum(round(list_cosine_similarity(e.v, c.cv), 4)), 4)
+        |     AS coherence
+        |  FROM e JOIN cent c ON e.label = c.label GROUP BY 1),
+        |t AS (SELECT sum(n_vectors) AS total,
+        |   sum(n_vectors * n_vectors) AS sumsq FROM g)
+        |SELECT cell, n_vectors,
+        | CAST((10000 * n_vectors) // total AS BIGINT) AS share_bp,
+        | CAST((10000 * n_vectors * n_vectors) // sumsq AS BIGINT) AS scan_bp,
+        | coherence
+        |FROM g, t""".stripMargin,
     "q_stats" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,

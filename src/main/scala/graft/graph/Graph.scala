@@ -156,12 +156,16 @@ object Graph {
     * trained with k ∝ √N cells, bounding the Σ|cell|² edge work at
     * ≈ N^1.5 — never corpus².
     */
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Low-id → high-id oriented edges of the cosine ≥ 0.2 similarity
+    * graph, via the packed-cell pair generator (one corpus shuffle +
+    * in-memory scoring — see CellSimPairs Scaladoc); exact rounded
+    * predicate re-applied on the output. Shared by the triangle and
+    * clustering-coefficient operators so the two can never disagree
+    * about the graph.
+    */
+  private def cosEdges02(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // packed-cell pair generation (see CellSimPairs Scaladoc): one
-    // corpus shuffle + in-memory scoring replaces the vector-payload
-    // pair join; exact rounded predicate re-applied on the output
-    val edges = Tables.embeddings(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))
       .groupBy($"label")
       .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
@@ -169,18 +173,67 @@ object Graph {
         .as(Seq("ea", "eb", "c")))
       .filter(round($"c", 4) >= 0.2)
       .select($"ea", $"eb")
-      .persist()
+  }
+
+  /** Per-node triangle counts on the oriented edge relation (a<b by
+    * construction): wedge (x,y)+(y,z) closed by (x,z) produces each
+    * triangle exactly once; explode to the three corners, count.
+    */
+  private def trianglesPerNode(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select($"ea".as("x"), $"eb".as("y"))
+      .join(edges.select($"ea".as("y"), $"eb".as("z")), Seq("y"))
+      .join(edges.select($"ea".as("x"), $"eb".as("z")), Seq("x", "z"))
+      .select(explode(array($"x", $"y", $"z")).as("vec_id"))
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = cosEdges02(spark, sfDir).persist()
+    // materialize inside the try: compute while the edge relation is
+    // still pinned, then hand back the small per-node result
+    try trianglesPerNode(edges).localCheckpoint()
+    finally edges.unpersist()
+  }
+
+  /** Local clustering-coefficient histogram of the cosine ≥ 0.2
+    * similarity graph: per node, C(v) = 2·T(v) / (d(v)·(d(v)−1)) —
+    * how close each vector's neighborhood is to a clique — bucketed
+    * in basis-point deciles with EXACT integer arithmetic
+    * (bucket = (10000·2·T) div (d·(d−1)) div 1000, so 10 = perfect
+    * closure), nodes with d < 2 (coefficient undefined) reported in
+    * bucket −1. Components say "linked", the 3-core says "locally
+    * dense"; the clustering coefficient separates CLIQUE-like
+    * duplication (template families — bucket 10-heavy) from hub/star
+    * duplication (boilerplate spokes — bucket 0-heavy), which decides
+    * keep-one vs cluster-sample removal policy the same way
+    * graph_degree_hist's tail does, but per neighborhood SHAPE rather
+    * than size.
+    *
+    * Scale: same Σwedge bound as [[graphTriangles]] (shared edge +
+    * wedge machinery, one pinned edge relation scanned three ways);
+    * degrees are one map-combinable count over the symmetric edges;
+    * the output is ≤ 12 buckets regardless of corpus size.
+    */
+  def graphClustco(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = cosEdges02(spark, sfDir).persist()
     try {
-      val tri = edges.select($"ea".as("x"), $"eb".as("y"))
-        .join(edges.select($"ea".as("y"), $"eb".as("z")), Seq("y"))
-        .join(edges.select($"ea".as("x"), $"eb".as("z")), Seq("x", "z"))
-        .select($"x", $"y", $"z")
-      val out = tri
-        .select(explode(array($"x", $"y", $"z")).as("vec_id"))
-        .groupBy($"vec_id")
-        .agg(count(lit(1)).as("n_triangles"))
-      // count() inside the try: materialize while the edge relation
-      // is still pinned, then hand back the small per-node result
+      val tri = trianglesPerNode(edges)
+      val deg = edges.select($"ea".as("vec_id"))
+        .union(edges.select($"eb".as("vec_id")))
+        .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+      val out = Tables.embeddings(spark, sfDir).select($"vec_id")
+        .join(deg, Seq("vec_id"), "left_outer")
+        .join(tri, Seq("vec_id"), "left_outer")
+        .select($"vec_id", coalesce($"degree", lit(0L)).as("d"),
+                coalesce($"n_triangles", lit(0L)).as("t"))
+        .withColumn("bucket",
+          when($"d" < 2, lit(-1L))
+            .otherwise(expr("((10000 * 2 * t) div (d * (d - 1))) div 1000")))
+        .groupBy($"bucket").agg(count(lit(1)).as("n_nodes"))
       out.localCheckpoint()
     } finally edges.unpersist()
   }

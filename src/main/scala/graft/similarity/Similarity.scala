@@ -186,6 +186,53 @@ object Similarity {
            count(lit(1)).as("n_vectors"))
   }
 
+  /** IVF index health audit — the operational profile every vector-DB
+    * deployment watches before deciding to retrain its quantizer. Per
+    * coarse cell: vector count, corpus share in basis points, expected
+    * 1-probe scan-cost share (10⁴·n_c²/Σn² — the probability-weighted
+    * fraction of distance computations a query stream that lands on
+    * cells proportionally to their mass spends in this cell; a
+    * balanced index has every cell near 10⁴/k, a degenerate one puts
+    * most scan cost in a few hot cells), and coherence mass (sum of
+    * each member's cosine to its cell centroid, rounded per vector —
+    * the quantization-quality proxy: low coherence per vector = the
+    * cell is too coarse for its contents).
+    *
+    * Scale (100 TB): centroids come from ONE map-combinable
+    * posexplode aggregate (cells × dims groups); the per-vector
+    * cosine is a broadcast join of the tiny centroid table back to
+    * the corpus scan; the global total/Σn² denominators ride a
+    * broadcast single-row crossJoin over the CELL-level aggregate
+    * (k rows, never the corpus). Shares are exact integer division;
+    * coherence sums 4-decimal roundeds — integer multiples of 1e-4
+    * far below 2⁵³, so the double sum is exact on any engine and
+    * addition order cannot flip it.
+    */
+  def simIndexProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, sfDir)
+    val cent = vecs
+      .select($"label", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"m"))).as("ps"))
+      .select($"label", expr("transform(ps, p -> p.m)").as("cv"))
+    val cells = vecs.join(broadcast(cent), Seq("label"))
+      .select($"label".as("cell"),
+              round(graft.functions.cosineSim($"v", $"cv"), 4).as("cos4"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"),
+           round(sum($"cos4"), 4).as("coherence"))
+    val totals = cells.agg(
+      sum($"n_vectors").as("total"),
+      sum($"n_vectors" * $"n_vectors").as("sumsq"))
+    cells.crossJoin(broadcast(totals))
+      .select($"cell", $"n_vectors",
+        expr("(10000 * n_vectors) div total").as("share_bp"),
+        expr("(10000 * n_vectors * n_vectors) div sumsq").as("scan_bp"),
+        $"coherence")
+  }
+
   /** Approximate kNN graph over the WHOLE corpus (not just a query
     * set): every vector's top-5 cosine neighbors within its coarse
     * cell (`label`), the 1-probe IVF approximation used to build

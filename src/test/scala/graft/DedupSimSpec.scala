@@ -338,6 +338,43 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == Map(6L -> 4L, 5L -> 9L, 1L -> 2L))
   }
 
+  test("clustco: clique nodes bucket 10, open wedge center 0, degree<2 bucket -1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-clustco").toString
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat)
+    // one cell: clique {1,2,3,4} (identical vectors, cos 1 → C=1,
+    // bucket 10); open wedge 6-7, 6-8 with cos(7,8)=0 (center 6:
+    // d=2, T=0 → bucket 0; leaves d=1 → -1); 5 orthogonal to all
+    // (d=0 → -1). Cross-group cosines are all 0 by construction.
+    Seq((1L, v(0, 0, 1), 0), (2L, v(0, 0, 1), 0), (3L, v(0, 0, 1), 0),
+        (4L, v(0, 0, 1), 0), (5L, v(0, -1, 0) /* vs wedge: ±0 */, 1),
+        (6L, v(math.sqrt(0.5), math.sqrt(0.5), 0), 0),
+        (7L, v(1, 0, 0), 0), (8L, v(0, 1, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.graph.Graph.graphClustco(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 4L, 0L -> 1L, -1L -> 3L))
+  }
+
+  test("index profile: shares and scan cost exact-integer, coherence sums member cosines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxprof").toString
+    // cell 0: three identical unit vectors (centroid = the vector,
+    // cos 1 each → coherence 3.0); cell 1: a single vector (cos 1 →
+    // 1.0). total=4, Σn²=10: shares 7500/2500 bp, scan 9000/1000 bp —
+    // the hot cell takes 3x the corpus share but 9x the scan cost,
+    // the quadratic imbalance the profile exists to expose.
+    Seq((1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+        (3L, Array(1f, 0f), 0), (4L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.similarity.Similarity.simIndexProfile(spark, dir)
+      .as[(Int, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((0, 3L, 7500L, 9000L, 3.0), (1, 1L, 2500L, 1000L, 1.0)))
+  }
+
   test("3-core peel: clique survives, pendant + chain cascade away") {
     import spark.implicits._
     // clique {1,2,3,4} (degree 3 each — the fixpoint); 5 ~ {1,2,6}
