@@ -651,15 +651,30 @@ object Events {
     * batch twin of the streaming MV path (MvIngest): both reduce the
     * log to last-image-wins state.
     */
-  def evtCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def evtCdcApply(spark: SparkSession, sfDir: String): DataFrame =
+    cdcApply(Tables.events(spark, sfDir))
+
+  /** events → row-image changelog: the op classification, shared by
+    * the batch apply and the streaming [[graft.streaming.CdcIngest]]
+    * twin so the two can never disagree about what deletes.
+    */
+  private[graft] def cdcChangelog(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select($"user_id", $"ts", $"event_id", $"event_type", $"value",
+      when($"event_type" === "signup", "I")
+        .when($"event_type" === "error", "D")
+        .otherwise("U").as("op"))
+  }
+
+  /** The same apply over ANY events-shaped relation — the library
+    * form a caller feeds their own changelog slice into (and the
+    * prefix-equality target of the CdcIngest spec).
+    */
+  def cdcApply(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val byKey = Window.partitionBy($"user_id")
     val latest = byKey.orderBy($"ts".desc, $"event_id".desc)
-    Tables.events(spark, sfDir)
-      .select($"user_id", $"ts", $"event_id", $"event_type", $"value",
-        when($"event_type" === "signup", "I")
-          .when($"event_type" === "error", "D")
-          .otherwise("U").as("op"))
+    cdcChangelog(events)
       .withColumn("rn", row_number().over(latest))
       .withColumn("n_ops", count(lit(1)).over(byKey))
       .filter($"rn" === 1 && $"op" =!= "D")

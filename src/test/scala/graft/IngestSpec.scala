@@ -247,6 +247,73 @@ class IngestSpec extends AnyFunSuite {
       "evt_mv_merge diverges from the single-pass recompute")
   }
 
+  test("CDC ingest: streamed table == batch apply at every prefix; tombstones mask across batches") {
+    import spark.implicits._
+    import graft.streaming.CdcIngest
+    val ev = graft.core.Tables.events(spark, sf)
+    val history = ev.filter($"event_id" % 3 === 0)
+    val b1 = ev.filter($"event_id" % 3 === 1)
+    val b2 = ev.filter($"event_id" % 3 === 2)
+    assert(b1.count() > 0 && b2.count() > 0)
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val (inDir, tblDir, ckpt) = (s"$root/in", s"$root/tbl", s"$root/ckpt")
+
+    def assertSameTable(clue: String, want: DataFrame): Unit = {
+      val got = CdcIngest.read(spark, tblDir)
+      assert(got.exceptAll(want).count() == 0 &&
+             want.exceptAll(got).count() == 0, s"$clue: table state differs")
+    }
+
+    CdcIngest.seed(history, tblDir)
+    assertSameTable("seeded table",
+      graft.operators.Events.cdcApply(history))
+    // non-vacuity: the prefix splits must actually exercise the
+    // cross-batch merge — some user must change state batch to batch
+    val afterB1 = graft.operators.Events.cdcApply(history.union(b1))
+
+    b1.coalesce(1).write.parquet(inDir)
+    val q = CdcIngest.start(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .parquet(inDir), tblDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assertSameTable("after batch 1", afterB1)
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assertSameTable("after batch 2",
+        graft.operators.Events.cdcApply(history.union(b1).union(b2)))
+    } finally q.stop()
+
+    // a tombstone arriving in a LATER batch must mask an image seeded
+    // earlier: find a user whose final op in the full log is a delete
+    // but who had a live image in the history prefix — the corpus has
+    // such users (else this assert flags the fixture, not the code)
+    val live0 = graft.operators.Events.cdcApply(history)
+      .select($"user_id").as[Long].collect().toSet
+    val liveAll = graft.operators.Events
+      .cdcApply(history.union(b1).union(b2))
+      .select($"user_id").as[Long].collect().toSet
+    assert((live0 -- liveAll).nonEmpty,
+      "fixture never exercises cross-batch tombstone masking")
+
+    // crash-replay idempotence: re-writing batch 0's images under the
+    // same id leaves the merged table unchanged
+    CdcIngest.partials(b1).withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(tblDir)
+    assertSameTable("after batch-0 replay",
+      graft.operators.Events.cdcApply(history.union(b1).union(b2)))
+
+    // the store is key-sized, never event-sized: ≤ one image per key
+    // per partition (seed + two batches + the replay rewrite)
+    val stored = spark.read.parquet(tblDir).count()
+    val keys = ev.select($"user_id").distinct().count()
+    assert(stored <= 3 * keys,
+      s"stored images ($stored) exceed 3x key count ($keys)")
+    assert(stored < ev.count(), "images are event-sized — never reduced")
+  }
+
   test("readIndex rejects a pre-sig_class legacy index loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("legacyidx").toString

@@ -668,4 +668,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!simple.contains("SortMergeJoin"), "a join fell back to sort-merge")
     assert(!simple.contains("CartesianProduct"))
   }
+
+  test("session-4 operators keep their shuffle shapes") {
+    // chunking: ZERO shuffle — explode + per-row slice/hash, no join,
+    // and the chunk index explodes through a Generate (the
+    // CollapseProject barrier that keeps the token array computed once)
+    val ch = capture(graft.operators.Analytics.pipelineChunk(spark, sf),
+      "simple")
+    assert(!ch.contains("Exchange") && !ch.contains("Join"), ch)
+    assert(ch.contains("Generate"), s"chunk index is not exploded\n$ch")
+    // expectations: one aggregate pass per table (the count-distinct
+    // rides an Expand), a union of 1-row results — never a join
+    val ex = capture(
+      graft.operators.Analytics.pipelineExpectations(spark, sf), "simple")
+    assert(!ex.contains("Join"), ex)
+    assert("Exchange hashpartitioning".r.findAllIn(ex).size <= 6, ex)
+    // cdc apply: ONE key shuffle feeding both windows (rank + op
+    // count share the user_id partitioning), no join, no snapshot
+    val cdc = capture(Events.evtCdcApply(spark, sf), "simple")
+    assert(!cdc.contains("Join"), cdc)
+    assert("Exchange hashpartitioning".r.findAllIn(cdc).size == 1, cdc)
+    assert("Window \\[".r.findAllIn(cdc).size == 2, cdc)
+    // index profile: centroid table and totals row broadcast back —
+    // the corpus is never on the shuffled side of a join
+    val ip = capture(
+      graft.similarity.Similarity.simIndexProfile(spark, sf), "simple")
+    assert(!ip.contains("SortMergeJoin"),
+      s"centroid join fell back to sort-merge\n$ip")
+    assert(!ip.contains("CartesianProduct"), ip)
+  }
 }
