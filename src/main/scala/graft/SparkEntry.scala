@@ -245,7 +245,15 @@ object SparkEntry {
          | UNION ALL SELECT 'ivfpq', query_id, neighbor_id
          |   FROM ${sub("sim_ivfpq_ann")}
          | UNION ALL SELECT 'sq8', query_id, neighbor_id
-         |   FROM ${sub("sim_sq_ann")}),
+         |   FROM ${sub("sim_sq_ann")}
+         | UNION ALL SELECT 'pq', query_id, neighbor_id
+         |   FROM ${sub("sim_pq_ann")}
+         | UNION ALL SELECT 'pq_rerank', query_id, neighbor_id
+         |   FROM ${sub("sim_pq_rerank")}
+         | UNION ALL SELECT 'matryoshka', query_id, neighbor_id
+         |   FROM ${sub("sim_matryoshka")}
+         | UNION ALL SELECT 'binary', query_id, neighbor_id
+         |   FROM ${sub("sim_binary_ann")}),
          |h AS (SELECT m.method, m.query_id, count(*) AS hits
          |  FROM m JOIN b USING (query_id, neighbor_id) GROUP BY 1, 2)
          |SELECT q.query_id, mm.method,

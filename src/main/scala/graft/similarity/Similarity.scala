@@ -900,8 +900,11 @@ object Similarity {
     */
   def simRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the exact ground truth feeds every method's hit join AND the
+    // query roster — pin it, or AQE recomputes the brute-force scan
+    // once per union branch (self-joins get no ReusedExchange)
     val brute = simBruteTopk(spark, sfDir)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id", $"neighbor_id").persist()
     val queries = brute.select($"query_id").distinct()
     def recallOf(method: String, df: DataFrame): DataFrame = {
       val hits = df.select($"query_id", $"neighbor_id")
@@ -912,10 +915,21 @@ object Similarity {
           coalesce($"h", lit(0L)).as("hits"))
         .withColumn("recall_bp", expr("(10000 * hits) div 5"))
     }
-    recallOf("lsh", simLshAnn(spark, sfDir))
+    // the full deterministic quantization matrix — the audit a
+    // production deployment runs before picking its serving scheme
+    // (IVF+SQ8's ranking behavior is covered by the sq8 + ivf rows;
+    // its inline oracle replay is the sf10 spill case)
+    val out = recallOf("lsh", simLshAnn(spark, sfDir))
       .union(recallOf("ivf", simIvfAnn(spark, sfDir)))
       .union(recallOf("ivfpq", simIvfPqAnn(spark, sfDir)))
       .union(recallOf("sq8", simSqAnn(spark, sfDir)))
+      .union(recallOf("pq", simPqAnn(spark, sfDir)))
+      .union(recallOf("pq_rerank", simPqRerank(spark, sfDir)))
+      .union(recallOf("matryoshka", simMatryoshka(spark, sfDir)))
+      .union(recallOf("binary", simBinaryAnn(spark, sfDir)))
+    // materialize while brute is pinned (8 branches read it), then
+    // hand back the query-set-sized result
+    try out.localCheckpoint() finally brute.unpersist()
   }
 
   /** Near-dup threshold calibration sweep — the audit that PICKS the

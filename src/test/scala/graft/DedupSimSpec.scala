@@ -452,9 +452,10 @@ class DedupSimSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].collect()
     val nq = Similarity.simBruteTopk(spark, sf)
       .select($"query_id").distinct().count()
-    assert(ev.length == 4 * nq, s"${ev.length} rows for $nq queries")
+    assert(ev.length == 8 * nq, s"${ev.length} rows for $nq queries")
     assert(ev.map(_._2).distinct.sorted.toSeq ==
-      Seq("ivf", "ivfpq", "lsh", "sq8"))
+      Seq("binary", "ivf", "ivfpq", "lsh", "matryoshka", "pq",
+          "pq_rerank", "sq8"))
     assert(ev.forall { case (_, _, h, bp) =>
       h >= 0 && h <= 5 && bp == 2000 * h })
     // recompute one method's hits by hand
