@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_incremental"    -> (graft.dedup.Dedup.dedupIncremental _),
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
     "dedup_components"     -> (graft.dedup.Dedup.dedupComponents _),
+    "dedup_keep_one"       -> (graft.dedup.Dedup.dedupKeepOne _),
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
@@ -229,6 +230,19 @@ object SparkEntry {
     ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann")) +
     // same contract for the SQ8 stored index vs its recompute twin
     ("sim_ivfsq_stored" -> oracleSqlBase("sim_ivfsq_ann")) +
+    // keeper selection replays the components closure verbatim, then
+    // picks each cluster's longest doc (min doc_id on ties) via a
+    // total-order window — the oracle twin of the engine's
+    // skew-free max(struct) argmax
+    ("dedup_keep_one" ->
+      s"""WITH comp AS (${oracleSqlBase("dedup_components")}),
+         |j AS (SELECT c.doc_id, c.component, dd.n_chars
+         |  FROM comp c JOIN documents dd USING (doc_id))
+         |SELECT doc_id, component, keeper_id, doc_id = keeper_id AS keep
+         |FROM (SELECT doc_id, component,
+         |   first_value(doc_id) OVER (PARTITION BY component
+         |     ORDER BY n_chars DESC, doc_id) AS keeper_id
+         |  FROM j)""".stripMargin) +
     // and for the prefix-scan strategy over the same stored vectors
     ("sim_matryoshka_stored" -> oracleSqlBase("sim_matryoshka")) +
     // recall@5 composes the constituent replays verbatim as

@@ -369,6 +369,38 @@ object Dedup {
     } finally bands.unpersist()
   }
 
+  /** Canonical-document selection per near-dup cluster — the KEEPER
+    * policy that turns detection into an actionable removal list:
+    * within each [[dedupComponents]] cluster, keep the longest
+    * document (n_chars, smallest doc_id on ties); every doc reports
+    * its cluster, the cluster's keeper, and whether it survives
+    * (singletons keep themselves). Downstream, `filter(!keep)` IS
+    * the removal manifest and `keeper_id` the canonical-id remap.
+    *
+    * Scale (100 TB): the GenScale corpus puts ~96% of documents in
+    * ONE component, so a per-component argmax WINDOW would funnel
+    * the whole corpus through a single task — the keeper is instead
+    * a map-side-combinable `max(struct(n_chars, -doc_id))` aggregate
+    * (lexicographic struct max == the argmax with min-id tie-break),
+    * and the decoration join back on `component` is a plain shuffle
+    * join AQE can skew-split, which no window can. The cluster
+    * labeling itself reuses dedupComponents' star contraction.
+    */
+  def dedupKeepOne(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = dedupComponents(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"n_chars"),
+            Seq("doc_id"))
+      .select($"doc_id", $"component", $"n_chars")
+    val keepers = labeled
+      .groupBy($"component")
+      .agg(max(struct($"n_chars", (-$"doc_id").as("neg"))).as("m"))
+      .select($"component", (-$"m.neg").as("keeper_id"))
+    labeled.join(keepers, Seq("component"))
+      .select($"doc_id", $"component", $"keeper_id",
+              ($"doc_id" === $"keeper_id").as("keep"))
+  }
+
   /** Alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) over an
     * undirected edge list — the round-11 verdict's A/B candidate

@@ -338,6 +338,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == Map(6L -> 4L, 5L -> 9L, 1L -> 2L))
   }
 
+  test("keep one: longest doc wins its cluster, min-id tie-break, singletons keep themselves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keepone").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    // docs 1/2/3 share an identical word SET (identical minhash
+    // signature -> one cluster, component = 1) but differ in LENGTH:
+    // doc 2 repeats words, so it is the longest and must be keeper;
+    // doc 3 ties doc 1 on length with a higher id. Doc 9's vocabulary
+    // is disjoint -> a singleton that keeps itself.
+    Seq((1L, base, "s"), (2L, base + " w1 w2 w3", "s"),
+        (3L, base, "s"),
+        (9L, (1 to 20).map(i => s"z$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.dedup.Dedup.dedupKeepOne(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+                      (3L, 1L, 2L, false), (9L, 9L, 9L, true)))
+  }
+
   test("clustco: clique nodes bucket 10, open wedge center 0, degree<2 bucket -1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-clustco").toString
