@@ -2267,12 +2267,13 @@ object SparkEntry {
       // Replays the engine exactly: the sim_knn_graph oracle's top-5
       // per-cell cosine neighbors -> mutual restriction (edge kept iff
       // its reverse is also a knn edge) -> staged peel rounds (the
-      // dedup_components technique). The engine peels to a FIXPOINT,
-      // so any oracle round past the cascade depth is a no-op — 12 is
-      // comfortably above the observed depth at every gate SF (the
-      // engine's 30-round guard would trip long before 12 becomes too
-      // few silently).
-      val rounds = (1 to 12).map { k =>
+      // dedup_components technique). Oracle round count == the
+      // engine's 30-round guard: the engine peels to a FIXPOINT, so
+      // excess oracle rounds are no-ops, and any cascade the engine
+      // CAN finish (depth < 30 — deeper raises, never returns) is
+      // replayed fully. Fewer rounds here would under-peel the oracle
+      // on deep cascades and red-flag a correct engine result.
+      val rounds = (1 to 30).map { k =>
         s"""r$k AS MATERIALIZED (SELECT a FROM s${k - 1}
            |  GROUP BY a HAVING count(*) >= 3),
            |s$k AS MATERIALIZED (SELECT s.a, s.b FROM s${k - 1} s
@@ -2293,7 +2294,7 @@ object SparkEntry {
          |    ON k.vec_id = r.neighbor_id AND k.neighbor_id = r.vec_id),
          |$rounds,
          |core AS (SELECT a AS vec_id, count(*) AS core_degree
-         |  FROM s12 GROUP BY 1)
+         |  FROM s30 GROUP BY 1)
          |SELECT e.vec_id,
          | CAST(coalesce(c.core_degree, 0) AS BIGINT) AS core_degree
          |FROM e LEFT JOIN core c USING (vec_id)""".stripMargin

@@ -388,10 +388,14 @@ object Dedup {
     */
   def dedupKeepOne(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // checkpoint: the labeled relation feeds BOTH the keeper argmax
+    // and the decoration join, and the components/banding pass behind
+    // it would otherwise evaluate once per consumer
     val labeled = dedupComponents(spark, sfDir)
       .join(Tables.documents(spark, sfDir).select($"doc_id", $"n_chars"),
             Seq("doc_id"))
       .select($"doc_id", $"component", $"n_chars")
+      .localCheckpoint()
     val keepers = labeled
       .groupBy($"component")
       .agg(max(struct($"n_chars", (-$"doc_id").as("neg"))).as("m"))

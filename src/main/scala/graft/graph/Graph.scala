@@ -370,9 +370,9 @@ object Graph {
     * a relation that only shrinks, with `localCheckpoint` holding
     * the plan constant-size. The round guard raises rather than
     * returning a half-peeled core. The DuckDB oracle replays knn →
-    * mutual → 12 staged peel rounds (the dedup_components
-    * technique); the engine's fixpoint exit makes excess oracle
-    * rounds no-ops.
+    * mutual → 30 staged peel rounds (the dedup_components technique;
+    * oracle rounds == this guard, so every cascade the engine can
+    * finish is replayed fully and excess oracle rounds are no-ops).
     */
   def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -402,8 +402,11 @@ object Graph {
     var converged = false
     while (!converged) {
       assert(rounds < 30, "k-core cascade exceeded the round guard")
+      // checkpoint the (tiny) peel set: it is consumed by isEmpty AND
+      // both anti-joins — unpinned, the degree aggregate over `live`
+      // would run twice per round
       val low = live.groupBy($"a").agg(count(lit(1)).as("deg"))
-        .filter($"deg" < k).select($"a")
+        .filter($"deg" < k).select($"a").localCheckpoint()
       if (low.isEmpty) converged = true
       else {
         live = live

@@ -666,18 +666,36 @@ object Events {
         .otherwise("U").as("op"))
   }
 
+  /** The one per-key ordering of the CDC contract: image wins by
+    * (ts, event_id) descending. Batch apply, streaming partials, and
+    * the store re-merge all build on these two specs — an ordering
+    * edit lands everywhere at once or nowhere.
+    */
+  private[graft] def cdcByKey = Window.partitionBy(col("user_id"))
+  private[graft] def cdcLatest =
+    cdcByKey.orderBy(col("ts").desc, col("event_id").desc)
+
+  /** Per-key last image + op count of an event slice — tombstone
+    * rows RETAINED (a delete must keep masking earlier writes at
+    * merge time). Shared by [[cdcApply]] and
+    * [[graft.streaming.CdcIngest]]'s per-batch partials.
+    */
+  private[graft] def cdcLastImages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    cdcChangelog(events)
+      .withColumn("rn", row_number().over(cdcLatest))
+      .withColumn("n_ops", count(lit(1)).over(cdcByKey))
+      .filter($"rn" === 1).drop("rn")
+  }
+
   /** The same apply over ANY events-shaped relation — the library
     * form a caller feeds their own changelog slice into (and the
     * prefix-equality target of the CdcIngest spec).
     */
   def cdcApply(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val byKey = Window.partitionBy($"user_id")
-    val latest = byKey.orderBy($"ts".desc, $"event_id".desc)
-    cdcChangelog(events)
-      .withColumn("rn", row_number().over(latest))
-      .withColumn("n_ops", count(lit(1)).over(byKey))
-      .filter($"rn" === 1 && $"op" =!= "D")
+    cdcLastImages(events)
+      .filter($"op" =!= "D")
       .select($"user_id", $"event_type".as("final_type"),
               $"value".as("final_value"), $"n_ops")
   }

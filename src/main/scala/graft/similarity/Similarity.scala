@@ -217,12 +217,17 @@ object Similarity {
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"i", $"m"))).as("ps"))
       .select($"label", expr("transform(ps, p -> p.m)").as("cv"))
+    // checkpoint the k-row cell aggregate: it feeds BOTH the totals
+    // row and the output side, and unpinned the corpus-wide cosine
+    // pass behind it would evaluate once per consumer (the
+    // no-ReusedExchange self-join behavior measured in simRecallEval)
     val cells = vecs.join(broadcast(cent), Seq("label"))
       .select($"label".as("cell"),
               round(graft.functions.cosineSim($"v", $"cv"), 4).as("cos4"))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vectors"),
            round(sum($"cos4"), 4).as("coherence"))
+      .localCheckpoint()
     val totals = cells.agg(
       sum($"n_vectors").as("total"),
       sum($"n_vectors" * $"n_vectors").as("sumsq"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -39,17 +38,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object CdcIngest {
 
-  private def byKey = Window.partitionBy(col("user_id"))
-  private def latest = byKey.orderBy(col("ts").desc, col("event_id").desc)
-
   /** Per-key last image + op count of one event slice (tombstones
-    * retained — they must mask earlier batches at read time).
+    * retained — they must mask earlier batches at read time). The
+    * reduction — including the (ts, event_id) ordering contract — is
+    * [[graft.operators.Events.cdcLastImages]], shared with the batch
+    * apply so the streamed and batch paths cannot diverge.
     */
   def partials(events: DataFrame): DataFrame =
-    graft.operators.Events.cdcChangelog(events)
-      .withColumn("rn", row_number().over(latest))
-      .withColumn("n_ops", count(lit(1)).over(byKey))
-      .filter(col("rn") === 1).drop("rn")
+    graft.operators.Events.cdcLastImages(events)
 
   /** Build the table's history partition from an existing corpus,
     * under batch id -1 (streamed batches are ≥ 0, so they can never
@@ -83,8 +79,10 @@ object CdcIngest {
     */
   def read(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath)
-      .withColumn("rn", row_number().over(latest))
-      .withColumn("total_ops", sum(col("n_ops")).over(byKey))
+      .withColumn("rn",
+        row_number().over(graft.operators.Events.cdcLatest))
+      .withColumn("total_ops",
+        sum(col("n_ops")).over(graft.operators.Events.cdcByKey))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(col("user_id"), col("event_type").as("final_type"),
               col("value").as("final_value"),
