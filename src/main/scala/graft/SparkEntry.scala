@@ -65,6 +65,7 @@ object SparkEntry {
     "q17_small_quantity"   -> (Relational.q17SmallQuantity _),
     "q_mode"               -> (Relational.qMode _),
     "q11_important_stock"  -> (Relational.q11ImportantStock _),
+    "q12_ship_lateness"    -> (Relational.q12ShipLateness _),
     "q_window_range"       -> (Relational.qWindowRange _),
     "q_median_mad"         -> (Relational.qMedianMad _),
     "q_stats"              -> (Analytics.qStats _),
@@ -128,6 +129,9 @@ object SparkEntry {
     "txt_gopher_rules"     -> (graft.text.TextAnalysis.txtGopherRules _),
     "txt_heaps_law"        -> (graft.text.TextAnalysis.txtHeapsLaw _),
     "txt_zipf"             -> (graft.text.TextAnalysis.txtZipf _),
+    "txt_dsir_weights"     -> (graft.text.TextAnalysis.txtDsirWeights _),
+    "txt_bpe_train"        -> ((s: SparkSession, d: String) =>
+                                 graft.text.TextAnalysis.txtBpeTrain(s, d)),
     "txt_ccnet_buckets"    -> (graft.text.TextAnalysis.txtCcnetBuckets _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
@@ -193,6 +197,7 @@ object SparkEntry {
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
+    "sim_hybrid_rrf"       -> (graft.similarity.Similarity.simHybridRrf _),
     "sim_kmeans"           -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simKmeans(s, d)),
     "sim_threshold_sweep"  -> (graft.similarity.Similarity.simThresholdSweep _),
@@ -245,6 +250,10 @@ object SparkEntry {
          |  FROM j)""".stripMargin) +
     // and for the prefix-scan strategy over the same stored vectors
     ("sim_matryoshka_stored" -> oracleSqlBase("sim_matryoshka")) +
+    // the BPE merge-table replay is one CTE stage per learned merge
+    // (mechanical, so it is GENERATED — same technique as the staged
+    // IVF+SQ oracle, inlined because the chain is vocabulary-sized)
+    ("txt_bpe_train" -> bpeOracleSql(8)) +
     // recall@5 composes the constituent replays verbatim as
     // subqueries (DuckDB allows a CTE-bearing SELECT in parentheses)
     ("sim_recall_eval" -> {
@@ -305,6 +314,56 @@ object SparkEntry {
       |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
       |   AS bh
       |  FROM sig CROSS JOIN range(0, 8) t(b))""".stripMargin
+
+  /** The [[graft.text.TextAnalysis.txtBpeTrain]] replay: word-type
+    * frequencies once, then one generated CTE stage per merge round —
+    * top pair by (count desc, pair lexicographic), merge via the same
+    * island-parity rule (matches grouped into consecutive runs, merge
+    * at odd island rows — left-to-right non-overlap incl. self-pairs),
+    * renumber, repeat. The chain is textual but mechanical; every
+    * stage is vocabulary-sized.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { k =>
+      s"""t$k AS (SELECT a, b, cnt FROM (
+         |   SELECT sym AS a, b, sum(freq) AS cnt FROM (
+         |     SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos)
+         |       AS b, freq FROM s${k - 1})
+         |   WHERE b IS NOT NULL GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |g$k AS (SELECT word, freq, pos, sym, nxt,
+         |   CASE WHEN m THEN row_number() OVER (PARTITION BY word, isl
+         |     ORDER BY pos) % 2 = 1 ELSE false END AS ms
+         |  FROM (SELECT *, CASE WHEN m THEN pos - row_number()
+         |     OVER (PARTITION BY word, m ORDER BY pos) END AS isl
+         |   FROM (SELECT s.word, s.freq, s.pos, s.sym,
+         |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
+         |        AS nxt,
+         |      (s.sym = t.a AND lead(s.sym) OVER (PARTITION BY s.word
+         |        ORDER BY s.pos) = t.b) AS m
+         |     FROM s${k - 1} s CROSS JOIN t$k t))),
+         |s$k AS (SELECT word, freq,
+         |   CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+         |     AS INT) AS pos,
+         |   CASE WHEN ms THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, coalesce(lag(ms) OVER (PARTITION BY word
+         |     ORDER BY pos), false) AS consumed FROM g$k)
+         |  WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { k =>
+      s"""SELECT $k AS "round", a AS lhs, b AS rhs, a || b AS merged,
+         | CAST(cnt AS BIGINT) AS pair_count FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), ' +'))
+       |   AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+       |s0 AS (SELECT word, freq, CAST(u AS INT) AS pos,
+       |   substr(word, CAST(u AS INT), 1) AS sym
+       |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1))
+       |     AS u FROM wf)),
+       |$stages
+       |$out""".stripMargin
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
     "dedup_cross_source" ->
@@ -534,6 +593,27 @@ object SparkEntry {
         | CAST((10000 * (sx*sy - n*sxy)) // (n*sxx - sx*sx) AS BIGINT)
         |   AS slope_neg_e4
         |FROM a""".stripMargin,
+    "txt_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   string_split_regex(trim(text), ' +') AS words FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |   unnest(list_transform(range(1, len(words)),
+        |     i -> words[i] || ' ' || words[i+1])) AS bg FROM w),
+        |hb AS (SELECT doc_id, lang,
+        |   CAST(md5_number_lower(bg) % 9223372036854775808 AS BIGINT)
+        |     % 8192 AS bucket FROM b),
+        |m AS (SELECT bucket, count(*) AS c_src,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+        |  FROM hb GROUP BY 1),
+        |co AS (SELECT bucket,
+        |   CAST(((c_tgt + 1) * 10000) // (c_src + 1) AS BIGINT) AS coef_bp
+        |  FROM m),
+        |s AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+        |   sum(coef_bp) AS score_sum
+        |  FROM hb JOIN co USING (bucket) GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        | CAST(score_sum // n_bigrams AS BIGINT) AS dsir_score_bp
+        |FROM s""".stripMargin,
     "txt_gopher_rules" ->
       """WITH d AS (SELECT source,
         |   string_split_regex(trim(text), ' +') AS words FROM documents),
@@ -1988,6 +2068,55 @@ object SparkEntry {
         |   round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
         |  FROM q JOIN e ON q.query_id != e.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "sim_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id,
+        |   CAST(md5_number_lower(w) % 9223372036854775808 AS BIGINT) AS h,
+        |   count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |idf AS (SELECT h,
+        |   CAST(((n - df + 1) * 10000) // (df + 1) AS BIGINT) AS idf_bp
+        |  FROM (SELECT h, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
+        |  WHERE df <= 65536),
+        |qs AS (SELECT query_id, h, tfq, idf_bp FROM (
+        |   SELECT t.doc_id AS query_id, t.h, t.tf AS tfq, i.idf_bp,
+        |     row_number() OVER (PARTITION BY t.doc_id
+        |       ORDER BY i.idf_bp DESC, t.h) AS r
+        |   FROM tf t JOIN idf i USING (h) WHERE t.doc_id < 10)
+        |  WHERE r <= 20),
+        |lex AS (SELECT q.query_id, t.doc_id,
+        |   CAST(sum(least(q.tfq, t.tf) * q.idf_bp) AS BIGINT) AS score
+        |  FROM qs q JOIN tf t USING (h) WHERE t.doc_id != q.query_id
+        |  GROUP BY 1, 2),
+        |lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+        |   SELECT query_id, doc_id,
+        |     CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, doc_id) AS INT) AS lex_rank FROM lex)
+        |  WHERE lex_rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+        |  WHERE vec_id < 10),
+        |vecr AS (SELECT query_id, doc_id, vec_rank FROM (
+        |   SELECT q.query_id, e.vec_id AS doc_id,
+        |     CAST(row_number() OVER (PARTITION BY q.query_id
+        |       ORDER BY list_cosine_similarity(q.qvec, e.v) DESC,
+        |                e.vec_id) AS INT) AS vec_rank
+        |   FROM qv q JOIN e ON q.query_id != e.vec_id)
+        |  WHERE vec_rank <= 20),
+        |f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |   coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+        |   CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+        |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
+        |     AS rrf_e6
+        |  FROM lexr l FULL JOIN vecr v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT query_id, doc_id, rank, rrf_e6, lex_rank, vec_rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rank FROM f)
+        |WHERE rank <= 10""".stripMargin,
     "q_promo_effect" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
         |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
@@ -2550,6 +2679,15 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM pp)
         |SELECT l_partkey, value_cents FROM pp CROSS JOIN t
         |WHERE value_cents > total_cents // 10000""".stripMargin,
+    "q12_ship_lateness" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus""".stripMargin,
     "q_window_range" ->
       """WITH o AS (SELECT o_custkey,
         |   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,

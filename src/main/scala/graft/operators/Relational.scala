@@ -1169,4 +1169,31 @@ object Relational {
       .select($"o_orderpriority", $"median_cents", $"mad_cents",
               $"n".as("n_orders"))
   }
+
+  /** TPC-H Q12-shaped shipping-lateness split — the last of the 22
+    * TPC-H shapes (this corpus carries no l_shipmode/l_commitdate, so
+    * the mode axis is l_linestatus and "late" is shipped > 60 days
+    * after the order date; the operator shape — fact/dim join with a
+    * conditional two-way priority split — is Q12's). One join keyed
+    * on l_orderkey (orders projected to two columns), one 2-group
+    * aggregate with map-side combine; the priority CASE evaluates
+    * inside the scan's codegen stage.
+    */
+  def q12ShipLateness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" ||
+                 $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" &&
+                 $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
 }

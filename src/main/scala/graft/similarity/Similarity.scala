@@ -80,6 +80,86 @@ object Similarity {
       e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
     else e.crossJoin(broadcast(queries))
 
+  /** Hybrid lexical + vector retrieval fused by Reciprocal Rank
+    * Fusion (Cormack et al. 2009): each query document retrieves a
+    * top-20 list twice — BM25-shaped sparse scoring over its rarest
+    * terms, and brute cosine over its embedding — and the fused
+    * score is `Σ 10⁶ div (60 + rank)` (the canonical RRF with k=60,
+    * held in integers so the fusion is bit-stable across engines).
+    * The lexical scorer is the engine's integer convention: idf in
+    * basis points `((N − df + 1)·10⁴) div (df + 1)`, per-pair score
+    * `Σ min(tf_q, tf_d) · idf_bp` — a saturation-free BM25 analog
+    * whose long sums are order-insensitive (no float ln; the
+    * [[graft.text.TextAnalysis.txtDsirWeights]] arithmetic rules).
+    *
+    * Scale (100 TB): the classic hybrid-search trap is the posting
+    * join on a common term — one stopword joins every document and
+    * the candidate set goes corpus-quadratic. Candidacy is therefore
+    * bounded BY CONSTRUCTION twice: a term participates only with
+    * df ≤ 65536 (the absolute posting-list cap, applied BEFORE term
+    * selection), and each query scores only its 20 rarest surviving
+    * terms (idf desc, hash tiebreak), so candidate rows ≤
+    * |queries| · 20 · 65536 regardless of corpus size. The corpus tf
+    * relation is computed once; df/idf is one map-combinable
+    * aggregate; the selected query terms broadcast into the posting
+    * join. The vector list reuses the brute-scan shape (queries
+    * broadcast against one corpus pass). The two rank lists meet in
+    * a full outer join on (query, doc) — both already metadata-sized.
+    */
+  def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // vector list: brute cosine, top-20 ranks per query
+    val vecRanks = crossQueries(vectors(spark, sfDir),
+        defaultQueries(spark, sfDir), excludeSelf = true)
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("doc_id"),
+              ($"i" + 1).cast("int").as("vec_rank"))
+    // lexical list: hashed-term tf per doc, one corpus pass, pinned
+    val tf = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(expr("split(trim(text), ' +')")).as("w"))
+      .select($"doc_id",
+        expr("graft_md5lower64(w) & 9223372036854775807").as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+      .persist()
+    val nDocs = Tables.documents(spark, sfDir).groupBy()
+      .agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 65536)
+      .crossJoin(broadcast(nDocs))
+      .select($"h", $"df",
+        expr("((n - df + 1) * 10000) div (df + 1)").as("idf_bp"))
+    val selW = Window.partitionBy($"query_id")
+      .orderBy($"idf_bp".desc, $"h")
+    val qterms = tf.filter($"doc_id" < 10)
+      .select($"doc_id".as("query_id"), $"h", $"tf".as("tfq"))
+      .join(idf, Seq("h"))
+      .withColumn("r", row_number().over(selW))
+      .filter($"r" <= 20)
+      .select($"query_id", $"h", $"tfq", $"idf_bp")
+    val lexW = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id")
+    val lexRanks = tf.join(broadcast(qterms), Seq("h"))
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum(least($"tfq", $"tf") * $"idf_bp").as("score"))
+      .withColumn("lex_rank", row_number().over(lexW).cast("int"))
+      .filter($"lex_rank" <= 20)
+      .select($"query_id", $"doc_id", $"lex_rank")
+    val fusedW = Window.partitionBy($"query_id")
+      .orderBy($"rrf_e6".desc, $"doc_id")
+    lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+        coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(fusedW).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"doc_id", $"rank", $"rrf_e6",
+              $"lex_rank", $"vec_rank")
+  }
+
   /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar
     * shape): L independent tables of `bits` Gaussian hyperplanes,
     * computed by the native `HyperplaneBuckets` Catalyst expression

@@ -837,4 +837,126 @@ object TextAnalysis {
         expr("(10000 * (sx*sy - n_terms*sxy)) div (n_terms*sxx - sx*sx)")
           .as("slope_neg_e4"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-bigram feature distribution
+    * resembles a TARGET domain (here the `lang = 'en'` slice)
+    * relative to the full corpus. DSIR's estimator is the
+    * bag-of-hashed-ngrams likelihood ratio; this engine keeps the
+    * per-bucket ratio in integer basis points with add-one smoothing
+    * — `coef(b) = ((c_tgt(b)+1)·10⁴) div (c_src(b)+1)` — so the
+    * per-document mean is a pure long sum ÷ count, bit-identical
+    * across engines (the [[txtBigramLm]] e4-integer recipe without
+    * the logarithm; target ⊆ source bounds every coefficient by 10⁴,
+    * so no overflow at any corpus size).
+    *
+    * Scale (100 TB): the hashed-bigram stream (8-byte bucket ids,
+    * hashed AFTER the explode — Generate is the collapse barrier
+    * that keeps the md5 out of the zip_with lambda) is computed once
+    * and pinned; it feeds (a) the 8192-row bucket model — one
+    * map-combinable aggregate whose output is metadata-sized by
+    * construction — and (b) the per-doc score, a broadcast join of
+    * that model back onto the stream plus one groupBy on doc_id.
+    * Nothing quadratic, no windows, no vocabulary strings past the
+    * scan stage.
+    */
+  def txtDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, sfDir)
+      .withColumn("words", expr("split(trim(text), ' +')"))
+      .select($"doc_id", $"lang", explode(expr(
+        "zip_with(slice(words, 1, size(words)-1), " +
+          "slice(words, 2, size(words)-1), (a, b) -> concat(a, ' ', b))"))
+        .as("bg"))
+      .select($"doc_id", $"lang",
+        expr("(graft_md5lower64(bg) & 9223372036854775807) % 8192")
+          .as("bucket"))
+      .persist()
+    val model = bg.groupBy($"bucket")
+      .agg(count(lit(1)).as("c_src"),
+           sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
+      .select($"bucket", expr("((c_tgt + 1) * 10000) div (c_src + 1)")
+        .as("coef_bp"))
+    bg.join(broadcast(model), Seq("bucket"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"coef_bp").as("score_sum"))
+      .select($"doc_id", $"lang", $"n_bigrams",
+        expr("score_sum div n_bigrams").as("dsir_score_bp"))
+  }
+
+  def txtBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    txtBpeTrain(spark, sfDir, rounds = 8)
+
+  /** BPE tokenizer training (Sennrich et al. 2016): learn the first
+    * N merge rules from the corpus — round k counts all adjacent
+    * symbol pairs, picks the most frequent (ties: count desc, then
+    * lexicographic on the pair — binary UTF-8 order in both engines),
+    * and merges its occurrences left-to-right non-overlapping in
+    * every word. Output = the learned merge table (round, lhs, rhs,
+    * merged, pair_count) — the artifact a tokenizer trainer ships.
+    *
+    * Scale (100 TB): the classic trainer trick — train on WORD TYPES
+    * weighted by frequency, not corpus positions. The only
+    * corpus-sized work is the one map-combinable (word, freq)
+    * aggregate; every merge round then operates on the vocabulary
+    * relation (types × word length rows — millions at worst, never
+    * corpus-sized), as (word, freq, pos, sym) ROWS: pair counts from
+    * one lead() window, the merge itself from the island-parity rule
+    * below, renumbering from row_number(). The chosen pair is 1-row
+    * driver model state (the k-means centroid precedent); the state
+    * is localCheckpoint-ed every round so the plan stays constant
+    * and the corpus scan runs exactly once.
+    *
+    * Left-to-right non-overlap: matches at consecutive positions are
+    * possible only for self-pairs (a,a) inside runs of `a`s; group
+    * consecutive match positions into islands (pos − row_number over
+    * the word's match rows — gaps-and-islands) and merge at the ODD
+    * row of each island. For a ≠ b every island is a singleton, so
+    * the one rule covers both cases; a merge at i consumes i+1,
+    * which is island-even and therefore never itself a merge start.
+    */
+  def txtBpeTrain(spark: SparkSession, sfDir: String,
+                  rounds: Int): DataFrame = {
+    import spark.implicits._
+    val wW = Window.partitionBy($"word").orderBy($"pos")
+    // one corpus pass → word types; explode the index FIRST (Generate
+    // is the collapse barrier), then slice the symbol per row
+    var st = Tables.documents(spark, sfDir)
+      .select(explode(expr("split(trim(text), ' +')")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select($"word", $"freq",
+        explode(expr("sequence(1, length(word))")).as("pos"))
+      .withColumn("sym", expr("substring(word, pos, 1)"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val top = st.withColumn("b", lead($"sym", 1).over(wW))
+        .filter($"b".isNotNull)
+        .groupBy($"sym", $"b").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"sym", $"b").limit(1).collect()
+      require(top.nonEmpty,
+        s"txt_bpe_train: pair supply exhausted before round $k")
+      val (a, b, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((k, a, b, a + b, cnt))
+      val islW = Window.partitionBy($"word", $"m").orderBy($"pos")
+      val rnW = Window.partitionBy($"word", $"isl").orderBy($"pos")
+      st = st
+        .withColumn("nxt", lead($"sym", 1).over(wW))
+        .withColumn("m", $"sym" === lit(a) && $"nxt" === lit(b))
+        .withColumn("isl",
+          when($"m", $"pos" - row_number().over(islW)))
+        .withColumn("ms",
+          when($"m", row_number().over(rnW) % 2 === 1).otherwise(lit(false)))
+        .withColumn("consumed",
+          coalesce(lag($"ms", 1).over(wW), lit(false)))
+        .filter(!$"consumed")
+        .select($"word", $"freq",
+          row_number().over(wW).as("pos"),
+          when($"ms", concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
 }

@@ -697,4 +697,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"centroid join fell back to sort-merge\n$ip")
     assert(!ip.contains("CartesianProduct"), ip)
   }
+
+  test("session-5 operators keep their shuffle shapes") {
+    // q12: one equi-join, a 2-group map-combinable aggregate, and a
+    // 2-column orders projection (priority/date only — no totalprice)
+    val q12 = capture(Relational.q12ShipLateness(spark, sf), "simple")
+    assert(!q12.contains("CartesianProduct"), q12)
+    assert(!q12.contains("o_totalprice"), "orders scan is not pruned")
+    // dsir: the 8192-bucket model is broadcast back onto the pinned
+    // hashed-bigram stream — the corpus is never on the shuffled side
+    // of the score join
+    val ds = capture(graft.text.TextAnalysis.txtDsirWeights(spark, sf),
+      "simple")
+    assert(ds.contains("BroadcastHashJoin"), ds)
+    assert(!ds.contains("SortMergeJoin"),
+      s"bucket-model join fell back to sort-merge\n$ds")
+    assert(ds.contains("InMemoryTableScan"),
+      "hashed-bigram stream is not pinned")
+    // hybrid rrf: the selected query terms broadcast into the posting
+    // join (the df-capped side), never a corpus-vs-corpus shuffle join
+    val hy = capture(graft.similarity.Similarity.simHybridRrf(spark, sf),
+      "simple")
+    assert(hy.contains("BroadcastHashJoin"), hy)
+    assert(!hy.contains("CartesianProduct"), hy)
+    assert(hy.contains("InMemoryTableScan"), "corpus tf is not pinned")
+  }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-12 session-5 batch
+  * (q12_ship_lateness, txt_dsir_weights, sim_hybrid_rrf). As with
+  * ContinuationOpsSpec, the oracle gate checks these against DuckDB
+  * on the generated corpus; these pin the SEMANTICS — the strict
+  * lateness boundary, the add-one-smoothed integer likelihood ratio,
+  * the RRF fusion arithmetic and its rank tiebreaks — on inputs
+  * where the right answer is computable by hand.
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def writeDocs(dir: String,
+                        rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("q12: exactly-60-days is NOT late (strict >); priority split") {
+    import spark.implicits._
+    val dir = tmp("q12")
+    // order 1 URGENT placed day 0; order 2 LOW placed day 0
+    Seq((1L, "1-URGENT"), (2L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .withColumn("o_orderdate", expr("timestamp(date'1970-01-01')"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lines: order 1 ships day 60 (NOT late: strict >) and day 61
+    // (late, high); order 2 ships day 61 (late, low) — statuses split
+    // the group axis
+    Seq((1L, "O", 60), (1L, "O", 61), (2L, "O", 61), (2L, "F", 100))
+      .toDF("l_orderkey", "l_linestatus", "day")
+      .withColumn("l_shipdate",
+        expr("timestamp(date_add(date'1970-01-01', day))"))
+      .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.q12ShipLateness(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    // status O: 1 high (order-1 day-61) + 1 low (order-2 day-61);
+    // the day-60 line is excluded. status F: 1 low.
+    assert(got == Set(("O", 1L, 1L), ("F", 0L, 1L)))
+  }
+
+  test("txt_dsir_weights: add-one-smoothed integer ratio per bucket") {
+    import spark.implicits._
+    val dir = tmp("dsir")
+    // distinct bigrams and their (c_src, c_tgt) with target lang=en:
+    //   "w w": A(en)×2 + B(fr)×1 + D(fr)×1 → (4, 2) → (3·10⁴) div 5 = 6000
+    //   "u u": C(en)×1 + D(fr)×1          → (2, 1) → (2·10⁴) div 3 = 6666
+    //   "w u": D(fr)×1                    → (1, 0) → (1·10⁴) div 2 = 5000
+    // doc scores (score_sum div n_bigrams):
+    //   A: 12000 div 2 = 6000   B: 6000   C: 6666
+    //   D ("w w","w u","u u"): 17666 div 3 = 5888
+    // (assumes the 3 bigrams land in 3 distinct md5 buckets of 8192 —
+    // deterministic, so this either always holds or never does)
+    writeDocs(dir, Seq(
+      (1L, "w w w", "en"), (2L, "w w", "fr"),
+      (3L, "u u", "en"), (4L, "w w u u", "fr")))
+    val got = graft.text.TextAnalysis.txtDsirWeights(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "en", 2L, 6000L), (2L, "fr", 1L, 6000L),
+      (3L, "en", 1L, 6666L), (4L, "fr", 3L, 5888L)))
+  }
+
+  test("txt_bpe_train: freq weighting, run parity, lexicographic ties") {
+    import spark.implicits._
+    val dir = tmp("bpe")
+    // word freqs: aaa×3, ab×1, b×2, cd×1, ce×1
+    // r1: (a,a) = 2 positions × freq 3 = 6 — and "aaa" merges LEFT TO
+    //     RIGHT: island {1,2}, odd row only → [aa, a], never [a, aa]
+    // r2: (aa,a) = 3 → [aaa]
+    // r3: (a,b)/(c,d)/(c,e) all 1 → lexicographic: a < c picks (a,b)
+    // r4: (c,d) vs (c,e) → d < e
+    writeDocs(dir, Seq((1L, "aaa aaa aaa ab b b cd ce", "en")))
+    val got = graft.text.TextAnalysis.txtBpeTrain(spark, dir, rounds = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L), (2, "aa", "a", "aaa", 3L),
+      (3, "a", "b", "ab", 1L), (4, "c", "d", "cd", 1L)))
+  }
+
+  test("sim_hybrid_rrf: fusion arithmetic, list-miss zeros, tiebreaks") {
+    import spark.implicits._
+    val dir = tmp("hybrid")
+    // query = doc/vec 0. Corpus 100/101/102 (ids ≥ 10 ⇒ not queries).
+    // vectors: 100 ∥ query (rank 1), 102 at 45° (rank 2), 101 ⊥ (rank 3)
+    Seq((0L, Seq(1f, 0f), 0), (100L, Seq(1f, 0f), 0),
+        (101L, Seq(0f, 1f), 0), (102L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // terms: df(alpha)=3, df(beta)=2, N=4 →
+    //   idf(alpha) = (2·10⁴) div 4 = 5000, idf(beta) = (3·10⁴) div 3 = 10000
+    // lex scores vs query {alpha, beta}: 101 = 15000 (rank 1),
+    //   102 = 5000 (rank 2), 100 shares nothing (absent)
+    writeDocs(dir, Seq(
+      (0L, "alpha beta", "en"), (100L, "gamma delta", "en"),
+      (101L, "alpha beta", "en"), (102L, "alpha gamma", "en")))
+    val got = graft.similarity.Similarity.simHybridRrf(spark, dir)
+      .select($"query_id", $"doc_id", $"rank", $"rrf_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // rrf: 101 → 10⁶ div 61 + 10⁶ div 63 = 16393+15873 = 32266
+    //      102 → 2 · (10⁶ div 62) = 32258 (fusion near-tie, below 101)
+    //      100 → vector-only 16393 (lex miss contributes 0)
+    assert(got == Set(
+      (0L, 101L, 1, 32266L), (0L, 102L, 2, 32258L), (0L, 100L, 3, 16393L)))
+    // the lex-missing row carries a null lex_rank, not a sentinel
+    val nulls = graft.similarity.Similarity.simHybridRrf(spark, dir)
+      .filter($"doc_id" === 100L)
+      .select($"lex_rank".isNull, $"vec_rank").as[(Boolean, Int)].collect()
+    assert(nulls.toSeq == Seq((true, 1)))
+  }
+}
