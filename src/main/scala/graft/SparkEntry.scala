@@ -132,6 +132,8 @@ object SparkEntry {
     "txt_dsir_weights"     -> (graft.text.TextAnalysis.txtDsirWeights _),
     "txt_bpe_train"        -> ((s: SparkSession, d: String) =>
                                  graft.text.TextAnalysis.txtBpeTrain(s, d)),
+    "txt_bpe_apply"        -> ((s: SparkSession, d: String) =>
+                                 graft.text.TextAnalysis.txtBpeApply(s, d)),
     "txt_ccnet_buckets"    -> (graft.text.TextAnalysis.txtCcnetBuckets _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
@@ -254,6 +256,7 @@ object SparkEntry {
     // (mechanical, so it is GENERATED — same technique as the staged
     // IVF+SQ oracle, inlined because the chain is vocabulary-sized)
     ("txt_bpe_train" -> bpeOracleSql(8)) +
+    ("txt_bpe_apply" -> bpeApplyOracleSql(8)) +
     // recall@5 composes the constituent replays verbatim as
     // subqueries (DuckDB allows a CTE-bearing SELECT in parentheses)
     ("sim_recall_eval" -> {
@@ -323,7 +326,31 @@ object SparkEntry {
     * renumber, repeat. The chain is textual but mechanical; every
     * stage is vocabulary-sized.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainSql(rounds)}
+       |${(1 to rounds).map { k =>
+            s"""SELECT $k AS "round", a AS lhs, b AS rhs, a || b AS merged,
+               | CAST(cnt AS BIGINT) AS pair_count FROM t$k""".stripMargin
+          }.mkString("\nUNION ALL ")}""".stripMargin
+
+  /** [[graft.text.TextAnalysis.txtBpeApply]]'s replay: the same
+    * chain, then the final state's per-word token counts broadcast
+    * back onto one corpus word pass.
+    */
+  private def bpeApplyOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainSql(rounds)},
+       |vt AS (SELECT word, count(*) AS n_tok,
+       |   max(length(word)) AS wlen FROM s$rounds GROUP BY 1),
+       |dw AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+       |   ' +')) AS word FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(wlen) AS BIGINT) AS n_chars,
+       | CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       | CAST((sum(wlen) * 10000) // sum(n_tok) AS BIGINT)
+       |   AS compression_bp
+       |FROM dw JOIN vt USING (word) GROUP BY 1""".stripMargin
+
+  private def bpeChainSql(rounds: Int): String = {
     val stages = (1 to rounds).map { k =>
       s"""t$k AS (SELECT a, b, cnt FROM (
          |   SELECT sym AS a, b, sum(freq) AS cnt FROM (
@@ -350,19 +377,14 @@ object SparkEntry {
          |     ORDER BY pos), false) AS consumed FROM g$k)
          |  WHERE NOT consumed)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map { k =>
-      s"""SELECT $k AS "round", a AS lhs, b AS rhs, a || b AS merged,
-         | CAST(cnt AS BIGINT) AS pair_count FROM t$k""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), ' +'))
+    s"""tok AS (SELECT unnest(string_split_regex(trim(text), ' +'))
        |   AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
        |s0 AS (SELECT word, freq, CAST(u AS INT) AS pos,
        |   substr(word, CAST(u AS INT), 1) AS sym
        |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1))
        |     AS u FROM wf)),
-       |$stages
-       |$out""".stripMargin
+       |$stages""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -917,14 +917,28 @@ object TextAnalysis {
     * which is island-even and therefore never itself a merge start.
     */
   def txtBpeTrain(spark: SparkSession, sfDir: String,
-                  rounds: Int): DataFrame = {
+                  rounds: Int): DataFrame =
+    bpeTrainState(spark, sfDir, rounds)._1
+
+  /** Shared trainer core: returns (merge table, final tokenized
+    * vocabulary state as (word, freq, pos, sym) rows). The final
+    * state after round N IS every word type encoded under the first
+    * N merge rules — [[txtBpeApply]] joins it back onto documents.
+    */
+  private def bpeTrainState(spark: SparkSession, sfDir: String,
+                            rounds: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val wW = Window.partitionBy($"word").orderBy($"pos")
     // one corpus pass → word types; explode the index FIRST (Generate
-    // is the collapse barrier), then slice the symbol per row
+    // is the collapse barrier), then slice the symbol per row. The
+    // length guard keeps zero-length words out of the explode:
+    // sequence(1, 0) infers a DESCENDING step and would emit two
+    // empty-string symbols where the oracle's end-exclusive
+    // range(1, 1) emits none.
     var st = Tables.documents(spark, sfDir)
       .select(explode(expr("split(trim(text), ' +')")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .filter(length($"word") >= 1)
       .select($"word", $"freq",
         explode(expr("sequence(1, length(word))")).as("pos"))
       .withColumn("sym", expr("substring(word, pos, 1)"))
@@ -957,6 +971,42 @@ object TextAnalysis {
           when($"ms", concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
         .localCheckpoint()
     }
-    merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+    (merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count"),
+     st)
+  }
+
+  def txtBpeApply(spark: SparkSession, sfDir: String): DataFrame =
+    txtBpeApply(spark, sfDir, rounds = 8)
+
+  /** Tokenizer ENCODE pass — the consumer of [[txtBpeTrain]]'s merge
+    * table: token-count every document under the learned rules and
+    * report the compression the tokenizer achieves (the bytes-per-
+    * token audit run before committing to a vocabulary). Because
+    * training already left every word TYPE in encoded form, encoding
+    * the corpus is a broadcast join of the (word → token count)
+    * model onto one corpus word pass — no per-document merge replay,
+    * the same type/position split the trainer exploits. Output per
+    * doc: word count, character mass, BPE token count, and
+    * compression in basis points (`chars·10⁴ div tokens` — integer,
+    * engine-exact).
+    *
+    * Scale (100 TB): the model is vocabulary-sized and broadcast;
+    * corpus work is one explode + one map-combinable doc aggregate.
+    */
+  def txtBpeApply(spark: SparkSession, sfDir: String,
+                  rounds: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = bpeTrainState(spark, sfDir, rounds)._2
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n_tok"), max(length($"word")).as("wlen"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(expr("split(trim(text), ' +')")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum($"wlen").as("n_chars"),
+           sum($"n_tok").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+        expr("(n_chars * 10000) div n_bpe_tokens").as("compression_bp"))
   }
 }

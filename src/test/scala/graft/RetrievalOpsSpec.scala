@@ -90,6 +90,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
       (3, "a", "b", "ab", 1L), (4, "c", "d", "cd", 1L)))
   }
 
+  test("txt_bpe_apply: encode via the trained vocabulary, integer compression") {
+    import spark.implicits._
+    val dir = tmp("bpeapply")
+    // after the same 4 merges as the trainer fixture the vocabulary
+    // encodes as: aaa→1 token, ab→1, b→1, cd→1, ce→2 (c,e unmerged)
+    // doc: 8 words, 17 chars, 9 tokens → compression 170000 div 9
+    writeDocs(dir, Seq((1L, "aaa aaa aaa ab b b cd ce", "en")))
+    val got = graft.text.TextAnalysis.txtBpeApply(spark, dir, rounds = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 8L, 17L, 9L, 18888L)))
+  }
+
   test("sim_hybrid_rrf: fusion arithmetic, list-miss zeros, tiebreaks") {
     import spark.implicits._
     val dir = tmp("hybrid")
