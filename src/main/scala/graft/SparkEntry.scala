@@ -156,6 +156,7 @@ object SparkEntry {
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
     "pipeline_pack"        -> (Analytics.pipelinePack _),
     "pipeline_sample"      -> (Analytics.pipelineSample _),
+    "pipeline_dsir_sample" -> (Analytics.pipelineDsirSample _),
     "pipeline_curate"      -> (Analytics.pipelineCurate _),
     "pipeline_split"       -> (Analytics.pipelineSplit _),
     "pipeline_shard"       -> (Analytics.pipelineShard _),
@@ -257,6 +258,25 @@ object SparkEntry {
     // IVF+SQ oracle, inlined because the chain is vocabulary-sized)
     ("txt_bpe_train" -> bpeOracleSql(8)) +
     ("txt_bpe_apply" -> bpeApplyOracleSql(8)) +
+    // the resampling gate replays the score relation verbatim, then
+    // one hash coin per doc + a |langs|-row aggregate
+    ("pipeline_dsir_sample" ->
+      s"""WITH s AS (SELECT * FROM (${oracleSqlBase("txt_dsir_weights")})),
+         |k AS (SELECT lang, n_bigrams, dsir_score_bp,
+         |   (md5_number_lower(CAST(doc_id AS VARCHAR))
+         |     % 9223372036854775808) % 10000 < dsir_score_bp AS keep
+         |  FROM s)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+         | CAST((count(CASE WHEN keep THEN 1 END) * 10000) // count(*)
+         |   AS BIGINT) AS kept_bp,
+         | CAST(coalesce(sum(CASE WHEN keep THEN n_bigrams END), 0)
+         |   AS BIGINT) AS kept_bigrams,
+         | CAST(CASE WHEN count(CASE WHEN keep THEN 1 END) > 0
+         |   THEN coalesce(sum(CASE WHEN keep THEN dsir_score_bp END), 0)
+         |     // count(CASE WHEN keep THEN 1 END) ELSE 0 END AS BIGINT)
+         |   AS mean_kept_score_bp
+         |FROM k GROUP BY 1""".stripMargin) +
     // recall@5 composes the constituent replays verbatim as
     // subqueries (DuckDB allows a CTE-bearing SELECT in parentheses)
     ("sim_recall_eval" -> {

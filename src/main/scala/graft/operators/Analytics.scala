@@ -420,6 +420,39 @@ object Analytics {
              .as("sampled_tokens"))
   }
 
+  /** DSIR importance RESAMPLING (the selection step of Xie et al.
+    * 2023, consuming [[graft.text.TextAnalysis.txtDsirWeights]]):
+    * keep each document with probability proportional to its
+    * importance score, decided by the engine's deterministic hash
+    * coin — `md5(doc_id) basis points < dsir_score_bp` — so the
+    * selected subset is reproducible across runs, engines, and
+    * partitionings (the [[pipelineSample]] convention applied to a
+    * LEARNED per-document rate instead of per-source constants).
+    * Output: per-language selection report — doc counts, kept share,
+    * kept bigram mass, and the mean kept score (integer div).
+    *
+    * Scale (100 TB): the score relation's cost dominates (see
+    * txtDsirWeights — linear, pinned); the gate adds one hash
+    * comparison per doc and a |langs|-row aggregate.
+    */
+  def pipelineDsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.text.TextAnalysis.txtDsirWeights(spark, sfDir)
+      .withColumn("keep", Tables.docBasisPoints < $"dsir_score_bp")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           count(when($"keep", 1)).as("n_kept"),
+           coalesce(sum(when($"keep", $"n_bigrams")), lit(0L)).cast("long")
+             .as("kept_bigrams"),
+           coalesce(sum(when($"keep", $"dsir_score_bp")), lit(0L))
+             .cast("long").as("kept_score_sum"))
+      .select($"lang", $"n_docs", $"n_kept",
+        expr("(n_kept * 10000) div n_docs").as("kept_bp"),
+        $"kept_bigrams",
+        expr("case when n_kept > 0 then kept_score_sum div n_kept " +
+             "else 0 end").as("mean_kept_score_bp"))
+  }
+
   /** Deterministic train/val/test split (90/5/5) keyed on
     * md5(doc_id) basis points — the hash, not an RNG, decides
     * membership, so the split is reproducible across runs, engines,

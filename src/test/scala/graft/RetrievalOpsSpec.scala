@@ -90,6 +90,22 @@ class RetrievalOpsSpec extends AnyFunSuite {
       (3, "a", "b", "ab", 1L), (4, "c", "d", "cd", 1L)))
   }
 
+  test("pipeline_dsir_sample: score-10⁴ docs always keep, score-0 never") {
+    import spark.implicits._
+    val dir = tmp("dsirsample")
+    // doc 1 (en): its bigram is all-target → coef 10⁴ → score 10⁴,
+    //   and the hash coin is < 10⁴ by construction → ALWAYS kept
+    // doc 2 (fr): one bigram repeated 10000× with zero target mass →
+    //   coef = 10⁴ div 10001 = 0 → score 0 → NEVER kept (h < 0)
+    writeDocs(dir, Seq(
+      (1L, "a a a", "en"), (2L, ("w " * 10000) + "w", "fr")))
+    val got = graft.operators.Analytics.pipelineDsirSample(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", 1L, 1L, 10000L, 2L, 10000L),
+      ("fr", 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("txt_bpe_apply: encode via the trained vocabulary, integer compression") {
     import spark.implicits._
     val dir = tmp("bpeapply")
