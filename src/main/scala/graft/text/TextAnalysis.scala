@@ -862,26 +862,47 @@ object TextAnalysis {
     * scan stage.
     */
   def txtDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val bg = Tables.documents(spark, sfDir)
+    val bg = dsirHashedBigrams(Tables.documents(spark, sfDir)).persist()
+    dsirScoreWith(bg, dsirBucketCounts(bg))
+  }
+
+  /** The hashed-bigram feature stream (doc_id, lang, bucket) — the
+    * shared input of the bucket model and the score pass (and of the
+    * [[graft.streaming.DsirIngest]] per-batch partials).
+    */
+  private[graft] def dsirHashedBigrams(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", expr("split(trim(text), ' +')"))
-      .select($"doc_id", $"lang", explode(expr(
+      .select(col("doc_id"), col("lang"), explode(expr(
         "zip_with(slice(words, 1, size(words)-1), " +
           "slice(words, 2, size(words)-1), (a, b) -> concat(a, ' ', b))"))
         .as("bg"))
-      .select($"doc_id", $"lang",
+      .select(col("doc_id"), col("lang"),
         expr("(graft_md5lower64(bg) & 9223372036854775807) % 8192")
           .as("bucket"))
-      .persist()
-    val model = bg.groupBy($"bucket")
+
+  /** The raw bucket model (bucket, c_src, c_tgt) — ASSOCIATIVE:
+    * counts over a union of document slices are the sums of the
+    * per-slice counts, which is what makes the model streamable.
+    */
+  private[graft] def dsirBucketCounts(bg: DataFrame): DataFrame =
+    bg.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c_src"),
-           sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
-      .select($"bucket", expr("((c_tgt + 1) * 10000) div (c_src + 1)")
-        .as("coef_bp"))
-    bg.join(broadcast(model), Seq("bucket"))
-      .groupBy($"doc_id", $"lang")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"coef_bp").as("score_sum"))
-      .select($"doc_id", $"lang", $"n_bigrams",
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+
+  /** Score a hashed-bigram stream under a raw bucket model (the
+    * add-one coefficient is derived HERE, after any partial-merge,
+    * never stored — smoothing is not associative).
+    */
+  private[graft] def dsirScoreWith(bg: DataFrame,
+                                   model: DataFrame): DataFrame = {
+    val coef = model.select(col("bucket"),
+      expr("((c_tgt + 1) * 10000) div (c_src + 1)").as("coef_bp"))
+    bg.join(broadcast(coef), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("coef_bp")).as("score_sum"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
         expr("score_sum div n_bigrams").as("dsir_score_bp"))
   }
 

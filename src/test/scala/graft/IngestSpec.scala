@@ -354,4 +354,68 @@ class IngestSpec extends AnyFunSuite {
       graft.dedup.Dedup.contentBands(corpus))
     assert(d.count() == 1)
   }
+
+  test("DSIR ingest: streamed model == batch twin at every prefix; replay-safe; partials metadata-sized") {
+    import spark.implicits._
+    import graft.streaming.DsirIngest
+    import graft.text.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sf)
+    val history = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    assert(b1.count() > 0 && b2.count() > 0)
+    val root = Files.createTempDirectory("graft-dsir").toString
+    val (inDir, mdlDir, ckpt) = (s"$root/in", s"$root/mdl", s"$root/ckpt")
+
+    // the batch twin: score a corpus under its own single-pass model
+    def batchScores(d: DataFrame): DataFrame = {
+      val bg = TextAnalysis.dsirHashedBigrams(d)
+      TextAnalysis.dsirScoreWith(bg, TextAnalysis.dsirBucketCounts(bg))
+    }
+    def assertSameScores(clue: String, prefix: DataFrame): Unit = {
+      val got = DsirIngest.score(spark, mdlDir, prefix)
+      val want = batchScores(prefix)
+      assert(got.exceptAll(want).count() == 0 &&
+             want.exceptAll(got).count() == 0, s"$clue: scores differ")
+    }
+
+    DsirIngest.seed(history, mdlDir)
+    assertSameScores("seeded model", history)
+
+    b1.coalesce(1).write.parquet(inDir)
+    val q = DsirIngest.start(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .parquet(inDir), mdlDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assertSameScores("after batch 1", history.union(b1))
+      // non-vacuity: the grown model must actually MOVE the history
+      // docs' scores (else the prefix equality never exercises the
+      // cross-batch merge)
+      val rescored = DsirIngest.score(spark, mdlDir, history)
+      assert(rescored.exceptAll(batchScores(history)).count() > 0,
+        "fixture never exercises cross-batch model growth")
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assertSameScores("after batch 2", history.union(b1).union(b2))
+    } finally q.stop()
+
+    // crash-replay idempotence: re-writing batch 0's partial under
+    // the same id leaves the merged model unchanged
+    DsirIngest.partials(b1).withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(mdlDir)
+    assertSameScores("after batch-0 replay",
+      history.union(b1).union(b2))
+
+    // every stored partial is bucket-sized, never corpus-sized:
+    // 3 partitions (seed + two batches) of ≤ 8192 rows each
+    val stored = spark.read.parquet(mdlDir).count()
+    assert(stored <= 3 * 8192L,
+      s"stored partials ($stored) exceed 3x bucket count")
+    val bigrams = TextAnalysis
+      .dsirHashedBigrams(docs).count()
+    assert(stored < bigrams, "partials are corpus-sized — never reduced")
+  }
 }
