@@ -201,6 +201,8 @@ object SparkEntry {
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
     "sim_hybrid_rrf"       -> (graft.similarity.Similarity.simHybridRrf _),
+    "sim_mmr_rerank"       -> ((s: SparkSession, d: String) =>
+                                 graft.similarity.Similarity.simMmrRerank(s, d)),
     "sim_kmeans"           -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simKmeans(s, d)),
     "sim_threshold_sweep"  -> (graft.similarity.Similarity.simThresholdSweep _),
@@ -258,6 +260,7 @@ object SparkEntry {
     // IVF+SQ oracle, inlined because the chain is vocabulary-sized)
     ("txt_bpe_train" -> bpeOracleSql(8)) +
     ("txt_bpe_apply" -> bpeApplyOracleSql(8)) +
+    ("sim_mmr_rerank" -> mmrOracleSql(10)) +
     // the resampling gate replays the score relation verbatim, then
     // one hash coin per doc + a |langs|-row aggregate
     ("pipeline_dsir_sample" ->
@@ -370,9 +373,63 @@ object SparkEntry {
        |   AS compression_bp
        |FROM dw JOIN vt USING (word) GROUP BY 1""".stripMargin
 
+  /** [[graft.similarity.Similarity.simMmrRerank]]'s replay: exact
+    * top-20 candidates + their pairwise cosines, then one generated
+    * stage per greedy round — the same MMR arithmetic tree
+    * (`0.7·rel − 0.3·max_sim_to_selected`, ties by doc_id), with the
+    * accumulated selection threaded through `acc*` CTEs (the BPE
+    * chain technique).
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""sel$i AS MATERIALIZED (SELECT query_id, doc_id, $i AS mmr_rank,
+         |   score AS mmr_score FROM (
+         |   SELECT query_id, doc_id, score, row_number() OVER (
+         |     PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |   FROM (SELECT c.query_id, c.doc_id,
+         |      0.7 * c.rel - 0.3 * max(p.sim) AS score
+         |     FROM cv c
+         |     JOIN pr p ON p.query_id = c.query_id AND p.a = c.doc_id
+         |     JOIN acc${i - 1} s ON s.query_id = p.query_id
+         |       AND s.doc_id = p.b
+         |     WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} x
+         |       WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+         |     GROUP BY c.query_id, c.doc_id, c.rel))
+         |  WHERE rn = 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1}
+         |  UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id < 10),
+       |cand AS (SELECT query_id, doc_id, rel FROM (
+       |   SELECT q.query_id, e.vec_id AS doc_id,
+       |     list_cosine_similarity(q.qv, e.v) AS rel,
+       |     row_number() OVER (PARTITION BY q.query_id
+       |       ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+       |                e.vec_id) AS rn
+       |   FROM q JOIN e ON q.query_id != e.vec_id) WHERE rn <= 20),
+       |cv AS MATERIALIZED (SELECT c.query_id, c.doc_id, c.rel, e.v
+       |  FROM cand c JOIN e ON e.vec_id = c.doc_id),
+       |pr AS MATERIALIZED (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |    list_cosine_similarity(x.v, y.v) AS sim
+       |  FROM cv x JOIN cv y ON x.query_id = y.query_id
+       |    AND x.doc_id != y.doc_id),
+       |acc1 AS MATERIALIZED (SELECT query_id, doc_id, 1 AS mmr_rank,
+       |   rel AS mmr_score
+       |  FROM (SELECT query_id, doc_id, rel, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+       |   FROM cv)
+       |  WHERE rn = 1),
+       |$stages
+       |SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       | round(mmr_score, 4) AS mmr_score FROM acc$k""".stripMargin
+  }
+
   private def bpeChainSql(rounds: Int): String = {
     val stages = (1 to rounds).map { k =>
-      s"""t$k AS (SELECT a, b, cnt FROM (
+      s"""t$k AS MATERIALIZED (SELECT a, b, cnt FROM (
          |   SELECT sym AS a, b, sum(freq) AS cnt FROM (
          |     SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos)
          |       AS b, freq FROM s${k - 1})
@@ -389,7 +446,7 @@ object SparkEntry {
          |      (s.sym = t.a AND lead(s.sym) OVER (PARTITION BY s.word
          |        ORDER BY s.pos) = t.b) AS m
          |     FROM s${k - 1} s CROSS JOIN t$k t))),
-         |s$k AS (SELECT word, freq,
+         |s$k AS MATERIALIZED (SELECT word, freq,
          |   CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
          |     AS INT) AS pos,
          |   CASE WHEN ms THEN sym || nxt ELSE sym END AS sym
@@ -400,7 +457,7 @@ object SparkEntry {
     s"""tok AS (SELECT unnest(string_split_regex(trim(text), ' +'))
        |   AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
-       |s0 AS (SELECT word, freq, CAST(u AS INT) AS pos,
+       |s0 AS MATERIALIZED (SELECT word, freq, CAST(u AS INT) AS pos,
        |   substr(word, CAST(u AS INT), 1) AS sym
        |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1))
        |     AS u FROM wf)),

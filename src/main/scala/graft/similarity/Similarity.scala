@@ -80,6 +80,79 @@ object Similarity {
       e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
     else e.crossJoin(broadcast(queries))
 
+  def simMmrRerank(spark: SparkSession, sfDir: String): DataFrame =
+    simMmrRerank(spark, sfDir, k = 10)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998 — the diversity pass a retrieval pipeline runs AFTER
+    * candidate generation so the final k results aren't k near-
+    * duplicates): greedily select k of each query's top-20 brute-
+    * cosine candidates, the first by pure relevance, each next by
+    * `0.7·rel − 0.3·max_sim_to_already_selected`. Scores are fixed
+    * arithmetic trees over exact cosines (no float accumulation —
+    * both engines evaluate the identical IEEE expression), rounded
+    * only on output; ties break by doc_id.
+    *
+    * Scale (100 TB): candidate generation is the one corpus-sized
+    * stage (the brute scan — swap in any ANN path for production);
+    * everything after operates on the |queries|·20 candidate
+    * relation: its pairwise-sim table (≤ |queries|·20² rows) is
+    * computed ONCE and checkpointed, and each greedy round is an
+    * anti-join + max + argmax over those metadata-sized relations,
+    * localCheckpoint-ed so the plan stays constant. The greedy loop
+    * is inherently sequential in k, never in the corpus.
+    */
+  def simMmrRerank(spark: SparkSession, sfDir: String,
+                   k: Int): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val cand = crossQueries(e, defaultQueries(spark, sfDir),
+        excludeSelf = true)
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id", $"cos").as("top"))
+      .select($"query_id", explode($"top").as("p"))
+      .select($"query_id", $"p._1".as("doc_id"), $"p._2".as("rel"))
+    val cv = cand
+      .join(e.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"))
+      .select($"query_id", $"doc_id", $"rel", $"v")
+      .localCheckpoint()
+    val pairs = cv.as("x").join(cv.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.query_id").as("query_id"), col("x.doc_id").as("a"),
+              col("y.doc_id").as("b"),
+              cosineSim(col("x.v"), col("y.v")).as("sim"))
+      .localCheckpoint()
+    val argW = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id")
+    var selected = cv
+      .select($"query_id", $"doc_id", $"rel".as("score"))
+      .withColumn("rn", row_number().over(argW)).filter($"rn" === 1)
+      .select($"query_id", $"doc_id", lit(1).as("mmr_rank"),
+              $"score".as("mmr_score"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val maxSim = pairs
+        .join(selected.select($"query_id", $"doc_id".as("b")),
+              Seq("query_id", "b"))
+        .groupBy($"query_id", $"a").agg(max($"sim").as("maxsim"))
+        .select($"query_id", $"a".as("doc_id"), $"maxsim")
+      val pick = cv.select($"query_id", $"doc_id", $"rel")
+        .join(selected.select($"query_id", $"doc_id"),
+              Seq("query_id", "doc_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "doc_id"))
+        .withColumn("score", expr("0.7 * rel - 0.3 * maxsim"))
+        .withColumn("rn", row_number().over(argW)).filter($"rn" === 1)
+        .select($"query_id", $"doc_id", lit(i).as("mmr_rank"),
+                $"score".as("mmr_score"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select($"query_id", $"doc_id",
+      $"mmr_rank".cast("int").as("mmr_rank"),
+      round($"mmr_score", 4).as("mmr_score"))
+  }
+
   /** Hybrid lexical + vector retrieval fused by Reciprocal Rank
     * Fusion (Cormack et al. 2009): each query document retrieves a
     * top-20 list twice — BM25-shaped sparse scoring over its rarest

@@ -118,6 +118,31 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 8L, 17L, 9L, 18888L)))
   }
 
+  test("sim_mmr_rerank: greedy diversity — a redundant twin is demoted") {
+    import spark.implicits._
+    val dir = tmp("mmr")
+    // query 0 = [1,0]; candidates: 100/101 identical to the query
+    // (rel 1, mutual sim 1), 102 orthogonal (rel 0), 103 at 45°
+    // (rel = sim = 1/√2). Greedy with λ=0.7:
+    //   r1: 100/101 tie at rel 1.0 → doc_id picks 100, score 1.0
+    //   r2: 101 → 0.7·1 − 0.3·1 = 0.4 beats 103's 0.4/√2 = 0.2828
+    //   r3: 103 → 0.2828 beats 102's 0.0
+    //   r4: 102 → 0 − 0.3·sim(102,103) = −0.3/√2 = −0.2121
+    // every round exercises a different term: the rel tie (r1), the
+    // redundancy penalty ordering (r2 vs r3), and a negative score
+    // where the penalty dominates (r4)
+    Seq((0L, Seq(1f, 0f), 0), (100L, Seq(1f, 0f), 0),
+        (101L, Seq(1f, 0f), 0), (102L, Seq(0f, 1f), 0),
+        (103L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.similarity.Similarity.simMmrRerank(spark, dir, k = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 100L, 1, 1.0), (0L, 101L, 2, 0.4),
+      (0L, 103L, 3, 0.2828), (0L, 102L, 4, -0.2121)))
+  }
+
   test("sim_hybrid_rrf: fusion arithmetic, list-miss zeros, tiebreaks") {
     import spark.implicits._
     val dir = tmp("hybrid")

@@ -85,7 +85,10 @@ R=${1:?round tag, e.g. r09}
 # stage is the linear word-frequency aggregate — every generated
 # merge stage is vocabulary-sized), txt_bpe_apply (same chain + one
 # linear corpus word join; 500k-row doc output), pipeline_dsir_sample
-# (5-row selection report over the dsir replay + one hash coin).
+# (5-row selection report over the dsir replay + one hash coin),
+# sim_mmr_rerank (100-row greedy re-rank; the candidate leg is the
+# same 10-query corpus cosine scan, the greedy stages are
+# MATERIALIZED 200-row CTEs).
 # r12 session-5 dispositions: dedup_keep_one stays OUT — its oracle
 # replays dedup_components' recursive-CTE label propagation over the
 # full band graph (the excluded dedup family) before the per-cluster
@@ -94,7 +97,7 @@ R=${1:?round tag, e.g. r09}
 # full 8-scheme matrix) stays OUT with sim_brute_topk: its oracle
 # recomputes exact ground-truth top-k per query vector — the
 # pair-quadratic knn family.
-SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample"
+SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
