@@ -214,6 +214,7 @@ object SparkEntry {
     "graph_jaccard"        -> ((s: SparkSession, d: String) =>
                                  graft.graph.Graph.graphJaccard(s, d)),
     "graph_kcore"          -> (graft.graph.Graph.graphKcore _),
+    "graph_coreness"       -> (graft.graph.Graph.graphCoreness _),
     "graph_clustco"        -> (graft.graph.Graph.graphClustco _),
     "q_collect_list"       -> (Analytics.qCollectList _),
     // multimodal
@@ -261,6 +262,7 @@ object SparkEntry {
     ("txt_bpe_train" -> bpeOracleSql(8)) +
     ("txt_bpe_apply" -> bpeApplyOracleSql(8)) +
     ("sim_mmr_rerank" -> mmrOracleSql(10)) +
+    ("graph_coreness" -> corenessOracleSql) +
     // the resampling gate replays the score relation verbatim, then
     // one hash coin per doc + a |langs|-row aggregate
     ("pipeline_dsir_sample" ->
@@ -462,6 +464,59 @@ object SparkEntry {
        |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1))
        |     AS u FROM wf)),
        |$stages""".stripMargin
+  }
+
+  /** The mutual-kNN edge prefix (exact per-cell top-5 cosine
+    * neighbors → mutual restriction → symmetric s0 edges) shared by
+    * the graph_kcore and graph_coreness oracle chains.
+    */
+  private def mutualKnnPrefixSql: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (
+      |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |   row_number() OVER (PARTITION BY a.vec_id
+      |     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+      |    AS rank
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id)
+      | WHERE rank <= 5),
+      |s0 AS MATERIALIZED (SELECT k.vec_id AS a, k.neighbor_id AS b
+      |  FROM knn k JOIN knn r
+      |    ON k.vec_id = r.neighbor_id AND k.neighbor_id = r.vec_id)"""
+      .stripMargin
+
+  /** [[graft.graph.Graph.graphCoreness]]'s replay: the shared
+    * mutual-kNN prefix, then NESTED peel phases k = 2..5 — each
+    * phase's 30 generated MATERIALIZED rounds start from the
+    * previous phase's fixpoint (cores nest), exactly the engine's
+    * loop; phase 1 is the identity (every live-edge endpoint has
+    * degree ≥ 1). coreness(v) = the largest phase v survives.
+    */
+  private def corenessOracleSql: String = {
+    val phases = (2 to 5).map { kk =>
+      val prev0 = if (kk == 2) "s0" else s"f${kk - 1}"
+      val rounds = (1 to 30).map { r =>
+        val prev = if (r == 1) prev0 else s"p${kk}_${r - 1}"
+        s"""r${kk}_$r AS MATERIALIZED (SELECT a FROM $prev
+           |  GROUP BY a HAVING count(*) >= $kk),
+           |p${kk}_$r AS MATERIALIZED (SELECT s.a, s.b FROM $prev s
+           |  JOIN r${kk}_$r x ON s.a = x.a
+           |  JOIN r${kk}_$r y ON s.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""$rounds,
+         |f$kk AS MATERIALIZED (SELECT a, b FROM p${kk}_30)""".stripMargin
+    }.mkString(",\n")
+    val memb = (2 to 5).map { kk =>
+      s"SELECT DISTINCT a, $kk AS kk FROM f$kk"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $mutualKnnPrefixSql,
+       |$phases,
+       |m AS (SELECT DISTINCT a, 1 AS kk FROM s0
+       | UNION ALL $memb),
+       |c AS (SELECT a AS vec_id, max(kk) AS coreness FROM m GROUP BY 1)
+       |SELECT CAST(coalesce(c.coreness, 0) AS BIGINT) AS coreness,
+       | CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM e LEFT JOIN c USING (vec_id) GROUP BY 1""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2508,18 +2563,7 @@ object SparkEntry {
            |  JOIN r$k x ON s.a = x.a JOIN r$k y ON s.b = y.a)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |   row_number() OVER (PARTITION BY a.vec_id
-         |     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
-         |    AS rank
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id)
-         | WHERE rank <= 5),
-         |s0 AS MATERIALIZED (SELECT k.vec_id AS a, k.neighbor_id AS b
-         |  FROM knn k JOIN knn r
-         |    ON k.vec_id = r.neighbor_id AND k.neighbor_id = r.vec_id),
+      s"""WITH $mutualKnnPrefixSql,
          |$rounds,
          |core AS (SELECT a AS vec_id, count(*) AS core_degree
          |  FROM s30 GROUP BY 1)

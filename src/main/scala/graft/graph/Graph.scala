@@ -397,7 +397,21 @@ object Graph {
   private[graft] def kcoreOnEdges(sym: DataFrame, allNodes: DataFrame,
                                   k: Int): DataFrame = {
     import sym.sparkSession.implicits._
-    var live = sym.localCheckpoint()
+    val live = peelFixpoint(sym.localCheckpoint(), k)
+    // symmetric edges: a node's degree = its row count on the a side
+    val core = live.groupBy($"a".as("vec_id"))
+      .agg(count(lit(1)).as("core_degree"))
+    allNodes.join(core, Seq("vec_id"), "left_outer")
+      .select($"vec_id", coalesce($"core_degree", lit(0L)).as("core_degree"))
+  }
+
+  /** Peel a symmetric (a, b) edge relation to the k-core FIXPOINT —
+    * the shared inner loop of [[kcoreOnEdges]] and
+    * [[corenessOnEdges]]. Input must already be checkpointed.
+    */
+  private def peelFixpoint(edges: DataFrame, k: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var live = edges
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -416,10 +430,65 @@ object Graph {
         rounds += 1
       }
     }
-    // symmetric edges: a node's degree = its row count on the a side
-    val core = live.groupBy($"a".as("vec_id"))
-      .agg(count(lit(1)).as("core_degree"))
+    live
+  }
+
+  /** Full core decomposition of the mutual-kNN similarity graph —
+    * the coreness histogram (how many vectors sit at each density
+    * tier), generalizing [[graphKcore]]'s single k=3 answer to the
+    * whole [Matula–Beck] spectrum: coreness(v) = the largest k for
+    * which v survives the k-core peel; 0 = no mutual edge at all.
+    * The corpus-density audit that tells a curation run how much of
+    * the embedding space is mode vs halo BEFORE it picks a k.
+    *
+    * Scale design (100 TB): mutual-kNN bounds degree ≤ 5 BY
+    * CONSTRUCTION, so coreness ≤ 5 and the phase count is a
+    * CONSTANT, not corpus-dependent. Cores nest ((k+1)-core ⊆
+    * k-core), so each phase peels the PREVIOUS phase's fixpoint,
+    * never restarting from the full graph; phase k=1 is skipped
+    * outright (every endpoint of a live edge has degree ≥ 1 — the
+    * 1-core fixpoint IS the edge relation). Each peel round is a
+    * map-combinable degree count + two anti-joins on a ≤ 5·n-row
+    * relation that only shrinks, localCheckpoint-ed (constant plan);
+    * the per-phase round guard raises rather than under-peeling.
+    * Output is ≤ 6 rows. The oracle replays the nested phases with
+    * the kcore technique: 30 generated MATERIALIZED rounds per
+    * phase, so any cascade the engine can finish is replayed fully
+    * and excess rounds are no-ops.
+    */
+  def graphCoreness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val knn = graft.similarity.Similarity.simKnnGraph(spark, sfDir)
+      .select($"vec_id", $"neighbor_id").persist()
+    try {
+      val mutual = knn.join(
+        knn.select($"neighbor_id".as("vec_id"), $"vec_id".as("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi")
+      corenessOnEdges(
+        mutual.select($"vec_id".as("a"), $"neighbor_id".as("b")),
+        Tables.embeddings(spark, sfDir).select($"vec_id"))
+    } finally { knn.unpersist(); () }
+  }
+
+  private[graft] def corenessOnEdges(sym: DataFrame,
+                                     allNodes: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    // phase 1 is the identity on the edge relation: membership in the
+    // 1-core = having any mutual edge at the start
+    var live = sym.localCheckpoint()
+    var members = live.select($"a").distinct()
+      .select($"a".as("vec_id"), lit(1L).as("kk"))
+      .localCheckpoint()
+    for (kk <- 2 to 5) {
+      live = peelFixpoint(live, kk)
+      members = members.union(
+          live.select($"a").distinct()
+            .select($"a".as("vec_id"), lit(kk.toLong).as("kk")))
+        .localCheckpoint()
+    }
+    val core = members.groupBy($"vec_id").agg(max($"kk").as("coreness"))
     allNodes.join(core, Seq("vec_id"), "left_outer")
-      .select($"vec_id", coalesce($"core_degree", lit(0L)).as("core_degree"))
+      .groupBy(coalesce($"coreness", lit(0L)).as("coreness"))
+      .agg(count(lit(1)).as("n_vectors"))
   }
 }

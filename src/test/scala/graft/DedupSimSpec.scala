@@ -415,6 +415,24 @@ class DedupSimSpec extends AnyFunSuite {
                       5L -> 0L, 6L -> 0L, 7L -> 0L))
   }
 
+  test("coreness: tiers assigned by the last survived phase, isolated = 0") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (degree 3 → coreness 3); pendant 5 ~ 1 and
+    // chain 6–7 (degree 1 → coreness 1); triangle {9,10,11}
+    // (degree 2 → coreness 2); 8 isolated (coreness 0). The pendant
+    // peel at phase 2 drops node 1's degree 4 → 3, which must NOT
+    // drop it below the phase-3 bar — nesting, not restarting.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 7L),
+      (9L, 10L), (10L, 11L), (9L, 11L)).toDF("a", "b")
+    val sym = und.union(und.select($"b".as("a"), $"a".as("b")))
+    val nodes = (1L to 11L).toDF("vec_id")
+    val got = graft.graph.Graph.corenessOnEdges(sym, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
+  }
+
   test("graph components: edges never cross components, reps are member minima") {
     import spark.implicits._
     val comp = graft.graph.Graph.graphComponents(spark, sf)

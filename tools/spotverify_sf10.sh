@@ -88,7 +88,10 @@ R=${1:?round tag, e.g. r09}
 # (5-row selection report over the dsir replay + one hash coin),
 # sim_mmr_rerank (100-row greedy re-rank; the candidate leg is the
 # same 10-query corpus cosine scan, the greedy stages are
-# MATERIALIZED 200-row CTEs).
+# MATERIALIZED 200-row CTEs). graph_coreness stays OUT with
+# graph_kcore: the shared mutual-kNN prefix is the per-cell-quadratic
+# DuckDB knn replay; the nested-phase peel is pinned by the
+# DedupSimSpec tier fixture + 3-SF hash gates.
 # r12 session-5 dispositions: dedup_keep_one stays OUT — its oracle
 # replays dedup_components' recursive-CTE label propagation over the
 # full band graph (the excluded dedup family) before the per-cluster
