@@ -433,6 +433,23 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
   }
 
+  test("coreness ties out against kcore: the >=3 tiers ARE the 3-core") {
+    import spark.implicits._
+    // cross-operator exactness on the real corpus: the coreness
+    // histogram's >= 3 mass must equal graph_kcore's membership
+    // count (core_degree > 0), and the histogram must cover every
+    // vector exactly once
+    val hist = graft.graph.Graph.graphCoreness(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val nVecs = graft.core.Tables.embeddings(spark, sf).count()
+    assert(hist.values.sum == nVecs, s"histogram mass $hist != $nVecs")
+    val core3 = graft.graph.Graph.graphKcore(spark, sf)
+      .filter($"core_degree" > 0).count()
+    val tier3plus = hist.filter(_._1 >= 3).values.sum
+    assert(tier3plus == core3,
+      s"coreness>=3 mass $tier3plus != 3-core membership $core3")
+  }
+
   test("graph components: edges never cross components, reps are member minima") {
     import spark.implicits._
     val comp = graft.graph.Graph.graphComponents(spark, sf)

@@ -143,6 +143,49 @@ class RetrievalOpsSpec extends AnyFunSuite {
       (0L, 103L, 3, 0.2828), (0L, 102L, 4, -0.2121)))
   }
 
+  test("corpus invariants: BPE counts non-increasing, MMR bracketed by brute, DSIR favors its target") {
+    import spark.implicits._
+    val sf = SparkTestSession.Sf
+    // BPE: the greedy argmax makes merge counts non-increasing (a
+    // merge only removes occurrences of existing pairs, and any NEW
+    // pair it creates occurs at most as often as the merged symbol),
+    // and every learned merge is distinct
+    val merges = graft.text.TextAnalysis.txtBpeTrain(spark, sf)
+      .orderBy($"round").select($"merged", $"pair_count")
+      .as[(String, Long)].collect()
+    assert(merges.length == 8)
+    assert(merges.map(_._2).sliding(2).forall(w => w(0) >= w(1)),
+      s"merge counts increased: ${merges.mkString(", ")}")
+    assert(merges.map(_._1).distinct.length == 8, "duplicate merge learned")
+    // MMR: round 1 is pure relevance with the brute tiebreak, so each
+    // query's first pick IS its brute top-1; and from round 2 on the
+    // greedy maximum can only fall (selection grows, candidates only
+    // accumulate penalty)
+    val mmr = graft.similarity.Similarity.simMmrRerank(spark, sf)
+      .select($"query_id", $"doc_id", $"mmr_rank", $"mmr_score")
+      .as[(Long, Long, Int, Double)].collect()
+    val brute1 = graft.similarity.Similarity.simBruteTopk(spark, sf)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    mmr.filter(_._3 == 1).foreach { case (q, d, _, _) =>
+      assert(brute1(q) == d, s"query $q: MMR first pick != brute top-1")
+    }
+    mmr.groupBy(_._1).values.foreach { rows =>
+      val tail = rows.sortBy(_._3).drop(1).map(_._4)
+      assert(tail.sliding(2).filter(_.length == 2)
+               .forall(w => w(0) >= w(1)),
+        s"MMR scores rose after round 2: ${rows.sortBy(_._3).mkString(", ")}")
+    }
+    // DSIR: the target slice must outscore the rest on average —
+    // that is the operator's entire point
+    val byLang = graft.text.TextAnalysis.txtDsirWeights(spark, sf)
+      .groupBy($"lang" === "en")
+      .agg(avg($"dsir_score_bp").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(byLang(true) > byLang(false),
+      s"target slice does not outscore the rest: $byLang")
+  }
+
   test("sim_hybrid_rrf: fusion arithmetic, list-miss zeros, tiebreaks") {
     import spark.implicits._
     val dir = tmp("hybrid")
