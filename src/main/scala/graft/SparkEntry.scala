@@ -2305,10 +2305,11 @@ object SparkEntry {
         |     AS coherence
         |  FROM e JOIN cent c ON e.label = c.label GROUP BY 1),
         |t AS (SELECT sum(n_vectors) AS total,
-        |   sum(n_vectors * n_vectors) AS sumsq FROM g)
+        |   sum(CAST(n_vectors AS HUGEINT) * n_vectors) AS sumsq FROM g)
         |SELECT cell, n_vectors,
         | CAST((10000 * n_vectors) // total AS BIGINT) AS share_bp,
-        | CAST((10000 * n_vectors * n_vectors) // sumsq AS BIGINT) AS scan_bp,
+        | CAST((CAST(10000 AS HUGEINT) * n_vectors * n_vectors) // sumsq
+        |   AS BIGINT) AS scan_bp,
         | coherence
         |FROM g, t""".stripMargin,
     "q_stats" ->

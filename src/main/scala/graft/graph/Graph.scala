@@ -415,7 +415,6 @@ object Graph {
     var rounds = 0
     var converged = false
     while (!converged) {
-      assert(rounds < 30, "k-core cascade exceeded the round guard")
       // checkpoint the (tiny) peel set: it is consumed by isEmpty AND
       // both anti-joins — unpinned, the degree aggregate over `live`
       // would run twice per round
@@ -423,6 +422,11 @@ object Graph {
         .filter($"deg" < k).select($"a").localCheckpoint()
       if (low.isEmpty) converged = true
       else {
+        // guard only when another peel is actually required: the
+        // oracle generates 30 rounds, so a cascade that CONVERGES on
+        // round 30 is replayable — raising before the isEmpty test
+        // rejected a case the oracle accepts (r12 advice)
+        assert(rounds < 30, "k-core cascade exceeded the round guard")
         live = live
           .join(low, Seq("a"), "left_anti")
           .join(low.withColumnRenamed("a", "b"), Seq("b"), "left_anti")

@@ -670,10 +670,13 @@ object Analytics {
     Tables.documents(spark, sfDir)
       .select($"doc_id", split(trim($"text"), " +").as("w"))
       .withColumn("n", size($"w").cast("long"))
-      // chunk count: 1 if n <= chunk else ceil((n-chunk)/stride) + 1
+      // chunk count: 1 if n <= chunk else ceil((n-chunk)/stride) + 1.
+      // `div` (not `/`) so both engines evaluate the same integer
+      // division — the repo's cross-engine arithmetic convention
       .withColumn("hi",
         when($"n" <= chunk, lit(0L))
-          .otherwise(($"n" - chunk + (stride - 1)) / stride).cast("int"))
+          .otherwise(expr(s"(n - $chunk + ${stride - 1}) div $stride"))
+          .cast("int"))
       .select($"doc_id", $"w", $"n",
               explode(sequence(lit(0), $"hi")).as("i"))
       .select($"doc_id", $"i".cast("long").as("chunk_idx"),

@@ -197,6 +197,7 @@ object Similarity {
         expr("graft_md5lower64(w) & 9223372036854775807").as("h"))
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
       .persist()
+    try {
     val nDocs = Tables.documents(spark, sfDir).groupBy()
       .agg(count(lit(1)).as("n"))
     val idf = tf.groupBy($"h").agg(count(lit(1)).as("df"))
@@ -223,6 +224,10 @@ object Similarity {
       .select($"query_id", $"doc_id", $"lex_rank")
     val fusedW = Window.partitionBy($"query_id")
       .orderBy($"rrf_e6".desc, $"doc_id")
+    // materialize the (metadata-sized) fused output so the corpus tf
+    // cache can be released before returning — the lazy-plan leak the
+    // r12 advisor flagged (simRecallEval's checkpoint-then-unpersist
+    // pattern)
     lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_e6",
         coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
@@ -231,6 +236,8 @@ object Similarity {
       .filter($"rank" <= 10)
       .select($"query_id", $"doc_id", $"rank", $"rrf_e6",
               $"lex_rank", $"vec_rank")
+      .localCheckpoint()
+    } finally { tf.unpersist(); () }
   }
 
   /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar
@@ -381,13 +388,19 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
            round(sum($"cos4"), 4).as("coherence"))
       .localCheckpoint()
+    // quadratic terms in decimal(38,0): 10⁴·n² wraps a Long silently
+    // once a cell holds ~3e7 vectors (the r12 advisor's overflow
+    // finding) — decimal is exact to n ≈ 1e16 per cell, far past any
+    // 100 TB shard; DuckDB mirrors with HUGEINT. `div` on decimals
+    // still yields BIGINT, so the output schema is unchanged.
     val totals = cells.agg(
       sum($"n_vectors").as("total"),
-      sum($"n_vectors" * $"n_vectors").as("sumsq"))
+      sum($"n_vectors".cast("decimal(38,0)") * $"n_vectors").as("sumsq"))
     cells.crossJoin(broadcast(totals))
       .select($"cell", $"n_vectors",
         expr("(10000 * n_vectors) div total").as("share_bp"),
-        expr("(10000 * n_vectors * n_vectors) div sumsq").as("scan_bp"),
+        expr("(cast(10000 as decimal(38,0)) * n_vectors * n_vectors) " +
+             "div sumsq").as("scan_bp"),
         $"coherence")
   }
 

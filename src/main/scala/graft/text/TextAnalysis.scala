@@ -863,7 +863,12 @@ object TextAnalysis {
     */
   def txtDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = dsirHashedBigrams(Tables.documents(spark, sfDir)).persist()
-    dsirScoreWith(bg, dsirBucketCounts(bg))
+    // materialize the per-doc score (corpus-doc-sized, 3 columns) so
+    // the corpus-bigram cache can be released before returning — the
+    // lazy-plan leak the r12 advisor flagged (pipelineDsirSample
+    // inherited it too)
+    try dsirScoreWith(bg, dsirBucketCounts(bg)).localCheckpoint()
+    finally { bg.unpersist(); () }
   }
 
   /** The hashed-bigram feature stream (doc_id, lang, bucket) — the
