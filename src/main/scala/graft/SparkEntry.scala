@@ -230,6 +230,18 @@ object SparkEntry {
     "mm_blob_pack"         -> (graft.multimodal.Multimodal.mmBlobPack _),
   )
 
+  /** Event-log partition counts interpolated into the six evt_*
+    * producer/consumer oracles — the SAME JVM property
+    * [[graft.operators.Events.logPartitions]] reads first, so engine
+    * and oracle agree at any P (set `-Dspark.graft.logPartitions=N`
+    * via SPARK_GRAFT_JAVA_OPTS; a session-only `conf.set` would steer
+    * the engine but not this dump, so cross-engine gates use the JVM
+    * property).
+    */
+  private def logP: Int =
+    sys.props.getOrElse("spark.graft.logPartitions", "8").toInt
+  private def mtP: Int = math.max(1, logP / 2)
+
   /** DuckDB-equivalent SQL per oracle-checkable query key. */
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the bloom-pruned variant is EXACT by construction (no false
@@ -1252,33 +1264,33 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "evt_produce" ->
-      """SELECT 'event-stream' AS topic,
-        | CAST(event_id % 8 AS INT) AS "partition",
-        | CAST(row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id)
-        |      - 1 AS BIGINT) AS "offset",
+      s"""SELECT 'event-stream' AS topic,
+        | CAST(event_id % $logP AS INT) AS "partition",
+        | CAST(row_number() OVER (PARTITION BY event_id % $logP
+        |      ORDER BY event_id) - 1 AS BIGINT) AS "offset",
         | event_id AS key, '#' || event_id AS payload
         |FROM events""".stripMargin,
     "evt_offsets" ->
-      """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
-        |   CAST(row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id)
-        |        - 1 AS BIGINT) AS "offset"
+      s"""WITH p AS (SELECT CAST(event_id % $logP AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % $logP
+        |        ORDER BY event_id) - 1 AS BIGINT) AS "offset"
         |  FROM events)
         |SELECT 'event-stream' AS topic, "partition",
         | max("offset") AS committed_offset, count(*) AS n_messages
         |FROM p GROUP BY 1,2""".stripMargin,
     "evt_consume_batches" ->
-      """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
-        |   CAST(row_number() OVER (PARTITION BY event_id % 8 ORDER BY event_id)
-        |        - 1 AS BIGINT) AS "offset",
+      s"""WITH p AS (SELECT CAST(event_id % $logP AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % $logP
+        |        ORDER BY event_id) - 1 AS BIGINT) AS "offset",
         |   '#' || event_id AS payload
         |  FROM events)
         |SELECT "partition", "offset"//10 AS batch_id, count(*) AS n_messages,
         | min(payload) AS first_payload, max(payload) AS last_payload
         |FROM p GROUP BY 1,2""".stripMargin,
     "evt_multi_topic" ->
-      """WITH p AS (SELECT 'evt-' || event_type AS topic,
-        |   CAST(user_id % 4 AS INT) AS "partition",
-        |   CAST(row_number() OVER (PARTITION BY event_type, user_id % 4
+      s"""WITH p AS (SELECT 'evt-' || event_type AS topic,
+        |   CAST(user_id % $mtP AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_type, user_id % $mtP
         |        ORDER BY event_id) - 1 AS BIGINT) AS "offset"
         |  FROM events)
         |SELECT topic, "partition", max("offset") AS committed_offset,
@@ -1821,8 +1833,8 @@ object SparkEntry {
         | CAST(max(running) AS BIGINT) AS peak_concurrent
         |FROM r GROUP BY 1""".stripMargin,
     "evt_log_integrity" ->
-      """WITH p AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
-        |   CAST(row_number() OVER (PARTITION BY event_id % 8
+      s"""WITH p AS (SELECT CAST(event_id % $logP AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % $logP
         |     ORDER BY event_id) - 1 AS BIGINT) AS "offset"
         |  FROM events)
         |SELECT 'event-stream' AS topic, "partition",
@@ -1910,7 +1922,7 @@ object SparkEntry {
         |  JOIN e n ON n.vec_id = sl.vec_id)
         |WHERE rank <= 5""".stripMargin,
     "evt_out_of_order" ->
-      """WITH x AS (SELECT CAST(event_id % 8 AS INT) AS "partition",
+      s"""WITH x AS (SELECT CAST(event_id % $logP AS INT) AS "partition",
         |   event_id, ts FROM events),
         |y AS (SELECT "partition", ts,
         |   max(ts) OVER (PARTITION BY "partition" ORDER BY event_id

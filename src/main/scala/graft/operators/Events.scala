@@ -19,7 +19,28 @@ import graft.core.Tables
   */
 object Events {
 
-  val NumPartitions = 8
+  /** Per-topic partition count of the simulated event log — the knob
+    * `spark.graft.logPartitions` (default 8). Consumer-group
+    * parallelism equals the topic's partition count, and a 100 TB
+    * topic has thousands of partitions; the r12-flagged hard-coded
+    * constant meant 8 tasks sorted the whole log regardless of
+    * cluster size. The partitioner stays `key mod P`, so the DuckDB
+    * oracle replays any P: [[graft.SparkEntry.oracleSql]] interpolates
+    * the SAME JVM property at dump time. Read the JVM property first
+    * (sysprops set after session build still take effect — the bench
+    * scales P with SF through `SPARK_GRAFT_JAVA_OPTS`), then the
+    * session conf, then 8.
+    */
+  def logPartitions(spark: SparkSession): Int =
+    sys.props.get("spark.graft.logPartitions")
+      .getOrElse(spark.conf.get("spark.graft.logPartitions", "8")).toInt
+
+  /** Per-topic partition count of the multi-topic log: P/2 (≥ 1) —
+    * smaller per-topic logs than the single-topic firehose, scaled by
+    * the same knob.
+    */
+  def multiTopicPartitions(spark: SparkSession): Int =
+    math.max(1, logPartitions(spark) / 2)
 
   /** Producer envelope, mirroring the reference producer
     * (`jc/DemoApplication.java:100-125`): message key = sequence
@@ -35,7 +56,7 @@ object Events {
     Tables.events(spark, sfDir)
       .select($"event_id".as("key"))
       .withColumn("topic", lit("event-stream"))
-      .withColumn("partition", ($"key" % NumPartitions).cast("int"))
+      .withColumn("partition", ($"key" % logPartitions(spark)).cast("int"))
       .withColumn("payload", concat(lit("#"), $"key"))
       .withColumn("offset", row_number().over(w).cast("long") - 1)
       .select($"topic", $"partition", $"offset", $"key", $"payload")
@@ -72,7 +93,8 @@ object Events {
     * topic per event type (the reference consumer subscribes to
     * multiple topics and its handler receives `Map<topic,
     * List<payload>>`, `jc/DemoApplication.java:150-155`). Partition =
-    * user_id mod 4 within each topic; per-(topic, partition) committed
+    * user_id mod [[multiTopicPartitions]] within each topic;
+    * per-(topic, partition) committed
     * offset and message count — [[evtOffsets]] generalized across
     * topics. The live consumer path is `EventLog.pollMany`
     * (EventLogSpec); this batch form is the oracle-checkable twin.
@@ -82,7 +104,8 @@ object Events {
     val w = Window.partitionBy($"topic", $"partition").orderBy($"key")
     Tables.events(spark, sfDir)
       .select(concat(lit("evt-"), $"event_type").as("topic"),
-              ($"user_id" % 4).cast("int").as("partition"),
+              ($"user_id" % multiTopicPartitions(spark)).cast("int")
+                .as("partition"),
               $"event_id".as("key"))
       .withColumn("offset", row_number().over(w).cast("long") - 1)
       .groupBy($"topic", $"partition")
@@ -482,7 +505,8 @@ object Events {
     val w = Window.partitionBy($"partition").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(spark, sfDir)
-      .withColumn("partition", ($"event_id" % NumPartitions).cast("int"))
+      .withColumn("partition",
+        ($"event_id" % logPartitions(spark)).cast("int"))
       .withColumn("hwm", max($"ts").over(w))
       .withColumn("late_s", when($"hwm".isNull, lit(0L)).otherwise(
         greatest(lit(0L),

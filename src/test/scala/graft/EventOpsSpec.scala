@@ -113,4 +113,33 @@ class EventOpsSpec extends AnyFunSuite {
                       (3L, "view", 7.0, 3L),
                       (4L, "purchase", 9.0, 2L)))
   }
+
+  test("logPartitions knob: partitioner is key mod P, offsets dense per partition") {
+    import spark.implicits._
+    val dir = writeEvents((0L until 10L).map(i =>
+      (i, 1000L + i, i % 2, "a", 1.0)))
+    // default P = 8: ids 0..9 → partitions 0..7 plus wraps 8→0, 9→1
+    val d = Events.evtProduce(spark, dir)
+      .select($"partition", $"offset", $"key")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(d.map(_._1) == (0 to 7).toSet)
+    assert(d.filter(_._1 == 0).map(r => (r._2, r._3)) ==
+      Set((0L, 0L), (1L, 8L))) // offsets dense in key order
+    sys.props("spark.graft.logPartitions") = "3"
+    try {
+      val r = Events.evtProduce(spark, dir)
+        .select($"partition", $"offset", $"key")
+        .as[(Int, Long, Long)].collect()
+      assert(r.map(_._1).toSet == Set(0, 1, 2))
+      // per-partition offsets are 0..n-1 dense, ordered by key
+      r.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._3).map(_._2).toSeq
+        assert(sorted == (0L until rows.length.toLong))
+      }
+      // multi-topic inherits P/2 (≥1): at P=3 every topic has 1 partition
+      val mt = Events.evtMultiTopic(spark, dir)
+        .select($"partition").distinct().as[Int].collect().toSet
+      assert(mt == Set(0))
+    } finally { sys.props.remove("spark.graft.logPartitions"); () }
+  }
 }
