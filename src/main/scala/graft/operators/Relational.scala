@@ -739,8 +739,11 @@ object Relational {
     * each quartile boundary is the exact ⌈q·n⌉-rank DATA ELEMENT,
     * recovered from a distinct-VALUE histogram: groupBy(value) shrinks
     * the fact to its value domain (map-side combine does the heavy
-    * lifting), a cumulative count over the sorted domain finds the
-    * smallest value whose running count reaches the target rank, and
+    * lifting), a TWO-LEVEL prefix scan over the sorted domain
+    * (bucket-local cumsums in parallel, plus a bucket-count-sized
+    * offset window — the [[graft.operators.Analytics.pipelineCap]]
+    * recipe, since prices are near-unique and the domain ≈ |orders|)
+    * finds the smallest value whose running count reaches the rank, and
     * every fact row then finds its bucket with three comparisons in
     * the scan pass. Cost is bounded by VALUE CARDINALITY, not row
     * count — prices quantized to cents stay a small domain at any
@@ -765,14 +768,34 @@ object Relational {
           .select(element_at($"qs", 1).as("q1"), element_at($"qs", 2).as("q2"),
                   element_at($"qs", 3).as("q3"))
       } else {
-        // the single-partition window is over the DISTINCT VALUES
-        // (domain-bounded), never the rows — the one place a global
-        // order-by window is scale-safe
+        // two-level prefix scan over the distinct-value histogram
+        // (the pipelineCap recipe): order prices are NEAR-UNIQUE, so
+        // the old single-partition cumulative window made one task
+        // sort ≈ |orders| distinct values (the r12 verdict's last
+        // named single-task window). Now value-contiguous $4096-wide
+        // buckets get bucket-local cumulative counts in parallel, the
+        // bucket-count-sized totals get the exclusive offset prefix
+        // in a tiny window, and offset + local cum ≡ the global
+        // cumsum the DuckDB single-window oracle computes (oracle
+        // unchanged — same ranks). The histogram is checkpointed:
+        // it feeds both levels, and AQE broadcast self-joins have no
+        // ReusedExchange (verify-skill gotcha), so unpinned the
+        // orders aggregate would run twice.
         val h = o.groupBy($"o_totalprice").agg(count(lit(1)).as("cnt"))
-        val cumW = Window.orderBy($"o_totalprice")
+          .withColumn("bucket",
+            expr("cast(floor(o_totalprice / 4096.0) as bigint)"))
+          .localCheckpoint()
+        val wLocal = Window.partitionBy($"bucket").orderBy($"o_totalprice")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        h.withColumn("cum", sum($"cnt").over(cumW))
-          .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        val wOffs = Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = h.groupBy($"bucket").agg(sum($"cnt").as("btot"))
+          .withColumn("off", coalesce(sum($"btot").over(wOffs), lit(0L)))
+          .select($"bucket", $"off")
+        h.withColumn("cum_local", sum($"cnt").over(wLocal))
+          .join(broadcast(offsets), Seq("bucket"))
+          .withColumn("cum", $"off" + $"cum_local")
+          .crossJoin(broadcast(h.agg(sum($"cnt").as("n"))))
           .agg(
             min(when($"cum" >= ceil(lit(0.25) * $"n"), $"o_totalprice")).as("q1"),
             min(when($"cum" >= ceil(lit(0.5) * $"n"), $"o_totalprice")).as("q2"),

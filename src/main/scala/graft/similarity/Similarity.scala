@@ -181,6 +181,34 @@ object Similarity {
     */
   def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // lexical list input: hashed-term tf per doc, one corpus pass,
+    // pinned (it feeds df/idf, query-term selection AND the posting
+    // join)
+    val tf = hybridTf(spark, sfDir).persist()
+    // materialize the (metadata-sized) fused output so the corpus tf
+    // cache can be released before returning — the lazy-plan leak the
+    // r12 advisor flagged (simRecallEval's checkpoint-then-unpersist
+    // pattern)
+    try simHybridRrfPlan(spark, sfDir, tf).localCheckpoint()
+    finally { tf.unpersist(); () }
+  }
+
+  /** Hashed-term tf per doc — [[simHybridRrf]]'s lexical input. */
+  private[graft] def hybridTf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(expr("split(trim(text), ' +')")).as("w"))
+      .select($"doc_id",
+        expr("graft_md5lower64(w) & 9223372036854775807").as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The [[simHybridRrf]] plan given the pinned corpus tf relation —
+    * factored out so plan audits can inspect the pre-checkpoint shape.
+    */
+  private[graft] def simHybridRrfPlan(spark: SparkSession, sfDir: String,
+      tf: DataFrame): DataFrame = {
+    import spark.implicits._
     // vector list: brute cosine, top-20 ranks per query
     val vecRanks = crossQueries(vectors(spark, sfDir),
         defaultQueries(spark, sfDir), excludeSelf = true)
@@ -190,14 +218,6 @@ object Similarity {
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
       .select($"query_id", $"p._1".as("doc_id"),
               ($"i" + 1).cast("int").as("vec_rank"))
-    // lexical list: hashed-term tf per doc, one corpus pass, pinned
-    val tf = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(expr("split(trim(text), ' +')")).as("w"))
-      .select($"doc_id",
-        expr("graft_md5lower64(w) & 9223372036854775807").as("h"))
-      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
-      .persist()
-    try {
     val nDocs = Tables.documents(spark, sfDir).groupBy()
       .agg(count(lit(1)).as("n"))
     val idf = tf.groupBy($"h").agg(count(lit(1)).as("df"))
@@ -224,10 +244,6 @@ object Similarity {
       .select($"query_id", $"doc_id", $"lex_rank")
     val fusedW = Window.partitionBy($"query_id")
       .orderBy($"rrf_e6".desc, $"doc_id")
-    // materialize the (metadata-sized) fused output so the corpus tf
-    // cache can be released before returning — the lazy-plan leak the
-    // r12 advisor flagged (simRecallEval's checkpoint-then-unpersist
-    // pattern)
     lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_e6",
         coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
@@ -236,8 +252,6 @@ object Similarity {
       .filter($"rank" <= 10)
       .select($"query_id", $"doc_id", $"rank", $"rrf_e6",
               $"lex_rank", $"vec_rank")
-      .localCheckpoint()
-    } finally { tf.unpersist(); () }
   }
 
   /** Multi-table random-hyperplane LSH (Indyk–Motwani / Charikar

@@ -393,6 +393,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "cap running sum lost its bucket partitioning")
     assert(capture(cap, "simple").contains("BroadcastHashJoin"),
       "bucket offsets not broadcast back")
+    // q_quantile_buckets: the histogram cumsum must carry the bucket
+    // in its partition spec (near-unique price domain ≈ |orders|), and
+    // the only permitted unpartitioned window is the offset prefix
+    // over the bucket-count-sized (bucket, btot) totals
+    val qb = Relational.qQuantileBuckets(spark, sf)
+    val qWins = qb.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(qWins.exists(_.partitionSpec.exists(_.toString.contains("bucket"))),
+      "quantile histogram cumsum lost its bucket partitioning")
+    qWins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(names == Set("bucket", "btot"),
+        s"unpartitioned window over a non-bucket-sized input: $names")
+    }
     // txt_surprisal: the vocabulary-count join must broadcast — a
     // sort-merge join there means the corpus re-shuffled on term
     val sur = graft.text.TextAnalysis.txtSurprisal(spark, sf)
@@ -706,20 +719,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q12.contains("o_totalprice"), "orders scan is not pruned")
     // dsir: the 8192-bucket model is broadcast back onto the pinned
     // hashed-bigram stream — the corpus is never on the shuffled side
-    // of the score join
-    val ds = capture(graft.text.TextAnalysis.txtDsirWeights(spark, sf),
-      "simple")
-    assert(ds.contains("BroadcastHashJoin"), ds)
-    assert(!ds.contains("SortMergeJoin"),
-      s"bucket-model join fell back to sort-merge\n$ds")
-    assert(ds.contains("InMemoryTableScan"),
-      "hashed-bigram stream is not pinned")
+    // of the score join. Audit the pre-checkpoint composition:
+    // txtDsirWeights itself returns a localCheckpoint (so it can
+    // unpersist the bigram cache — r13), which collapses the plan.
+    val dsBg = graft.text.TextAnalysis.dsirHashedBigrams(
+      graft.core.Tables.documents(spark, sf)).persist()
+    try {
+      val ds = capture(graft.text.TextAnalysis.dsirScoreWith(
+        dsBg, graft.text.TextAnalysis.dsirBucketCounts(dsBg)), "simple")
+      assert(ds.contains("BroadcastHashJoin"), ds)
+      assert(!ds.contains("SortMergeJoin"),
+        s"bucket-model join fell back to sort-merge\n$ds")
+      assert(ds.contains("InMemoryTableScan"),
+        "hashed-bigram stream is not pinned")
+    } finally { dsBg.unpersist(); () }
     // hybrid rrf: the selected query terms broadcast into the posting
-    // join (the df-capped side), never a corpus-vs-corpus shuffle join
-    val hy = capture(graft.similarity.Similarity.simHybridRrf(spark, sf),
-      "simple")
-    assert(hy.contains("BroadcastHashJoin"), hy)
-    assert(!hy.contains("CartesianProduct"), hy)
-    assert(hy.contains("InMemoryTableScan"), "corpus tf is not pinned")
+    // join (the df-capped side), never a corpus-vs-corpus shuffle
+    // join. Audit the pre-checkpoint plan builder (the public entry
+    // checkpoints so it can release the tf cache — r13).
+    val hyTf = graft.similarity.Similarity.hybridTf(spark, sf).persist()
+    try {
+      val hy = capture(graft.similarity.Similarity.simHybridRrfPlan(
+        spark, sf, hyTf), "simple")
+      assert(hy.contains("BroadcastHashJoin"), hy)
+      assert(!hy.contains("CartesianProduct"), hy)
+      assert(hy.contains("InMemoryTableScan"), "corpus tf is not pinned")
+    } finally { hyTf.unpersist(); () }
   }
 }
