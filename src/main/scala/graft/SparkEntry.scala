@@ -197,6 +197,9 @@ object SparkEntry {
     "sim_filtered_ann"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simFilteredAnn(s, d)),
     "sim_matryoshka_stored" -> (graft.similarity.AnnIndex.simMatryoshkaStored _),
+    "sim_nsw_ann"          -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.simNswAnn(s, d)),
+    "sim_nsw_stored"       -> (graft.similarity.AnnIndex.simNswStored _),
     "sim_range_search"     -> ((s: SparkSession, d: String) =>
                                  graft.similarity.Similarity.simRangeSearch(s, d)),
     "sim_recall_eval"      -> (graft.similarity.Similarity.simRecallEval _),
@@ -275,6 +278,12 @@ object SparkEntry {
     ("txt_bpe_apply" -> bpeApplyOracleSql(8)) +
     ("sim_mmr_rerank" -> mmrOracleSql(10)) +
     ("graph_coreness" -> corenessOracleSql) +
+    // the NSW traversal replays as one generated MATERIALIZED CTE
+    // stage per hop (the coreness/BPE technique); the stored twin
+    // answers from artifacts seeded on the same corpus, so the
+    // recompute oracle is its oracle too
+    ("sim_nsw_ann" -> nswOracleSql(48, 8)) +
+    ("sim_nsw_stored" -> nswOracleSql(48, 8)) +
     // the resampling gate replays the score relation verbatim, then
     // one hash coin per doc + a |langs|-row aggregate
     ("pipeline_dsir_sample" ->
@@ -476,6 +485,81 @@ object SparkEntry {
        |  FROM (SELECT word, freq, unnest(range(1, length(word) + 1))
        |     AS u FROM wf)),
        |$stages""".stripMargin
+  }
+
+  /** [[graft.similarity.Similarity.simNswAnn]]'s replay: the directed
+    * per-cell kNN graph, deterministic per-cell entry points (min
+    * 63-bit md5 of the id), then one MATERIALIZED beam stage per hop —
+    * expand along edges, score only the unseen candidates, keep the
+    * best `w` per query by (cos DESC, vec_id) — exactly the engine's
+    * fixed-hop loop.
+    */
+  private def nswOracleSql(w: Int, hops: Int): String = {
+    val hopStages = (1 to hops).map { h =>
+      val prev = s"b${h - 1}"
+      s"""f$h AS (SELECT DISTINCT b.query_id, k.neighbor_id AS vec_id
+         |  FROM $prev b JOIN und k ON b.vec_id = k.vec_id),
+         |n$h AS (SELECT f.query_id, f.vec_id FROM f$h f
+         |  LEFT JOIN $prev b
+         |    ON f.query_id = b.query_id AND f.vec_id = b.vec_id
+         |  WHERE b.vec_id IS NULL),
+         |s$h AS (SELECT n.query_id, n.vec_id,
+         |   list_cosine_similarity(q.qv, e.v) AS cos
+         |  FROM n$h n JOIN e ON n.vec_id = e.vec_id
+         |  JOIN q ON n.query_id = q.query_id
+         |  WHERE n.query_id != n.vec_id),
+         |b$h AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, vec_id) AS rn
+         |   FROM (SELECT * FROM $prev UNION ALL SELECT * FROM s$h))
+         |  WHERE rn <= $w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |knn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+       |    AS rank
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id)
+       | WHERE rank <= 5),
+       |hh AS (SELECT label, vec_id,
+       |   md5_number_lower(CAST(vec_id AS VARCHAR))
+       |     % 9223372036854775808 AS h FROM e),
+       |ring AS (SELECT vec_id, n1, n2 FROM (
+       |  SELECT vec_id,
+       |   lead(vec_id, 1) OVER (PARTITION BY label ORDER BY h, vec_id)
+       |     AS n1,
+       |   lead(vec_id, 2) OVER (PARTITION BY label ORDER BY h, vec_id)
+       |     AS n2
+       |  FROM hh)),
+       |und AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM knn
+       |  UNION SELECT neighbor_id, vec_id FROM knn
+       |  UNION SELECT vec_id, n1 FROM ring WHERE n1 IS NOT NULL
+       |  UNION SELECT n1, vec_id FROM ring WHERE n1 IS NOT NULL
+       |  UNION SELECT vec_id, n2 FROM ring WHERE n2 IS NOT NULL
+       |  UNION SELECT n2, vec_id FROM ring WHERE n2 IS NOT NULL),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |ent AS MATERIALIZED (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY label
+       |    ORDER BY h, vec_id) AS rn
+       |  FROM hh) WHERE rn <= 4),
+       |b0 AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+       |  SELECT q.query_id, n.vec_id,
+       |   list_cosine_similarity(q.qv, n.v) AS cos,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY list_cosine_similarity(q.qv, n.v) DESC, n.vec_id)
+       |     AS rn
+       |  FROM q CROSS JOIN
+       |   (SELECT e.vec_id, e.v FROM ent JOIN e USING (vec_id)) n
+       |  WHERE q.query_id != n.vec_id) WHERE rn <= $w),
+       |$hopStages
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS INT) AS rank,
+       | round(cos, 4) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, vec_id) AS rn FROM b$hops)
+       |WHERE rn <= 10""".stripMargin
   }
 
   /** The mutual-kNN edge prefix (exact per-cell top-5 cosine

@@ -40,6 +40,7 @@ object AnnIndex {
   private def tombstonesPath(p: String) = p + "/tombstones"
   private def sqRangesPath(p: String) = p + "/sqranges"
   private def vectorsPath(p: String) = p + "/vectors"
+  private def edgesPath(p: String) = p + "/edges"
 
   /** Build the index from a (vec_id, label, v: array&lt;double&gt;)
     * corpus: train and persist the coarse centroids and the PQ
@@ -431,4 +432,115 @@ object AnnIndex {
     queryMatryoshka(spark, ensureSeededWith(spark, sfDir,
       "graft-ann-index-sq", seedSq),
       Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
+
+  // ---------------------------------------------------------------
+  // Stored NSW graph index — the graph-traversal index family
+  // (r12 verdict item 4): a persisted kNN adjacency + vector store,
+  // queried by the deterministic greedy beam search.
+  // ---------------------------------------------------------------
+
+  /** Build the NSW index from a (vec_id, label, v) corpus: persist
+    * the raw vectors (the scoring store — a graph index navigates to
+    * few candidates, so exact scoring reads are point-sized) and the
+    * directed per-cell kNN adjacency as the base edge partition.
+    * Entry points are NOT an artifact: they derive from the live
+    * vector set at query time (one map-combinable argmin per cell),
+    * so deletes can never strand a cell behind a dead entry.
+    */
+  def seedNsw(vecs: DataFrame, indexPath: String): Unit = {
+    vecs.select(col("vec_id"), col("label"), col("v"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch")
+      .mode("overwrite").parquet(vectorsPath(indexPath))
+    Similarity.knnEdges(vecs)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch")
+      .mode("overwrite").parquet(edgesPath(indexPath))
+  }
+
+  /** Insert a batch into a seeded NSW index — the standard NSW
+    * incremental insert (search-free exact form within the cell):
+    * each batch vector links to its top-5 cosine neighbors among the
+    * LIVE members of its cell (stored ∪ batch), and each such
+    * neighbor gets a BACK-LINK to the batch vector — without the
+    * back-links an inserted vector would be unreachable from the
+    * existing graph (old nodes' edge lists are otherwise frozen;
+    * degree grows past 5 until [[compactNsw]]-time rebuild, exactly
+    * NSW's behavior). Batch ids monotonic, dynamic partition
+    * overwrite for at-least-once replay, same as [[append]].
+    */
+  def appendNsw(vecs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    requireMonotonic(indexPath, batchId)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val batch = vecs.select($"vec_id", $"label", $"v")
+    val live = dropMasked(
+        spark.read.parquet(vectorsPath(indexPath)),
+        readTombstones(spark, indexPath))
+      .select($"vec_id", $"label", $"v")
+    val batchIds = batch.select($"vec_id")
+    val fwd = Similarity.knnEdges(live.unionByName(batch))
+      .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
+    val back = fwd.select($"neighbor_id".as("vec_id"), $"label",
+      $"vec_id".as("neighbor_id"))
+    fwd.unionByName(back)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(edgesPath(indexPath))
+    batch.withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(vectorsPath(indexPath))
+  }
+
+  /** Beam-search query against the STORED graph artifacts only:
+    * live vectors (tombstones honored) → scoring store + per-cell
+    * entry points, live edges → traversal. A tombstoned vector can
+    * neither be returned nor traversed THROUGH (it has no live
+    * vector row, so it never scores into a beam); its stale edge
+    * rows die physically at [[compactNsw]]. Identical output to
+    * [[Similarity.simNswAnn]] when seeded on the same corpus
+    * (shared [[Similarity.nswSearch]]; spec-asserted).
+    */
+  def queryNsw(spark: SparkSession, indexPath: String, queries: DataFrame,
+               excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val ts = readTombstones(spark, indexPath)
+    val vecs = dropMasked(spark.read.parquet(vectorsPath(indexPath)), ts)
+      .select($"vec_id", $"label", $"v").persist()
+    try {
+      val edges = dropMasked(spark.read.parquet(edgesPath(indexPath)), ts)
+        .select($"vec_id", $"neighbor_id").persist()
+      try Similarity.nswSearch(vecs, edges, Similarity.nswEntries(vecs),
+          queries, excludeSelf)
+        .localCheckpoint()
+      finally { edges.unpersist(); () }
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Fold the NSW index's per-batch partitions into the base and
+    * realize pending deletes — vectors and edges rewritten under the
+    * same tombstone mask. The mask keys on the SOURCE vec_id, so a
+    * dead vector's out-edges vanish physically; its remaining
+    * IN-edges are harmless dangling keys (the target has no live
+    * vector row, so it can never score into a beam) that a periodic
+    * reseed reclaims — the NSW analog of graph-index garbage.
+    */
+  def compactNsw(spark: SparkSession, indexPath: String): Unit = {
+    val ts = readTombstones(spark, indexPath)
+    compactDir(spark, vectorsPath(indexPath), ts, rowsPerFile = 1000000L)
+    compactDir(spark, edgesPath(indexPath), ts, rowsPerFile = 8000000L)
+    rmTree(java.nio.file.Paths.get(tombstonesPath(indexPath)))
+  }
+
+  /** The `sim_nsw_stored` bench/oracle entry: [[ensureSeeded]]'s
+    * seed-once contract for the graph artifact, then the default
+    * query set answered from the stored index alone. Output is
+    * identical to [[Similarity.simNswAnn]]; the build/query split is
+    * the operator.
+    */
+  def simNswStored(spark: SparkSession, sfDir: String): DataFrame =
+    queryNsw(spark, ensureSeededWith(spark, sfDir, "graft-ann-index-nsw",
+      seedNsw), Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
 }
