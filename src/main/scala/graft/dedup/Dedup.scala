@@ -671,6 +671,48 @@ object Dedup {
   private[graft] def incrementalDecisions(batchBands: DataFrame,
                                           corpusBands: DataFrame): DataFrame = {
     import batchBands.sparkSession.implicits._
+    // Corpus relations, class-collapsed (8-byte keys only). Both are
+    // duplicate-insensitive aggregations over the stored index, so a
+    // replayed append cannot flip a decision. This derive-on-the-fly
+    // form is the TEST-CORPUS path (template-heavy, one linear pass);
+    // the production path reads them PRE-COLLAPSED from the stored
+    // index ([[graft.streaming.DedupIngest]] persists them per batch —
+    // class bands and sizes are additive across appends), entering at
+    // [[incrementalDecisionsPreCollapsed]] with zero corpus-sized
+    // aggregations per increment.
+    incrementalDecisionsPreCollapsed(
+      batchBands,
+      corpusBands
+        .select($"band_idx", $"band_hash", $"sig_class".as("c_class"))
+        .distinct(),
+      corpusBands.filter($"band_idx" === 0)
+        .groupBy($"sig_class".as("c_class"))
+        .agg(countDistinct($"doc_id").as("c_docs")),
+      corpusBands.filter($"band_idx" === 0).select($"content_hash"))
+  }
+
+  /** The decision join against PRE-COLLAPSED corpus relations — what
+    * a stored class-level index feeds directly:
+    *   - `classBands` (band_idx, band_hash, c_class): the distinct
+    *     band memberships per signature class. May contain CROSS-BATCH
+    *     duplicates (each append writes its own batch's relation):
+    *     harmless, the match-pair set is deduped AFTER the join, and
+    *     that dedup is match-bounded, never corpus-sized.
+    *   - `classSizes` (c_class, c_docs): per-class doc counts, as
+    *     ADDITIVE PARTIALS (one per batch a class appeared in) — the
+    *     match aggregate sums join rows, so partials compose exactly.
+    *     Contract: a doc_id contributes to at most one partial (each
+    *     doc is ingested once; a replayed append rewrites its own
+    *     partition rather than double-appending).
+    *   - `corpusHashes` (content_hash): the corpus content hashes
+    *     (duplicates fine — semi-join probe side).
+    * Every aggregate below is bounded by the BATCH and its matches;
+    * the corpus relations only ever stream past a broadcast.
+    */
+  private[graft] def incrementalDecisionsPreCollapsed(
+      batchBands: DataFrame, classBands: DataFrame,
+      classSizes: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    import batchBands.sparkSession.implicits._
     // Broadcast is a SAFETY-GATED hint, not unconditional: an explicit
     // broadcast() bypasses Spark's size threshold, so an oversized
     // increment (a backfill sized like the corpus) would be force-
@@ -705,34 +747,26 @@ object Dedup {
       else BigInt(batchBands.count()) * 128 <= gate
     def hinted(df: DataFrame): DataFrame =
       if (batchIsSmall) broadcast(df) else df
-    // Corpus relations, class-collapsed (8-byte keys only). Both are
-    // duplicate-insensitive aggregations over the stored index, so a
-    // replayed append cannot flip a decision.
-    val corpusClassBands = corpusBands
-      .select($"band_idx", $"band_hash", $"sig_class".as("c_class"))
-      .distinct()
-    val corpusClassSize = corpusBands.filter($"band_idx" === 0)
-      .groupBy($"sig_class".as("c_class"))
-      .agg(countDistinct($"doc_id").as("c_docs"))
     // Near matches: batch class bands (broadcast) × corpus class
     // bands, deduped to (batch class, corpus class) pairs, then sum
     // of matched class sizes. Classes partition corpus docs and a
     // class's docs share every band, so Σ sizes over DISTINCT matched
-    // classes equals the original countDistinct over corpus docs.
+    // classes equals a countDistinct over corpus docs — and because
+    // classSizes may arrive as per-batch PARTIALS, the matched-pair ×
+    // partial join rows sum to exactly the same total.
     val classPairs = hinted(batchBands
         .select($"sig_class", $"band_idx", $"band_hash").distinct())
-      .join(corpusClassBands, Seq("band_idx", "band_hash"))
+      .join(classBands, Seq("band_idx", "band_hash"))
       .select($"sig_class", $"c_class").distinct()
     val nearByClass = classPairs
-      .join(corpusClassSize, Seq("c_class"))
+      .join(classSizes, Seq("c_class"))
       .groupBy($"sig_class")
       .agg(sum($"c_docs").as("m_corpus_matches"))
-    // Exact dups: band0 rows are one-per-doc, so an increment-sized
-    // broadcast of the batch's distinct content hashes semi-joined
-    // against the corpus band0 stream yields the matched hash set
-    // without the 32-char strings ever entering the band join.
-    val exactHashes = corpusBands.filter($"band_idx" === 0)
-      .select($"content_hash")
+    // Exact dups: an increment-sized broadcast of the batch's
+    // distinct content hashes semi-joined against the corpus hash
+    // stream yields the matched hash set without the 32-char strings
+    // ever entering the band join.
+    val exactHashes = corpusHashes
       .join(hinted(batchBands.filter($"band_idx" === 0)
         .select($"content_hash").distinct()), Seq("content_hash"),
         "left_semi")

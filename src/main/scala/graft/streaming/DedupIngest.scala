@@ -21,13 +21,14 @@ import graft.dedup.Dedup
   * Scale story (100 TB): the stored index is 8 small rows per corpus
   * document and the batch side is increment-sized, so the decision
   * join broadcasts the batch bands and STREAMS the corpus index past
-  * them, identical to the batch operator's plan. Since r12 the
-  * decision join additionally derives two class-collapsed corpus
-  * aggregates per increment (see
-  * [[graft.dedup.Dedup.incrementalDecisions]] — the hot-bucket
-  * defense and its honest cost; the production path persists them
-  * pre-collapsed in the index rather than re-deriving per
-  * micro-batch). Both writes are partitioned by the
+  * them, identical to the batch operator's plan. Since r13 the index
+  * also stores the class-collapsed relations PRE-COLLAPSED per batch
+  * (class bands, class-size partials, content hashes — all additive
+  * across appends), and the decision join reads them directly
+  * ([[graft.dedup.Dedup.incrementalDecisionsPreCollapsed]]): zero
+  * corpus-sized aggregations per increment, closing r12's honest-cost
+  * caveat; the global collapse is paid once, at owner-run
+  * [[compactIndex]] time. All writes are partitioned by the
   * micro-batch id with DYNAMIC partition overwrite: a batch replayed
   * after a crash rewrites its own partition instead of double-
   * appending, so the pipeline is idempotent (effectively exactly-once)
@@ -42,19 +43,60 @@ import graft.dedup.Dedup
   */
 object DedupIngest {
 
+  // The index is a directory of FOUR relations since r13: the
+  // doc-level band rows (the rebuild/audit record and the exact-dup
+  // hash source), plus the three PRE-COLLAPSED class relations the
+  // per-increment decision join reads directly — r12's verdict item 7:
+  // deriving them per micro-batch paid an index-sized aggregation on
+  // mostly-unique corpora; stored, they are maintained incrementally
+  // (class bands and sizes are additive across appends) and the
+  // decision plan has ZERO corpus-sized aggregations.
+  private def bandsPath(p: String) = p + "/bands"
+  private def classBandsPath(p: String) = p + "/classbands"
+  private def classSizesPath(p: String) = p + "/classsizes"
+  private def hashesPath(p: String) = p + "/hashes"
+
+  /** The three class-level relations of one batch's band rows — what
+    * gets persisted alongside the bands at seed and per append.
+    */
+  private def classRelations(bands: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = (
+    bands.select(col("band_idx"), col("band_hash"),
+        col("sig_class").as("c_class")).distinct(),
+    bands.filter(col("band_idx") === 0)
+      .groupBy(col("sig_class").as("c_class"))
+      .agg(countDistinct(col("doc_id")).as("c_docs")),
+    bands.filter(col("band_idx") === 0)
+      .select(col("content_hash")).distinct()
+  )
+
+  private def writeBatch(bands: DataFrame, indexPath: String,
+                         batchId: Long, dynamic: Boolean): Unit = {
+    val (cb, cs, hs) = classRelations(bands)
+    Seq(bands -> bandsPath(indexPath), cb -> classBandsPath(indexPath),
+        cs -> classSizesPath(indexPath), hs -> hashesPath(indexPath))
+      .foreach { case (df, path) =>
+        val w = df.withColumn("ingest_batch", lit(batchId))
+          .write.partitionBy("ingest_batch")
+        (if (dynamic) w.option("partitionOverwriteMode", "dynamic")
+         else w).mode("overwrite").parquet(path)
+      }
+  }
+
   /** Build the stored corpus band index from an existing corpus.
     * Seeded under batch id -1 so streamed batches (ids ≥ 0) can never
     * dynamic-overwrite the seed partition. STATIC overwrite on
     * purpose: re-seeding means "rebuild the index", so any streamed
     * batch partitions from a previous run must go too — a dynamic
     * overwrite would keep them and every later decision would count
-    * phantom corpus docs.
+    * phantom corpus docs. The bands are computed once and pinned:
+    * four relations derive from them.
     */
-  def seedIndex(corpus: DataFrame, indexPath: String): Unit =
-    Dedup.contentBands(corpus)
-      .withColumn("ingest_batch", lit(-1L))
-      .write.partitionBy("ingest_batch")
-      .mode("overwrite").parquet(indexPath)
+  def seedIndex(corpus: DataFrame, indexPath: String): Unit = {
+    val bands = Dedup.contentBands(corpus).persist()
+    try writeBatch(bands, indexPath, -1L, dynamic = false)
+    finally { bands.unpersist(); () }
+  }
 
   /** The stored index, read back (all partitions). Self-heals the
     * one crash window [[compactIndex]] leaves behind: if the live
@@ -64,15 +106,21 @@ object DedupIngest {
     * another compaction.
     */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    restoreAfterCrashedSwap(indexPath)
-    val idx = spark.read.parquet(indexPath)
-    // Index-format guard: r12 added sig_class (the decision join's
-    // class-collapse key). A pre-r12 index would otherwise fail at
-    // ANALYSIS time deep inside the decision join — or worse, a
-    // mergeSchema read would surface it as nulls, and null classes
-    // join NOTHING, silently zeroing every near-dup count. The format
-    // bump is loud instead: rebuild is cheap (seedIndex re-derives
-    // the index from the corpus; it carries no state of its own).
+    // Index-format guard: r12 added sig_class, r13 moved the bands
+    // under <index>/bands next to the three stored class relations. A
+    // legacy root-level index (ingest_batch=* directly under the
+    // path) would otherwise fail at ANALYSIS time deep inside the
+    // decision join — or worse, silently (a mergeSchema read of a
+    // pre-r12 index surfaces sig_class as nulls, and null classes
+    // join NOTHING, zeroing every near-dup count). The format bump is
+    // loud instead: rebuild is cheap (seedIndex re-derives everything
+    // from the corpus; the index carries no state of its own).
+    require(!new java.io.File(indexPath, "ingest_batch=-1").exists(),
+      s"stored band index at $indexPath predates the r13 layout " +
+        "(bands + pre-collapsed class relations in subdirectories); " +
+        "rebuild it with seedIndex")
+    restoreAfterCrashedSwap(bandsPath(indexPath))
+    val idx = spark.read.parquet(bandsPath(indexPath))
     require(idx.columns.contains("sig_class"),
       s"stored band index at $indexPath predates the sig_class " +
         "column (r12 index format); rebuild it with seedIndex — " +
@@ -111,9 +159,6 @@ object DedupIngest {
     */
   def compactIndex(spark: SparkSession, indexPath: String): Unit = {
     import java.nio.file.{Files, Paths}
-    val live = Paths.get(indexPath)
-    val old = Paths.get(indexPath + ".old")
-    val tmpPath = Paths.get(indexPath + ".compacting")
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(p)
@@ -121,27 +166,52 @@ object DedupIngest {
         .sortBy(-_.getNameCount).foreach(Files.delete)
       finally walk.close()
     }
-    // recover a prior crash mid-swap: if the live path vanished after
-    // its move-aside, the .old directory IS the index — restore it
-    // (readIndex runs the same check, so a restarted ingest self-heals
-    // without waiting for this call). Any other leftover .old /
-    // .compacting is garbage from a crash before or after the swap
-    // window and is safe to clear.
-    restoreAfterCrashedSwap(indexPath)
-    rmTree(old); rmTree(tmpPath)
+    // recover a prior crash mid-swap: if the live bands dir vanished
+    // after its move-aside, the .old directory IS the index — restore
+    // it (readIndex runs the same check, so a restarted ingest
+    // self-heals without waiting for this call). Any other leftover
+    // .old / .compacting is garbage from a crash before or after the
+    // swap window and is safe to clear.
+    restoreAfterCrashedSwap(bandsPath(indexPath))
+    val dirs = Seq(bandsPath(indexPath), classBandsPath(indexPath),
+      classSizesPath(indexPath), hashesPath(indexPath))
+    dirs.foreach { d =>
+      rmTree(Paths.get(d + ".old")); rmTree(Paths.get(d + ".compacting"))
+    }
     val idx = readIndex(spark, indexPath)
       .select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash")
-    // explicit file count — the default shuffle partitioning would
-    // write more small files than the per-batch dirs being folded;
-    // ~8M band rows (≈1M docs) per output file, co-located by the
-    // decision join's probe key
-    val nFiles = math.max(1, (idx.count() / 8000000L).toInt)
-    idx.withColumn("ingest_batch", lit(-1L))
-      .repartition(nFiles, col("band_hash"))
-      .write.partitionBy("ingest_batch").parquet(tmpPath.toString)
-    Files.move(live, old)
-    Files.move(tmpPath, live)
-    rmTree(old)
+      .persist()
+    try {
+      // explicit file count — the default shuffle partitioning would
+      // write more small files than the per-batch dirs being folded;
+      // ~8M band rows (≈1M docs) per output file, co-located by the
+      // decision join's probe key
+      val nFiles = math.max(1, (idx.count() / 8000000L).toInt)
+      // compaction is the ONE place the global class collapse is paid
+      // (the owner-run batch job): per-batch partials fold to one
+      // globally-distinct relation each
+      val (cb, cs, hs) = classRelations(idx)
+      Seq[(DataFrame, String)](
+        (idx.repartition(nFiles, col("band_hash")), bandsPath(indexPath)),
+        (cb, classBandsPath(indexPath)),
+        (cs, classSizesPath(indexPath)),
+        (hs, hashesPath(indexPath)))
+        .foreach { case (df, path) =>
+          df.withColumn("ingest_batch", lit(-1L))
+            .write.partitionBy("ingest_batch")
+            .parquet(path + ".compacting")
+        }
+      // swap bands LAST: a crash between earlier class-dir swaps and
+      // the bands swap leaves folded class relations next to unfolded
+      // bands (or vice versa) — decisions stay correct either way
+      // (class partials are additive; the fold changes layout, not
+      // content)
+      dirs.reverse.foreach { d =>
+        Files.move(Paths.get(d), Paths.get(d + ".old"))
+        Files.move(Paths.get(d + ".compacting"), Paths.get(d))
+        rmTree(Paths.get(d + ".old"))
+      }
+    } finally { idx.unpersist(); () }
   }
 
   /** Start the ingest: `docs` is a STREAMING DataFrame with at least
@@ -160,8 +230,8 @@ object DedupIngest {
         // batch bands once; increment-sized, so the pin is small
         val bands = Dedup.contentBands(batch).persist()
         try {
-          // exclude THIS batch's own partition from the corpus read:
-          // if a prior attempt's index append committed but the
+          // exclude THIS batch's own partition from every corpus-side
+          // read: if a prior attempt's index append committed but the
           // checkpoint didn't, the replay would otherwise see its own
           // bands in the corpus, match every doc against itself (same
           // content_hash), and rewrite previously-correct decisions as
@@ -170,18 +240,21 @@ object DedupIngest {
           // nothing. The duplicate-insensitive aggregate alone cannot
           // protect here — it tolerates duplicated CORPUS rows, not a
           // doc's own bands appearing as corpus.
-          val corpus = readIndex(spark, indexPath)
+          def pruned(path: String) = spark.read.parquet(path)
             .filter(col("ingest_batch") =!= batchId)
-            .select("doc_id", "content_hash", "sig_class", "band_idx", "band_hash")
-          Dedup.incrementalDecisions(bands, corpus)
+          // the decision join reads the PRE-COLLAPSED class relations
+          // straight from the store (r12 verdict item 7) — no
+          // corpus-sized aggregation per increment; partials across
+          // batch partitions compose additively inside the join
+          Dedup.incrementalDecisionsPreCollapsed(bands,
+              pruned(classBandsPath(indexPath)),
+              pruned(classSizesPath(indexPath)),
+              pruned(hashesPath(indexPath)))
             .withColumn("ingest_batch", lit(batchId))
             .write.partitionBy("ingest_batch")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(decisionsPath)
-          bands.withColumn("ingest_batch", lit(batchId))
-            .write.partitionBy("ingest_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(indexPath)
+          writeBatch(bands, indexPath, batchId, dynamic = true)
         } finally bands.unpersist()
         ()
       }

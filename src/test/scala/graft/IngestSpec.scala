@@ -173,13 +173,14 @@ class IngestSpec extends AnyFunSuite {
     val idxDir = s"$root/index"
     DedupIngest.seedIndex(corpus, idxDir)
     val seedRows = corpus.count() * 8
-    // the compactIndex crash window: live moved aside, replacement not
-    // yet moved in — a restarted ingest must read through this state
-    Files.move(Paths.get(idxDir), Paths.get(idxDir + ".old"))
+    // the compactIndex crash window: the live BANDS dir (the r13
+    // layout's heal target) moved aside, replacement not yet moved
+    // in — a restarted ingest must read through this state
+    Files.move(Paths.get(s"$idxDir/bands"), Paths.get(s"$idxDir/bands.old"))
     assert(DedupIngest.readIndex(spark, idxDir).count() == seedRows,
       "readIndex did not restore the moved-aside index")
-    assert(Files.exists(Paths.get(idxDir)) &&
-           !Files.exists(Paths.get(idxDir + ".old")),
+    assert(Files.exists(Paths.get(s"$idxDir/bands")) &&
+           !Files.exists(Paths.get(s"$idxDir/bands.old")),
       "restore did not move .old back to the live path")
   }
 
@@ -314,19 +315,31 @@ class IngestSpec extends AnyFunSuite {
     assert(stored < ev.count(), "images are event-sized — never reduced")
   }
 
-  test("readIndex rejects a pre-sig_class legacy index loudly") {
+  test("readIndex rejects legacy index formats loudly") {
     import spark.implicits._
+    // a pre-r13 index: band rows at the directory ROOT (no bands/
+    // subdir, no stored class relations)
     val dir = java.nio.file.Files.createTempDirectory("legacyidx").toString
-    // a legacy (pre-r12) index: same rows, no sig_class column
     graft.dedup.Dedup.contentBands(
         Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
-      .drop("sig_class")
       .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(dir)
     val e = intercept[IllegalArgumentException] {
       graft.streaming.DedupIngest.readIndex(spark, dir)
     }
-    assert(e.getMessage.contains("sig_class"))
+    assert(e.getMessage.contains("r13 layout"))
+    // a pre-r12 band relation (no sig_class) under the r13 layout
+    val dir2 = java.nio.file.Files.createTempDirectory("legacyidx2").toString
+    graft.dedup.Dedup.contentBands(
+        Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
+      .drop("sig_class")
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$dir2/bands")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.DedupIngest.readIndex(spark, dir2)
+    }
+    assert(e2.getMessage.contains("sig_class"))
   }
 
   test("case-variant twin is an exact dup even when its bands differ") {
@@ -417,5 +430,55 @@ class IngestSpec extends AnyFunSuite {
     val bigrams = TextAnalysis
       .dsirHashedBigrams(docs).count()
     assert(stored < bigrams, "partials are corpus-sized — never reduced")
+  }
+
+  test("pre-collapsed decision plan never re-aggregates the stored corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val root = Files.createTempDirectory("graft-precollapsed").toString
+    val idx = s"$root/index"
+    DedupIngest.seedIndex(docs.filter($"doc_id" % 4 =!= 0), idx)
+    val bands = Dedup.contentBands(docs.filter($"doc_id" % 4 === 0))
+    val dec = Dedup.incrementalDecisionsPreCollapsed(bands,
+      spark.read.parquet(s"$idx/classbands"),
+      spark.read.parquet(s"$idx/classsizes"),
+      spark.read.parquet(s"$idx/hashes"))
+    // correctness first: identical decisions to the derive-on-the-fly
+    // batch operator against the equivalent doc-level corpus
+    val want = Dedup.incrementalDecisions(bands,
+      spark.read.parquet(s"$idx/bands")
+        .select("doc_id", "content_hash", "sig_class", "band_idx",
+                "band_hash"))
+    assertSameDecisions(dec, want, "pre-collapsed vs derived")
+    // the r12 verdict's plan contract: every Aggregate must sit ABOVE
+    // the join with the batch side — an Aggregate whose leaves are
+    // ALL stored-index relations is a per-increment corpus-sized
+    // collapse, exactly what the stored class relations eliminate
+    def corpusLeaf(p: LogicalPlan): Seq[Boolean] = p.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("/index/"))
+        case _ => false
+      }
+      case _ => false
+    }
+    val aggs = dec.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      val leaves = corpusLeaf(a)
+      assert(!(leaves.nonEmpty && leaves.forall(identity)),
+        s"corpus-only aggregate in the per-increment plan:\n$a")
+    }
+    // the derived path NECESSARILY has such aggregates (the on-the-fly
+    // collapse) — the assertion above is discriminating, not vacuous
+    val derivedAggs = want.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }
+    assert(derivedAggs.exists { a =>
+      val leaves = corpusLeaf(a); leaves.nonEmpty && leaves.forall(identity)
+    }, "expected the derive-on-the-fly path to collapse the corpus")
   }
 }
