@@ -100,7 +100,24 @@ R=${1:?round tag, e.g. r09}
 # full 8-scheme matrix) stays OUT with sim_brute_topk: its oracle
 # recomputes exact ground-truth top-k per query vector — the
 # pair-quadratic knn family.
-SUBSET="q1_pricing_summary,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank"
+# r13 widening (verdict item 3, 73 -> ~100): the remaining evt surface
+# — the three P-model producers/consumers (evt_offsets /
+# evt_consume_batches / evt_multi_topic; the offset-assignment
+# arithmetic gates at the default P=8 — evt_produce itself stays OUT
+# because its output IS the full log, and all four consumers replay
+# its produce CTE anyway), plus the windowed/sessionized consumer
+# audits (evt_windowed/sliding/session_window/first_last/funnel/
+# retention/transitions/anomaly/attribution/pivot/moving_agg/
+# distinct_sliding/error_routing — per-user or per-hour windows,
+# bounded or linear outputs), nine orders/lineitem relational shapes
+# (q17/q_stats/q_multi_distinct/q_grouping_sets/q_cube/q_unpivot/
+# q_promo_effect/q_date_dim/q_gap_fill — aggregate outputs), and two
+# linear text scans (txt_langid 500k rows, txt_entropy per-doc
+# char-class entropy). sim_nsw_ann / sim_nsw_stored stay OUT with
+# sim_knn_graph: their oracle's base-graph CTE is the per-cell-
+# quadratic DuckDB knn replay (the excluded pair family); the
+# traversal semantics are pinned by NswSpec fixtures + 3-SF gates.
+SUBSET="q1_pricing_summary,evt_offsets,evt_consume_batches,evt_multi_topic,evt_windowed,evt_sliding,evt_session_window,evt_first_last,evt_funnel,evt_retention,evt_transitions,evt_anomaly,evt_attribution,evt_pivot,evt_moving_agg,evt_distinct_sliding,evt_error_routing,q17_small_quantity,q_stats,q_multi_distinct,q_grouping_sets,q_cube,q_unpivot,q_promo_effect,q_date_dim,q_gap_fill,txt_langid,txt_entropy,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
