@@ -127,12 +127,18 @@ object Relational {
            count(lit(1)).as("n_rows"))
   }
 
-  /** CUBE over (o_orderstatus, o_orderpriority). */
+  /** CUBE over (o_orderstatus, o_orderpriority). Money accumulates in
+    * DECIMAL (exact, order-independent): the cube's grand-total row
+    * sums the WHOLE fact — ~2.5e11 at sf10 — where a double sum's
+    * last ulp flips round(·,2) by addition order (the r13 sf10 gate
+    * widening caught exactly this, the q_skew_join cent flip again).
+    */
   def qCube(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(round(sum($"o_totalprice"), 2).as("total"),
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+             .as("total"),
            count(lit(1)).as("n_orders"))
   }
 
