@@ -163,6 +163,33 @@ class NswSpec extends AnyFunSuite {
     assert(before == after, "append replay changed the stored answers")
   }
 
+  test("deleting a cell's entry point cannot strand the cell") {
+    import spark.implicits._
+    // entries derive from the LIVE vector set at query time (they are
+    // deliberately NOT an artifact): delete every CURRENT entry point
+    // and the per-cell argmin must re-derive from the survivors, so
+    // each cell still answers
+    val idx = Files.createTempDirectory("graft-nsw-ent").toString + "/index"
+    AnnIndex.seedNsw(vecs(), idx)
+    val qs = Similarity.defaultQueries(spark, sf)
+    val entriesNow = graft.similarity.Similarity.nswEntries(
+      vecs()).as[Long].collect().toSeq
+    // keep the query vectors themselves alive (they are corpus rows)
+    val victims = entriesNow.filter(_ >= 10)
+    assert(victims.nonEmpty)
+    AnnIndex.delete(victims.toDF("vec_id"), idx, 0)
+    val after = AnnIndex.queryNsw(spark, idx, qs, excludeSelf = true)
+    assert(after.filter($"rank" === 1).count() == qs.count(),
+      "some query lost its results after entry-point deletion")
+    assert(after.join(victims.toDF("neighbor_id"), Seq("neighbor_id"))
+      .count() == 0, "a deleted entry point was returned")
+    // the re-derived entries avoid every tombstoned id
+    val liveEntries = graft.similarity.Similarity.nswEntries(
+        vecs().join(victims.toDF("vec_id"), Seq("vec_id"), "left_anti"))
+      .as[Long].collect().toSet
+    assert(liveEntries.intersect(victims.toSet).isEmpty)
+  }
+
   test("deleted vectors are neither returned nor traversed through") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft-nsw-del").toString + "/index"
