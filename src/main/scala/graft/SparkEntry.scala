@@ -137,6 +137,7 @@ object SparkEntry {
     "txt_ccnet_buckets"    -> (graft.text.TextAnalysis.txtCcnetBuckets _),
     "txt_dup_coverage"     -> (graft.text.TextAnalysis.txtDupCoverage _),
     "txt_classifier"       -> (graft.text.TextAnalysis.txtClassifier _),
+    "txt_classifier_train" -> (graft.text.TextAnalysis.txtClassifierTrain _),
     // deduplication
     "dedup_exact"          -> (graft.dedup.Dedup.dedupExact _),
     "dedup_substr"         -> (graft.dedup.Dedup.dedupSubstr _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "pipeline_shard"       -> (Analytics.pipelineShard _),
     "pipeline_kanon"       -> (Analytics.pipelineKanon _),
     "pipeline_chunk"       -> (Analytics.pipelineChunk _),
+    "pipeline_rag"         -> (graft.similarity.Rag.pipelineRag _),
     "pipeline_expectations" -> (Analytics.pipelineExpectations _),
     "pipeline_cap"         -> (Analytics.pipelineCap _),
     "pipeline_zorder"      -> (graft.operators.Layout.pipelineZorder _),
@@ -235,11 +237,11 @@ object SparkEntry {
 
   /** Event-log partition counts interpolated into the six evt_*
     * producer/consumer oracles — the SAME JVM property
-    * [[graft.operators.Events.logPartitions]] reads first, so engine
-    * and oracle agree at any P (set `-Dspark.graft.logPartitions=N`
-    * via SPARK_GRAFT_JAVA_OPTS; a session-only `conf.set` would steer
-    * the engine but not this dump, so cross-engine gates use the JVM
-    * property).
+    * [[graft.operators.Events.logPartitions]] resolves — the JVM
+    * property is the ONLY source on both sides (set
+    * `-Dspark.graft.logPartitions=N` via SPARK_GRAFT_JAVA_OPTS);
+    * Events.logPartitions fails fast if the key is set via session
+    * conf alone, so engine and oracle can never silently diverge.
     */
   private def logP: Int =
     sys.props.getOrElse("spark.graft.logPartitions", "8").toInt
@@ -277,6 +279,12 @@ object SparkEntry {
     ("txt_bpe_train" -> bpeOracleSql(8)) +
     ("txt_bpe_apply" -> bpeApplyOracleSql(8)) +
     ("sim_mmr_rerank" -> mmrOracleSql(10)) +
+    // the composed RAG serving path: constituent replays verbatim —
+    // chunk+dedup and the IVF+SQ8 chain as parenthesized subqueries
+    // (the sim_recall_eval technique), the hybrid lexical CTEs and
+    // integer RRF fusion inline, one generated MATERIALIZED stage per
+    // MMR round (the mmrOracleSql technique), contexts joined last
+    ("pipeline_rag" -> ragOracleSql(8, 5)) +
     ("graph_coreness" -> corenessOracleSql) +
     // the NSW traversal replays as one generated MATERIALIZED CTE
     // stage per hop (the coreness/BPE technique); the stored twin
@@ -448,6 +456,98 @@ object SparkEntry {
        |$stages
        |SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank,
        | round(mmr_score, 4) AS mmr_score FROM acc$k""".stripMargin
+  }
+
+  /** [[graft.similarity.Rag.pipelineRag]]'s replay: deduped chunks
+    * and the stored-index vector arm reuse their standalone oracles
+    * as parenthesized subqueries (the stored SQ index replays
+    * identically to its recompute twin, so the sim_ivfsq_ann chain IS
+    * the vector-arm oracle); the lexical arm and RRF fusion are the
+    * sim_hybrid_rrf CTEs with the fused pool cut at `pool`; the MMR
+    * rounds are generated MATERIALIZED stages over the pool.
+    */
+  private def ragOracleSql(pool: Int, k: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""rsel$i AS MATERIALIZED (SELECT query_id, doc_id, $i AS mmr_rank
+         |  FROM (
+         |   SELECT query_id, doc_id, row_number() OVER (
+         |     PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |   FROM (SELECT c.query_id, c.doc_id,
+         |      0.7 * c.rel - 0.3 * max(p.sim) AS score
+         |     FROM cvr c
+         |     JOIN prr p ON p.query_id = c.query_id AND p.a = c.doc_id
+         |     JOIN racc${i - 1} s ON s.query_id = p.query_id
+         |       AND s.doc_id = p.b
+         |     WHERE NOT EXISTS (SELECT 1 FROM racc${i - 1} x
+         |       WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+         |     GROUP BY c.query_id, c.doc_id, c.rel))
+         |  WHERE rn = 1),
+         |racc$i AS MATERIALIZED (SELECT * FROM racc${i - 1}
+         |  UNION ALL SELECT * FROM rsel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ch AS (SELECT doc_id, chunk_idx, n_toks, chunk_hash FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY chunk_hash
+       |     ORDER BY doc_id, chunk_idx) AS rn
+       |   FROM (${oracleSqlBase("pipeline_chunk")})) WHERE rn = 1),
+       |vecr AS MATERIALIZED (SELECT query_id, neighbor_id AS doc_id,
+       |   rank AS vec_rank
+       |  FROM (${oracleSqlBase("sim_ivfsq_ann")})),
+       |tok AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), ' +')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id,
+       |   CAST(md5_number_lower(w) % 9223372036854775808 AS BIGINT) AS h,
+       |   count(*) AS tf FROM tok GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT h,
+       |   CAST(((n - df + 1) * 10000) // (df + 1) AS BIGINT) AS idf_bp
+       |  FROM (SELECT h, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN nn
+       |  WHERE df <= 65536),
+       |qs AS (SELECT query_id, h, tfq, idf_bp FROM (
+       |   SELECT t.doc_id AS query_id, t.h, t.tf AS tfq, i.idf_bp,
+       |     row_number() OVER (PARTITION BY t.doc_id
+       |       ORDER BY i.idf_bp DESC, t.h) AS r
+       |   FROM tf t JOIN idf i USING (h) WHERE t.doc_id < 10)
+       |  WHERE r <= 20),
+       |lex AS (SELECT q.query_id, t.doc_id,
+       |   CAST(sum(least(q.tfq, t.tf) * q.idf_bp) AS BIGINT) AS score
+       |  FROM qs q JOIN tf t USING (h) WHERE t.doc_id != q.query_id
+       |  GROUP BY 1, 2),
+       |lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+       |   SELECT query_id, doc_id,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id) AS INT) AS lex_rank FROM lex)
+       |  WHERE lex_rank <= 20),
+       |fu AS (SELECT query_id, doc_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rrf_e6 DESC, doc_id) AS rank
+       |   FROM (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |      coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |      CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+       |         + coalesce(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
+       |        AS rrf_e6
+       |     FROM lexr l FULL JOIN vecr v
+       |       ON l.query_id = v.query_id AND l.doc_id = v.doc_id))
+       |  WHERE rank <= $pool),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cvr AS MATERIALIZED (SELECT f.query_id, f.doc_id,
+       |   list_cosine_similarity(qe.v, de.v) AS rel, de.v
+       |  FROM fu f JOIN ev qe ON qe.vec_id = f.query_id
+       |  JOIN ev de ON de.vec_id = f.doc_id),
+       |prr AS MATERIALIZED (SELECT x.query_id, x.doc_id AS a,
+       |    y.doc_id AS b, list_cosine_similarity(x.v, y.v) AS sim
+       |  FROM cvr x JOIN cvr y ON x.query_id = y.query_id
+       |    AND x.doc_id != y.doc_id),
+       |racc1 AS MATERIALIZED (SELECT query_id, doc_id, 1 AS mmr_rank
+       |  FROM (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+       |   FROM cvr)
+       |  WHERE rn = 1),
+       |$stages
+       |SELECT a.query_id, CAST(a.mmr_rank AS INT) AS mmr_rank, a.doc_id,
+       | ch.chunk_idx, ch.n_toks, ch.chunk_hash
+       |FROM racc$k a JOIN ch USING (doc_id)""".stripMargin
   }
 
   private def bpeChainSql(rounds: Int): String = {
@@ -1029,6 +1129,29 @@ object SparkEntry {
         |   AS logit_e4_per_token,
         | CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS keep
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "txt_classifier_train" ->
+      """WITH t AS (SELECT lang,
+        |   unnest(string_split_regex(trim(text), ' +')) AS term
+        |  FROM documents),
+        |c AS (SELECT
+        |   CAST(CAST(md5_number_lower(term) % 9223372036854775808
+        |     AS BIGINT) % 256 AS INT) AS bucket,
+        |   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS c_ref,
+        |   CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS c_bg
+        |  FROM t GROUP BY 1),
+        |n AS (SELECT sum(c_ref) AS n_ref, sum(c_bg) AS n_bg FROM c),
+        |d AS (SELECT CAST(r.b AS INT) AS bucket,
+        |   coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_bg, 0) AS c_bg
+        |  FROM range(0, 256) r(b) LEFT JOIN c ON c.bucket = r.b)
+        |SELECT d.bucket, CAST(d.c_ref AS BIGINT) AS c_ref,
+        | CAST(d.c_bg AS BIGINT) AS c_bg,
+        | CAST(round(10000 * ln(
+        |   ((d.c_ref::DOUBLE + 1) * (n.n_bg::DOUBLE + 256)) /
+        |   ((d.c_bg::DOUBLE + 1) * (n.n_ref::DOUBLE + 256)))) AS BIGINT)
+        |   AS w
+        |FROM d, n""".stripMargin,
     "pipeline_fixed_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |   CAST(md5_number_lower('fsample:' || doc_id)

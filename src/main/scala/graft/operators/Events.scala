@@ -26,14 +26,23 @@ object Events {
     * constant meant 8 tasks sorted the whole log regardless of
     * cluster size. The partitioner stays `key mod P`, so the DuckDB
     * oracle replays any P: [[graft.SparkEntry.oracleSql]] interpolates
-    * the SAME JVM property at dump time. Read the JVM property first
-    * (sysprops set after session build still take effect — the bench
-    * scales P with SF through `SPARK_GRAFT_JAVA_OPTS`), then the
-    * session conf, then 8.
+    * the SAME JVM property at dump time. The JVM property is the ONLY
+    * source (sysprops set after session build still take effect — the
+    * bench scales P with SF through `SPARK_GRAFT_JAVA_OPTS`): a
+    * session-conf fallback would let `conf.set` steer the six evt_*
+    * engine queries while the oracle dump — which cannot see the
+    * session — stayed at P=8, a silent cross-engine gate mismatch.
+    * Setting the conf key without the sysprop fails FAST instead.
     */
-  def logPartitions(spark: SparkSession): Int =
-    sys.props.get("spark.graft.logPartitions")
-      .getOrElse(spark.conf.get("spark.graft.logPartitions", "8")).toInt
+  def logPartitions(spark: SparkSession): Int = {
+    require(sys.props.contains("spark.graft.logPartitions") ||
+        spark.conf.getOption("spark.graft.logPartitions").isEmpty,
+      "spark.graft.logPartitions was set via session conf only; the " +
+        "oracle dump resolves the JVM system property, so a " +
+        "conf-only setting would silently diverge the two engines — " +
+        "set -Dspark.graft.logPartitions=N instead")
+    sys.props.getOrElse("spark.graft.logPartitions", "8").toInt
+  }
 
   /** Per-topic partition count of the multi-topic log: P/2 (≥ 1) —
     * smaller per-topic logs than the single-topic firehose, scaled by

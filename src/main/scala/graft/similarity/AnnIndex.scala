@@ -127,16 +127,27 @@ object AnnIndex {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(tombstonesPath(indexPath))
 
-  /** Highest ingest batch physically present — read from the code
-    * directory's partition values (metadata-only, no file scan).
+  /** Highest ingest batch physically present — read from the family's
+    * authoritative ingest-log directory's partition values
+    * (metadata-only, no file scan). For the PQ/SQ families that log is
+    * `codes/`; an NSW index has no codes directory at all (vectors/ +
+    * edges/ only), so its vector store is the log — reading codes/
+    * unconditionally would return -1 forever, making [[delete]]'s
+    * as-of mark never cover an appended batch (the tombstone would
+    * silently not mask it) and [[requireMonotonic]] a no-op.
     */
-  private def maxIngestBatch(indexPath: String): Long =
-    Option(new java.io.File(codesPath(indexPath)).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .map(_.getName).collect {
-        case n if n.startsWith("ingest_batch=") =>
-          n.stripPrefix("ingest_batch=").toLong
-      }.foldLeft(-1L)(math.max)
+  private def maxIngestBatch(indexPath: String): Long = {
+    def hi(dir: String): Long =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getName).collect {
+          case n if n.startsWith("ingest_batch=") =>
+            n.stripPrefix("ingest_batch=").toLong
+        }.foldLeft(-1L)(math.max)
+    if (new java.io.File(codesPath(indexPath)).exists())
+      hi(codesPath(indexPath))
+    else hi(vectorsPath(indexPath))
+  }
 
   /** The live tombstones as (vec_id, as_of_batch), or None before any
     * delete. A vec_id deleted more than once masks up to its LATEST
@@ -395,8 +406,16 @@ object AnnIndex {
     * [[Similarity.simIvfSq]]; the build/query split is the operator.
     */
   def simIvfSqStored(spark: SparkSession, sfDir: String): DataFrame =
-    querySq(spark, ensureSeededWith(spark, sfDir, "graft-ann-index-sq",
-      seedSq), Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
+    querySq(spark, ensureSqSeeded(spark, sfDir),
+      Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
+
+  /** Seed-once contract for the shared SQ vector artifact — one
+    * stored index, three query strategies ([[querySq]],
+    * [[queryMatryoshka]], and [[Rag.pipelineRag]]'s vector arm).
+    */
+  private[similarity] def ensureSqSeeded(spark: SparkSession,
+                                         sfDir: String): String =
+    ensureSeededWith(spark, sfDir, "graft-ann-index-sq", seedSq)
 
   /** Matryoshka two-stage query against the SAME stored vector
     * artifact the SQ index persists — completing stored-index parity
@@ -429,8 +448,7 @@ object AnnIndex {
     * `sim_ivfsq_stored` seed (one artifact, two query strategies).
     */
   def simMatryoshkaStored(spark: SparkSession, sfDir: String): DataFrame =
-    queryMatryoshka(spark, ensureSeededWith(spark, sfDir,
-      "graft-ann-index-sq", seedSq),
+    queryMatryoshka(spark, ensureSqSeeded(spark, sfDir),
       Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
 
   // ---------------------------------------------------------------

@@ -116,7 +116,21 @@ object Similarity {
     val cv = cand
       .join(e.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"))
       .select($"query_id", $"doc_id", $"rel", $"v")
-      .localCheckpoint()
+    mmrSelect(cv, k)
+  }
+
+  /** The MMR greedy selection over an arbitrary candidate relation
+    * (query_id, doc_id, rel, v) — [[simMmrRerank]]'s loop factored
+    * out so [[pipelineRag]] reranks its fused candidates through the
+    * identical arithmetic tree. The candidate relation must be
+    * metadata-sized (per-query top lists): its pairwise-sim table is
+    * computed once and checkpointed, and each greedy round is an
+    * anti-join + max + argmax over those relations.
+    */
+  private[graft] def mmrSelect(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val cv = cand.localCheckpoint()
     val pairs = cv.as("x").join(cv.as("y"),
         col("x.query_id") === col("y.query_id") &&
         col("x.doc_id") =!= col("y.doc_id"))
@@ -203,21 +217,16 @@ object Similarity {
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
   }
 
-  /** The [[simHybridRrf]] plan given the pinned corpus tf relation —
-    * factored out so plan audits can inspect the pre-checkpoint shape.
+  /** The BM25-analog lexical top-20 rank list per query
+    * (query_id, doc_id, lex_rank) given the pinned corpus tf relation
+    * — [[simHybridRrfPlan]]'s lexical arm, factored out so
+    * [[pipelineRag]] fuses the identical list. Candidacy is bounded
+    * by construction (df ≤ 65536 posting cap, 20 rarest terms per
+    * query) — see [[simHybridRrf]]'s scale notes.
     */
-  private[graft] def simHybridRrfPlan(spark: SparkSession, sfDir: String,
-      tf: DataFrame): DataFrame = {
+  private[graft] def lexicalRanks(spark: SparkSession, sfDir: String,
+                                  tf: DataFrame): DataFrame = {
     import spark.implicits._
-    // vector list: brute cosine, top-20 ranks per query
-    val vecRanks = crossQueries(vectors(spark, sfDir),
-        defaultQueries(spark, sfDir), excludeSelf = true)
-      .withColumn("cos", cosineSim($"qv", $"v"))
-      .groupBy($"query_id")
-      .agg(graft.functions.TopK.topK(20)($"vec_id", $"cos").as("top"))
-      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-      .select($"query_id", $"p._1".as("doc_id"),
-              ($"i" + 1).cast("int").as("vec_rank"))
     val nDocs = Tables.documents(spark, sfDir).groupBy()
       .agg(count(lit(1)).as("n"))
     val idf = tf.groupBy($"h").agg(count(lit(1)).as("df"))
@@ -235,13 +244,31 @@ object Similarity {
       .select($"query_id", $"h", $"tfq", $"idf_bp")
     val lexW = Window.partitionBy($"query_id")
       .orderBy($"score".desc, $"doc_id")
-    val lexRanks = tf.join(broadcast(qterms), Seq("h"))
+    tf.join(broadcast(qterms), Seq("h"))
       .filter($"doc_id" =!= $"query_id")
       .groupBy($"query_id", $"doc_id")
       .agg(sum(least($"tfq", $"tf") * $"idf_bp").as("score"))
       .withColumn("lex_rank", row_number().over(lexW).cast("int"))
       .filter($"lex_rank" <= 20)
       .select($"query_id", $"doc_id", $"lex_rank")
+  }
+
+  /** The [[simHybridRrf]] plan given the pinned corpus tf relation —
+    * factored out so plan audits can inspect the pre-checkpoint shape.
+    */
+  private[graft] def simHybridRrfPlan(spark: SparkSession, sfDir: String,
+      tf: DataFrame): DataFrame = {
+    import spark.implicits._
+    // vector list: brute cosine, top-20 ranks per query
+    val vecRanks = crossQueries(vectors(spark, sfDir),
+        defaultQueries(spark, sfDir), excludeSelf = true)
+      .withColumn("cos", cosineSim($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(20)($"vec_id", $"cos").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+      .select($"query_id", $"p._1".as("doc_id"),
+              ($"i" + 1).cast("int").as("vec_rank"))
+    val lexRanks = lexicalRanks(spark, sfDir, tf)
     val fusedW = Window.partitionBy($"query_id")
       .orderBy($"rrf_e6".desc, $"doc_id")
     lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")

@@ -119,7 +119,7 @@ object DedupIngest {
       s"stored band index at $indexPath predates the r13 layout " +
         "(bands + pre-collapsed class relations in subdirectories); " +
         "rebuild it with seedIndex")
-    restoreAfterCrashedSwap(bandsPath(indexPath))
+    restoreAllAfterCrashedSwap(indexPath)
     val idx = spark.read.parquet(bandsPath(indexPath))
     require(idx.columns.contains("sig_class"),
       s"stored band index at $indexPath predates the sig_class " +
@@ -128,6 +128,20 @@ object DedupIngest {
         "null-filled legacy read")
     idx
   }
+
+  /** Heal every directory [[compactIndex]]'s four-way swap can leave
+    * behind, not just the bands: a crash between `Files.move(d, d.old)`
+    * and `Files.move(d.compacting, d)` for ANY of the four relations
+    * leaves that live dir missing with `.old` holding the index. If
+    * only bands were healed, a compaction rerun would first rmTree the
+    * `.old` copy (destroying the sole surviving data) and then throw
+    * moving the absent live dir — and a restarted streaming ingest
+    * would fail reading the missing class relation.
+    */
+  private def restoreAllAfterCrashedSwap(indexPath: String): Unit =
+    Seq(bandsPath(indexPath), classBandsPath(indexPath),
+        classSizesPath(indexPath), hashesPath(indexPath))
+      .foreach(restoreAfterCrashedSwap)
 
   private def restoreAfterCrashedSwap(indexPath: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -166,13 +180,15 @@ object DedupIngest {
         .sortBy(-_.getNameCount).foreach(Files.delete)
       finally walk.close()
     }
-    // recover a prior crash mid-swap: if the live bands dir vanished
-    // after its move-aside, the .old directory IS the index — restore
-    // it (readIndex runs the same check, so a restarted ingest
-    // self-heals without waiting for this call). Any other leftover
-    // .old / .compacting is garbage from a crash before or after the
-    // swap window and is safe to clear.
-    restoreAfterCrashedSwap(bandsPath(indexPath))
+    // recover a prior crash mid-swap: if ANY live dir vanished after
+    // its move-aside, its .old directory IS the index — restore all
+    // four BEFORE the rmTree below, or the rerun would destroy the
+    // sole surviving copy and then throw moving the absent live dir
+    // (readIndex runs the same healing, so a restarted ingest
+    // self-heals without waiting for this call). Only then is a
+    // leftover .old / .compacting garbage from a crash before or
+    // after the swap window, safe to clear.
+    restoreAllAfterCrashedSwap(indexPath)
     val dirs = Seq(bandsPath(indexPath), classBandsPath(indexPath),
       classSizesPath(indexPath), hashesPath(indexPath))
     dirs.foreach { d =>
@@ -240,8 +256,14 @@ object DedupIngest {
           // nothing. The duplicate-insensitive aggregate alone cannot
           // protect here — it tolerates duplicated CORPUS rows, not a
           // doc's own bands appearing as corpus.
-          def pruned(path: String) = spark.read.parquet(path)
-            .filter(col("ingest_batch") =!= batchId)
+          def pruned(path: String) = {
+            // a restarted ingest may be the first reader after a
+            // compaction crash — heal the swapped-away dir (existence
+            // checks only in the common case, negligible per batch)
+            restoreAfterCrashedSwap(path)
+            spark.read.parquet(path)
+              .filter(col("ingest_batch") =!= batchId)
+          }
           // the decision join reads the PRE-COLLAPSED class relations
           // straight from the store (r12 verdict item 7) — no
           // corpus-sized aggregation per increment; partials across

@@ -516,9 +516,17 @@ object TextAnalysis {
     val weighted = spark.conf
       .getOption("spark.graft.classifierWeights") match {
       case Some(path) =>
+        // LEFT join + default for absent buckets: a partial artifact
+        // (fewer than 256 rows) must not drop tokens — n_tokens is a
+        // model-independent count, and an inner join would silently
+        // shrink it AND the logit denominator. Missing buckets score
+        // with the stand-in weight, the same "absent entry = identity"
+        // contract as the mmDecodeBatch weight table.
         bucketed.join(
           broadcast(spark.read.parquet(path).select($"bucket", $"w")),
-          Seq("bucket"))
+          Seq("bucket"), "left")
+          .withColumn("w",
+            coalesce($"w", defaultClassifierWeight($"bucket")))
       case None =>
         bucketed.withColumn("w", defaultClassifierWeight($"bucket"))
     }
@@ -535,6 +543,66 @@ object TextAnalysis {
   private[graft] def defaultClassifierWeight(
       bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (bucket.cast("long") * lit(2654435761L)) % lit(2001L) - lit(1000L)
+
+  /** TRAIN the hashed quality classifier in-engine — the fastText-
+    * style reference-vs-background gate actually learned from data
+    * rather than scored with a stand-in (r13 verdict item 5): per
+    * feature bucket, the Naive Bayes log-odds of the REFERENCE slice
+    * (the `lang = 'en'` target-domain convention shared with
+    * [[txtDsirWeights]]) against the background (every other
+    * document), with add-one smoothing over the 256-bucket feature
+    * space. Weights are integer e4 nats, rounded ONCE per bucket on
+    * the 256-row model relation (the [[txtSurprisal]] float
+    * discipline: a single `round(10⁴·ln(ratio))` per distinct value,
+    * never an accumulated float), so the artifact is bit-identical
+    * across engines:
+    *
+    *   w(b) = round(10⁴ · ln( ((c_ref(b)+1) · (N_bg+256)) /
+    *                          ((c_bg(b)+1) · (N_ref+256)) ))
+    *
+    * The output is EXACTLY the artifact schema
+    * `spark.graft.classifierWeights` loads (bucket, w — plus the
+    * count columns for auditability): write `.select("bucket", "w")`
+    * to parquet, point the conf key at it, and [[txtClassifier]]
+    * scores with the trained model through the same loader
+    * (WeightSwapSpec proves the route end-to-end). All 256 buckets
+    * are emitted — absent buckets carry their smoothed prior — so the
+    * trained artifact never triggers the partial-artifact default
+    * path.
+    *
+    * Scale (100 TB): ONE corpus-sized stage — the map-combinable
+    * (bucket ⇒ c_ref, c_bg) count whose output is 256 rows by
+    * construction; the log-odds arithmetic runs on that model
+    * relation alone. Training is therefore a counting stream (the
+    * DSIR shape), restartable and associative — the per-batch partial
+    * counts sum, and smoothing applies at read time, never stored.
+    */
+  def txtClassifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select($"lang", explode(expr("split(trim(text), ' +')")).as("term"))
+      .select($"lang", expr(
+        "cast((graft_md5lower64(term) & 9223372036854775807) % 256 " +
+          "as int)").as("bucket"))
+      .groupBy($"bucket")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_ref"),
+           sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("c_bg"))
+      // the 256-row model feeds both the totals and the weight rows —
+      // checkpoint it so the corpus counting pass runs exactly once
+      // (AQE self-consumers get no ReusedExchange)
+      .localCheckpoint()
+    val totals = counts.agg(sum($"c_ref").as("n_ref"),
+                            sum($"c_bg").as("n_bg"))
+    spark.range(256).select($"id".cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_ref", "c_bg"))
+      .crossJoin(broadcast(totals))
+      .select($"bucket", $"c_ref", $"c_bg",
+        expr("cast(round(10000 * ln(" +
+          "((cast(c_ref as double) + 1) * (cast(n_bg as double) + 256)) / " +
+          "((cast(c_bg as double) + 1) * (cast(n_ref as double) + 256))" +
+          "), 0) as bigint)").as("w"))
+  }
 
   def txtSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -184,6 +184,46 @@ class IngestSpec extends AnyFunSuite {
       "restore did not move .old back to the live path")
   }
 
+  test("compaction rerun heals a crash mid-swap on a CLASS dir, not just bands") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    // regression for the r13 advisor's medium finding: the four-way
+    // swap could crash between move(d, d.old) and move(d.compacting,
+    // d) on classbands/classsizes/hashes, and the rerun then rmTree'd
+    // the .old copy (the SOLE surviving data) before throwing on the
+    // absent live dir — only a full reseed recovered. The rerun must
+    // now restore every relation first and complete normally.
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val root = Files.createTempDirectory("graft-ingest-heal4").toString
+    val idxDir = s"$root/index"
+    DedupIngest.seedIndex(corpus, idxDir)
+    val wantSizes = spark.read.parquet(s"$idxDir/classsizes")
+      .drop("ingest_batch").collect().toSet
+    for (d <- Seq("classsizes", "hashes")) {
+      Files.move(Paths.get(s"$idxDir/$d"), Paths.get(s"$idxDir/$d.old"))
+      DedupIngest.compactIndex(spark, idxDir)
+      assert(Files.exists(Paths.get(s"$idxDir/$d")) &&
+             !Files.exists(Paths.get(s"$idxDir/$d.old")) &&
+             !Files.exists(Paths.get(s"$idxDir/$d.compacting")),
+        s"compaction rerun did not heal the $d crash window")
+    }
+    assert(spark.read.parquet(s"$idxDir/classsizes")
+      .drop("ingest_batch").collect().toSet == wantSizes,
+      "class sizes lost or changed through the healed compactions")
+    // decisions still work against the healed index
+    val b1 = docs.filter($"doc_id" % 8 === 0)
+    val got = Dedup.incrementalDecisionsPreCollapsed(
+      Dedup.contentBands(b1),
+      spark.read.parquet(s"$idxDir/classbands"),
+      spark.read.parquet(s"$idxDir/classsizes"),
+      spark.read.parquet(s"$idxDir/hashes"))
+    val want = Dedup.incrementalDecisions(
+      Dedup.contentBands(b1), Dedup.contentBands(corpus))
+    assertSameDecisions(got, want, "decisions after healed compaction")
+  }
+
   test("MV ingest: streamed view == single-pass recompute at every prefix; replay-safe") {
     import spark.implicits._
     import graft.streaming.MvIngest

@@ -190,6 +190,39 @@ class NswSpec extends AnyFunSuite {
     assert(liveEntries.intersect(victims.toSet).isEmpty)
   }
 
+  test("deleting an APPENDED vector masks it (as-of mark covers vectors/)") {
+    import spark.implicits._
+    // regression for the r13 advisor's high finding: maxIngestBatch
+    // read only codes/ — which an NSW index does not have — so a
+    // tombstone's as_of_batch was always -1 and never masked a vector
+    // appended at ingest_batch >= 0 (and appendNsw's monotonicity
+    // check was a silent no-op). The mark must derive from the
+    // family's authoritative directory (vectors/ when codes/ is
+    // absent).
+    val all = vecs()
+    val held = all.filter($"vec_id" >= 10 && $"vec_id" % 11 === 0)
+    assert(held.count() > 0)
+    val idx = Files.createTempDirectory("graft-nsw-adel").toString + "/index"
+    AnnIndex.seedNsw(all.exceptAll(held), idx)
+    AnnIndex.appendNsw(held, idx, 3)
+    val victim = held.select($"vec_id").as[Long].first()
+    val q = held.filter($"vec_id" === victim)
+      .select(lit(1000001L).as("query_id"), $"v".as("qv"))
+    // sanity: the appended vector answers its own query at rank 1
+    assert(AnnIndex.queryNsw(spark, idx, q)
+      .filter($"rank" === 1 && $"neighbor_id" === victim).count() == 1)
+    AnnIndex.delete(Seq(victim).toDF("vec_id"), idx, 4)
+    assert(AnnIndex.queryNsw(spark, idx, q)
+      .filter($"neighbor_id" === victim).count() == 0,
+      s"tombstone failed to mask appended vector $victim")
+    // monotonicity now sees the appended batches: reusing a LOWER id
+    // must be rejected (it would be shadowed by the batch-4 tombstone)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.appendNsw(held.limit(1), idx, 2)
+    }
+    assert(err.getMessage.contains("monotonic"))
+  }
+
   test("deleted vectors are neither returned nor traversed through") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft-nsw-del").toString + "/index"

@@ -406,6 +406,44 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(names == Set("bucket", "btot"),
         s"unpartitioned window over a non-bucket-sized input: $names")
     }
+    // q_median_mad: both rank passes on the two-level scan — the
+    // cumulative cents/dev windows must carry the bucket in their
+    // partition spec (near-unique price domain, ~150k rows/priority
+    // at sf10 under the old 5-task priority-only window), and a
+    // window partitioned only on o_orderpriority may consume only
+    // the bucket-count-sized (priority, bucket, btot) totals
+    val mm = Relational.qMedianMad(spark, sf)
+    val mWins = mm.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(mWins.exists(_.partitionSpec.exists(_.toString.contains("bucket"))),
+      "median/mad histogram cumsum lost its bucket partitioning")
+    mWins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
+      .foreach { w =>
+        val names = w.child.output.map(_.name).toSet
+        assert(names.subsetOf(Set("o_orderpriority", "bucket", "btot")),
+          s"priority-only window over a non-bucket-sized input: $names")
+      }
+    // pipeline_rag: the composed serving path adds NO corpus-sized
+    // stage beyond its constituents' — downstream of the (internally
+    // checkpointed) MMR selection, context assembly is ONE chunk pass
+    // over documents joined by BROADCASTING the |queries|·5 selection,
+    // and the chunk-dedup window carries chunk_hash (parallel, never
+    // a global sort)
+    val rtf = graft.similarity.Similarity.hybridTf(spark, sf).persist()
+    try {
+      val rag = graft.similarity.Rag.pipelineRagPlan(spark, sf, rtf)
+      val rPlan = capture(rag, "simple")
+      assert(rPlan.contains("BroadcastHashJoin"),
+        s"RAG context join does not broadcast the selection\n$rPlan")
+      assert(!rPlan.contains("SortMergeJoin") &&
+             !rPlan.contains("CartesianProduct"),
+        s"RAG context assembly grew a corpus-sized join\n$rPlan")
+      assert("documents\\.parquet".r.findAllIn(rPlan).size <= 1,
+        s"RAG context assembly re-scans documents\n$rPlan")
+      val rWins = rag.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(rWins.nonEmpty && rWins.forall(
+        _.partitionSpec.exists(_.toString.contains("chunk_hash"))),
+        "chunk-dedup window not partitioned on chunk_hash")
+    } finally { rtf.unpersist(); () }
     // txt_surprisal: the vocabulary-count join must broadcast — a
     // sort-merge join there means the corpus re-shuffled on term
     val sur = graft.text.TextAnalysis.txtSurprisal(spark, sf)

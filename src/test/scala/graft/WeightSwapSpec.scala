@@ -54,6 +54,74 @@ class WeightSwapSpec extends AnyFunSuite {
       keep != default(id)._3 }, "no keep decision changed — dead swap?")
   }
 
+  test("classifier: a PARTIAL artifact keeps n_tokens invariant (absent buckets = default weight)") {
+    import spark.implicits._
+    // regression for the r13 advisor's low finding: the inner join on
+    // bucket dropped every token whose bucket the artifact missed —
+    // silently shrinking n_tokens (a model-independent count) and the
+    // logit denominator. Absent buckets now coalesce to the default
+    // weight, so a HALF artifact (buckets 0..127) must reproduce the
+    // default output exactly when its rows tabulate the default mix.
+    val default = graft.text.TextAnalysis.txtClassifier(spark, sf)
+      .select($"doc_id", $"n_tokens", $"logit", $"keep")
+      .as[(Long, Long, Long, Int)].collect().toMap2
+    val stub = new java.io.File(
+      "tools/classifier_weights_stub.parquet").getAbsolutePath
+    val partialPath = Files.createTempDirectory("graft-wpart").toString +
+      "/weights"
+    spark.read.parquet(stub).filter($"bucket" < 128)
+      .write.parquet(partialPath)
+    val partial = withConf("spark.graft.classifierWeights", partialPath) {
+      graft.text.TextAnalysis.txtClassifier(spark, sf)
+        .select($"doc_id", $"n_tokens", $"logit", $"keep")
+        .as[(Long, Long, Long, Int)].collect().toMap2
+    }
+    assert(partial == default,
+      "partial identity artifact changed the output — missing " +
+        "buckets are being dropped instead of defaulted")
+  }
+
+  test("classifier train -> swap: the TRAINED artifact routes through the loader and changes scores") {
+    import spark.implicits._
+    // the r13 verdict item 5 end-to-end: train the Naive Bayes
+    // log-odds weights in-engine, write the artifact, load it through
+    // spark.graft.classifierWeights, and the scores must change while
+    // the model-independent count stays fixed
+    val default = graft.text.TextAnalysis.txtClassifier(spark, sf)
+      .select($"doc_id", $"n_tokens", $"logit", $"keep")
+      .as[(Long, Long, Long, Int)].collect().toMap2
+    val trained = graft.text.TextAnalysis.txtClassifierTrain(spark, sf)
+    assert(trained.count() == 256, "trained artifact must cover all buckets")
+    val trainedPath = Files.createTempDirectory("graft-wtrain").toString +
+      "/weights"
+    trained.select($"bucket", $"w").write.parquet(trainedPath)
+    val scored = withConf("spark.graft.classifierWeights", trainedPath) {
+      graft.text.TextAnalysis.txtClassifier(spark, sf)
+        .select($"doc_id", $"n_tokens", $"logit", $"keep")
+        .as[(Long, Long, Long, Int)].collect().toMap2
+    }
+    assert(scored.keySet == default.keySet)
+    scored.foreach { case (id, (n, _, _)) =>
+      assert(n == default(id)._1,
+        s"doc $id: n_tokens changed under the trained model")
+    }
+    assert(scored.exists { case (id, (_, logit, _)) =>
+      logit != default(id)._2 },
+      "no logit changed — the trained weights did not flow")
+    // the trained gate must actually separate the reference slice:
+    // en docs' mean per-token logit above the non-en mean (log-odds
+    // trained FOR the en slice)
+    val perLang = withConf("spark.graft.classifierWeights", trainedPath) {
+      graft.text.TextAnalysis.txtClassifier(spark, sf)
+        .groupBy($"lang")
+        .agg((sum($"logit") / sum($"n_tokens")).as("mean_w"))
+        .as[(String, Double)].collect().toMap
+    }
+    val nonEn = perLang.filter(_._1 != "en").values
+    assert(perLang("en") > nonEn.max,
+      s"trained gate does not separate the reference slice: $perLang")
+  }
+
   test("decode: identity lookup reproduces the stub; doubled weights double every frame feature") {
     import spark.implicits._
     val default = graft.multimodal.Multimodal.mmDecodeBatch(spark, sf)
