@@ -1463,7 +1463,8 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
         |   ORDER BY version DESC) AS rn FROM all_rows)
         |SELECT o_orderstatus, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
         |FROM ranked WHERE rn = 1 GROUP BY o_orderstatus""".stripMargin,
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -1526,7 +1527,8 @@ object SparkEntry {
         |FROM z GROUP BY 1,2""".stripMargin,
     "evt_enrich" ->
       """SELECT n_name, event_type, count(*) AS n_events,
-        | round(sum(value),2) AS total_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total_value
         |FROM events JOIN customer ON user_id=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey
         |GROUP BY 1,2""".stripMargin,
@@ -2589,7 +2591,8 @@ object SparkEntry {
         |FROM d""".stripMargin,
     "q_range_join" ->
       """SELECT tier, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
         |FROM orders JOIN (VALUES
         |  ('T1_budget',  0.0,      100000.0),
         |  ('T2_mid',     100000.0, 200000.0),

@@ -192,7 +192,11 @@ object Analytics {
             $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
       .groupBy($"tier")
       .agg(count(lit(1)).as("n_orders"),
-           round(sum($"o_totalprice"), 2).as("revenue"))
+           // 5 tiers over the whole fact — DECIMAL accumulation for
+           // the same reason as q_cube's grand total (cent flips at
+           // sf10 magnitude under double merge order)
+           sum($"o_totalprice".cast("decimal(18,2)"))
+             .cast("double").as("revenue"))
   }
 
   /** End-to-end training-data prep pipeline, composed as ONE

@@ -251,7 +251,11 @@ object Events {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"event_type")
       .agg(count(lit(1)).as("n_events"),
-           round(sum($"value"), 2).as("total_value"))
+           // ~125 groups over the full event log (~800k rows/group at
+           // sf10): double accumulation error crosses the half-cent
+           // boundary — DECIMAL on both sides (the q_cube convention)
+           sum($"value".cast("decimal(18,2)"))
+             .cast("double").as("total_value"))
   }
 
   /** Trailing-hour moving aggregate per event type: a time-RANGE

@@ -512,7 +512,12 @@ object Relational {
       .filter($"rn" === 1)
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
-           round(sum($"o_totalprice"), 2).as("revenue"))
+           // 3 groups over the whole fact: money accumulates in
+           // DECIMAL (exact, order-independent) — a double sum at
+           // sf10's ~1e12 group magnitude flips cents with partition
+           // merge order (the q_cube class)
+           sum($"o_totalprice".cast("decimal(18,2)"))
+             .cast("double").as("revenue"))
   }
 
   /** TPC-H Q6-shaped forecast revenue: the pure-pushdown query — all

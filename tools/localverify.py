@@ -78,8 +78,30 @@ for name, sql in sorted(oracle.items()):
     g = got.sort_values(key, na_position="last").reset_index(drop=True)
     w = want.sort_values(key, na_position="last").reset_index(drop=True)
     bad = 0; near = 0; example = None
+    # vectorized fast path (needed for the 10M+-row sf10 outputs the
+    # r14 gate widening added — the per-cell loop below costs minutes
+    # per key at that size): a column passes when every element is
+    # exactly equal under the SAME rules the loop applies (floats by
+    # ==, everything else by str(), NaN/None equal to NaN/None). Only
+    # columns that fail the vectorized check fall through to the loop,
+    # which recomputes bad/near and the example — semantics identical.
+    def col_equal(gv, wv):
+        try:
+            if gv.dtype.kind == "f" and wv.dtype.kind == "f":
+                import numpy as np
+                return bool(((gv.values == wv.values) |
+                             (np.isnan(gv.values) & np.isnan(wv.values))).all())
+            gn, wn = gv.isna(), wv.isna()
+            if not (gn == wn).all():
+                return False
+            return bool((gv[~gn].astype(str).values ==
+                         wv[~wn].astype(str).values).all())
+        except Exception:
+            return False  # odd dtype (lists etc.) → exact loop
     for c in key:
         gv, wv = g[c], w[c]
+        if col_equal(gv, wv):
+            continue
         for i in range(len(gv)):
             a, b = gv.iloc[i], wv.iloc[i]
             if a is None or (isinstance(a, float) and math.isnan(a)):

@@ -100,6 +100,53 @@ R=${1:?round tag, e.g. r09}
 # full 8-scheme matrix) stays OUT with sim_brute_topk: its oracle
 # recomputes exact ground-truth top-k per query vector — the
 # pair-quadratic knn family.
+# r14 widening (verdict item 1, 100 -> ~151): the ~40 tractable keys
+# the r13 verdict listed, plus this round's two new keys and the NSW
+# family. Relational adds (bounded or <=1.5M-row outputs, linear
+# replays): the join/setop family (q_anti/semi/outer/full_outer/
+# setops/except), the window family (q_lead_gap, q_percent_rank and
+# q_window_running — 15M-row outputs, but percent_rank/cume_dist and
+# frame-ordered running sums are order-pinned so the float values
+# replay exactly; the compare is vectorized in localverify now),
+# q_percentiles, the SCD2 pair + asof pair + q_upsert_latest
+# (10-15M-row outputs, per-key windows / ASOF joins — linear in
+# DuckDB), q_scalar_subquery/q_collect_list/q_array_funcs/
+# q_string_funcs/q_range_join. evt adds: evt_enrich (125-row
+# enrichment rollup), evt_json_extract, evt_sessionize (9.5M
+# sessions; the gap-island windows over the full log). pipeline adds:
+# every deterministic split/sample/pack/shuffle/zorder/curriculum/
+# mixture/cap key (bounded or per-doc outputs, pure hash/window
+# replays) — pipeline_decontam stays OUT (its oracle replays the
+# 64-slot HUGEINT minhash, the excluded dedup family). txt adds:
+# tfidf/surprisal/term_freq/doc_freq/pii_scrub/contamination(+bloom)/
+# classifier/bigrams/approx_topk/bigram_lm — all linear token-stream
+# replays (the txt_ccnet_buckets magnitude, which already gates) —
+# plus txt_classifier_train (256-row trained-weight artifact).
+# dedup_cluster_stats (md5 groupby, 2 rows). sim adds: sim_nsw_ann /
+# sim_nsw_stored / sim_knn_graph — the r13 exclusion reasoned by
+# analogy that the per-cell-quadratic knn base was infeasible, but
+# GenScale cells are CONSTANT-SIZE (~200 vecs at every SF, cells
+# scale instead), so the MATERIALIZED base graph is 1000 cells x
+# 200^2 = 40M pair cosines — measured 248 s for the full NSW replay
+# at sf10 (closing r13 verdict item 2 WITHOUT staging). pipeline_rag
+# uses a STAGED oracle (tools/oracle_pipeline_rag_staged.sql): its
+# inline form embeds the sim_ivfsq chain, which spills at sf10; the
+# staged prelude is the ivfsq temp-table rewrite verbatim,
+# equivalence checked at sf0.01+sf0.1 (r14 check). Money-sum keys
+# entering the gate (q_upsert_latest, q_range_join, evt_enrich) were
+# moved to DECIMAL accumulation on both sides FIRST — their 3-125
+# whole-fact groups sit at the q_cube cent-flip magnitude.
+# Still OUT, each for a measured reason: the dedup/minhash HUGEINT
+# family (incl. pipeline_decontam, dedup_incremental), evt_produce
+# (output IS the 10M-row log; all four consumers replay its CTE),
+# mm_phash_pairs (~20M-pair output) and mm_phash_clusters /
+# graph_kcore / graph_coreness / graph_clustco / graph_triangles /
+# graph_jaccard / graph_pagerank / graph_components / graph_coreness
+# (contraction/peel chains over the clone-clique graph — fixture +
+# 3-SF gated), sim_brute_topk / sim_recall_eval / sim_pq_* /
+# sim_ivf_ann / sim_lsh_ann (per-query corpus rescans that add ~10
+# DuckDB corpus passes for outputs their stored/staged twins already
+# gate), q_approx_distinct (HLL, oracle-infeasible by design).
 # r13 widening (verdict item 3, 73 -> ~100): the remaining evt surface
 # — the three P-model producers/consumers (evt_offsets /
 # evt_consume_batches / evt_multi_topic; the offset-assignment
@@ -117,7 +164,7 @@ R=${1:?round tag, e.g. r09}
 # sim_knn_graph: their oracle's base-graph CTE is the per-cell-
 # quadratic DuckDB knn replay (the excluded pair family); the
 # traversal semantics are pinned by NswSpec fixtures + 3-SF gates.
-SUBSET="q1_pricing_summary,evt_offsets,evt_consume_batches,evt_multi_topic,evt_windowed,evt_sliding,evt_session_window,evt_first_last,evt_funnel,evt_retention,evt_transitions,evt_anomaly,evt_attribution,evt_pivot,evt_moving_agg,evt_distinct_sliding,evt_error_routing,q17_small_quantity,q_stats,q_multi_distinct,q_grouping_sets,q_cube,q_unpivot,q_promo_effect,q_date_dim,q_gap_fill,txt_langid,txt_entropy,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank"
+SUBSET="q1_pricing_summary,evt_offsets,evt_consume_batches,evt_multi_topic,evt_windowed,evt_sliding,evt_session_window,evt_first_last,evt_funnel,evt_retention,evt_transitions,evt_anomaly,evt_attribution,evt_pivot,evt_moving_agg,evt_distinct_sliding,evt_error_routing,q17_small_quantity,q_stats,q_multi_distinct,q_grouping_sets,q_cube,q_unpivot,q_promo_effect,q_date_dim,q_gap_fill,txt_langid,txt_entropy,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank,q_anti_join,q_semi_join,q_outer_join,q_full_outer,q_setops,q_except,q_lead_gap,q_percent_rank,q_window_running,q_percentiles,q_scd2_dim,q_scd2_lookup,q_asof_join,q_asof_native,q_upsert_latest,q_scalar_subquery,q_collect_list,q_array_funcs,q_string_funcs,q_range_join,evt_enrich,evt_json_extract,evt_sessionize,pipeline_cap,pipeline_curriculum,pipeline_fixed_sample,pipeline_mixture,pipeline_pack,pipeline_prep,pipeline_sample,pipeline_shard,pipeline_shuffle,pipeline_split,pipeline_zorder,txt_tfidf,txt_surprisal,txt_term_freq,txt_doc_freq,txt_pii_scrub,txt_contamination,txt_contamination_bloom,txt_classifier,txt_bigrams,txt_approx_topk,txt_bigram_lm,txt_classifier_train,dedup_cluster_stats,sim_nsw_ann,sim_nsw_stored,sim_knn_graph,pipeline_rag"
 OUT=/tmp/verify_sf10_${R}
 SPARK_GRAFT_QUERIES=$SUBSET SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Verify /root/repo/bench-data/sf10 $OUT" \
@@ -135,6 +182,9 @@ staged = open("tools/oracle_sim_ivfsq_staged.sql").read()
 for k in ("sim_ivfsq_ann", "sim_ivfsq_stored"):
     if k in d:
         d[k] = staged
+# same move for pipeline_rag, whose inline oracle embeds that chain
+if "pipeline_rag" in d:
+    d["pipeline_rag"] = open("tools/oracle_pipeline_rag_staged.sql").read()
 json.dump(d, open(p, "w"), indent=1)
 EOF
 python3 tools/localverify.py /root/repo/bench-data/sf10 $OUT \
