@@ -2553,8 +2553,10 @@ object SparkEntry {
         | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
         | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
         | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
-        |SELECT measure, count(*) AS n_values, round(sum(value), 2) AS total,
-        | round(avg(value), 4) AS mean
+        |SELECT measure, count(*) AS n_values,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*), 4) AS mean
         |FROM m GROUP BY measure""".stripMargin,
     "q_date_dim" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -64,9 +64,18 @@ object Analytics {
         variableColumnName = "measure",
         valueColumnName = "value")
       .groupBy($"measure")
+      // whole-fact totals (~3.2e12 at sf10) accumulate in DECIMAL —
+      // the double sum flips cents with partition merge order (caught
+      // by the r14 sf10 gate widening, the q_cube class; all four
+      // measures are exact 2-decimal values so the cast is lossless).
+      // The mean derives from the exact decimal total by ONE double
+      // division + round, identical on both engines — never a rounded
+      // float avg (the verify-notes rule).
       .agg(count(lit(1)).as("n_values"),
-           round(sum($"value"), 2).as("total"),
-           round(avg($"value"), 4).as("mean"))
+           sum($"value".cast("decimal(18,2)")).as("tot_dec"))
+      .select($"measure", $"n_values",
+        $"tot_dec".cast("double").as("total"),
+        round($"tot_dec".cast("double") / $"n_values", 4).as("mean"))
   }
 
   /** Date-dimension rollup: calendar functions (year/quarter/month)
