@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the sf10 spot-gate's key list (tools/spotverify_sf10.sh)
+  * against silent drift: `graft.Verify` FILTERS to the requested
+  * subset, so a typo'd or stale key would simply not run — the gate
+  * would shrink without failing. This spec makes that loud, and pins
+  * the documented exclusion set so adding a query key forces an
+  * explicit decision (gate it, or justify the exclusion in the
+  * script header).
+  */
+class GateSubsetSpec extends AnyFunSuite {
+
+  private val script = "tools/spotverify_sf10.sh"
+
+  private def subset: Set[String] = {
+    val src = scala.io.Source.fromFile(script)(scala.io.Codec.UTF8)
+    val text = try src.mkString finally src.close()
+    val m = """SUBSET="([^"]+)"""".r.findFirstMatchIn(text)
+      .getOrElse(fail(s"no SUBSET= line in $script"))
+    m.group(1).split(",").map(_.trim).toSet
+  }
+
+  /** The keys the gate deliberately leaves out, each justified by a
+    * measured comment in the script header. A key appearing in
+    * NEITHER the subset NOR this list fails the spec.
+    */
+  private val justifiedExclusions = Set(
+    // interpreted 64-slot HUGEINT minhash replays (cost is the md5
+    // arithmetic itself, not spill) + the corpus-growing pair block
+    "dedup_components", "dedup_cross_source", "dedup_incremental",
+    "dedup_keep_one", "dedup_minhash", "dedup_ngram", "dedup_simhash",
+    "dedup_substr", "pipeline_decontam",
+    // pair list / contraction — the gated stats twin covers them
+    "mm_phash_pairs", "mm_phash_clusters",
+    // output IS the 100M-row log; its four consumers gate it
+    "evt_produce",
+    // declared approximations with measured dispositions
+    "txt_approx_topk", "q_approx_distinct")
+
+  test("every gate subset key exists in SparkEntry.queries") {
+    val unknown = subset -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"subset keys not in queries map (typo/stale): $unknown")
+  }
+
+  test("every query key is either gated or a justified exclusion") {
+    val missing = SparkEntry.queries.keySet -- subset -- justifiedExclusions
+    assert(missing.isEmpty,
+      s"keys neither sf10-gated nor justified-excluded: $missing")
+    val overlap = subset.intersect(justifiedExclusions)
+    assert(overlap.isEmpty,
+      s"keys both gated and listed as excluded: $overlap")
+  }
+
+  test("gated keys have oracle SQL (the gate compares against DuckDB)") {
+    val noOracle = subset -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"gated keys with no oracleSql entry: $noOracle")
+  }
+}
