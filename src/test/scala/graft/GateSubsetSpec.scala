@@ -12,14 +12,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateSubsetSpec extends AnyFunSuite {
 
-  private val script = "tools/spotverify_sf10.sh"
+  // resolve against the build root, not the fork CWD: sbt may run
+  // tests forked from a different working directory (advisor r14)
+  private val script: java.io.File = {
+    val candidates = Seq(
+      new java.io.File(sys.props("user.dir"), "tools/spotverify_sf10.sh"),
+      new java.io.File("tools/spotverify_sf10.sh"))
+    candidates.find(_.isFile).getOrElse(
+      fail(s"tools/spotverify_sf10.sh not found from " +
+        s"user.dir=${sys.props("user.dir")} or CWD"))
+  }
 
   private def subset: Set[String] = {
     val src = scala.io.Source.fromFile(script)(scala.io.Codec.UTF8)
     val text = try src.mkString finally src.close()
-    val m = """SUBSET="([^"]+)"""".r.findFirstMatchIn(text)
-      .getOrElse(fail(s"no SUBSET= line in $script"))
-    m.group(1).split(",").map(_.trim).toSet
+    // anchored to line start, and exactly ONE assignment allowed — a
+    // quoted SUBSET="..." example in a comment must not shadow it
+    val ms = """(?m)^SUBSET="([^"]+)"""".r.findAllMatchIn(text).toList
+    assert(ms.size == 1,
+      s"expected exactly one line-start SUBSET= assignment in $script, " +
+        s"found ${ms.size}")
+    ms.head.group(1).split(",").map(_.trim).toSet
   }
 
   /** The keys the gate deliberately leaves out, each justified by a

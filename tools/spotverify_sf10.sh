@@ -197,7 +197,9 @@ R=${1:?round tag, e.g. r09}
 # dedup_semantic (label-blocked pair cosines, the dedup_embed class),
 # mm_binary_meta/chunk_dedup/decode_batch/frame_sample (linear
 # metadata/series replays), txt_dup_coverage (shingle-df, 8-byte
-# keys), and five ANN schemes whose oracles are 10-query corpus scans
+# keys), and six ANN-family keys (five search schemes + the
+# sim_centroids quantizer-training key) whose oracles are 10-query
+# corpus scans / cell unnests
 # excluded only BY ANALOGY before measurement: sim_brute_topk (2M
 # cosines — NOT the recall_eval matrix), sim_centroids (12.8M-cell
 # unnest), sim_range_search, sim_ivf_ann, sim_lsh_ann,
