@@ -40,13 +40,10 @@ class GateSubsetSpec extends AnyFunSuite {
     * NEITHER the subset NOR this list fails the spec.
     */
   private val justifiedExclusions = Set(
-    // interpreted 64-slot HUGEINT minhash replays (cost is the md5
-    // arithmetic itself, not spill) + the corpus-growing pair block
-    "dedup_components", "dedup_cross_source", "dedup_incremental",
-    "dedup_keep_one", "dedup_minhash", "dedup_ngram", "dedup_simhash",
-    "dedup_substr", "pipeline_decontam",
-    // pair list / contraction — the gated stats twin covers them
-    "mm_phash_pairs", "mm_phash_clusters",
+    // EXACT pair jaccard over source blocks that GROW with the corpus
+    // (6.25e9 pairwise list-intersections at sf10 — the one
+    // structural exclusion left after the r15 staged-oracle widening)
+    "dedup_ngram",
     // output IS the 100M-row log; its four consumers gate it
     "evt_produce",
     // declared approximations with measured dispositions
