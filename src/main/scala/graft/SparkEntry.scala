@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
     "dedup_components"     -> (graft.dedup.Dedup.dedupComponents _),
     "dedup_keep_one"       -> (graft.dedup.Dedup.dedupKeepOne _),
+    "dedup_recall_eval"    -> (graft.dedup.Dedup.dedupRecallEval _),
     "dedup_embed"          -> (graft.dedup.Dedup.dedupEmbed _),
     "dedup_cluster_stats"  -> (Analytics.dedupClusterStats _),
     "pipeline_prep"        -> (Analytics.pipelinePrep _),
@@ -2856,6 +2857,81 @@ object SparkEntry {
         |   ORDER BY score DESC, cand DESC) AS rn FROM s)
         |SELECT doc_id, lang, cand AS predicted_lang, cand = lang AS correct
         |FROM r WHERE rn = 1""".stripMargin,
+    // blocking-recall audit: exact truth pairs on the 25% audit slice,
+    // then the band/chunk relations REJOINED onto the truth pairs (the
+    // engine's linear caught-test, replayed literally), rolled up per
+    // (method, threshold)
+    "dedup_recall_eval" ->
+      """WITH sdoc AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |d AS (SELECT doc_id, source,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM sdoc),
+        |truth AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |   CAST(round(round(len(list_intersect(a.w, b.w))::DOUBLE
+        |       / len(list_distinct(list_concat(a.w, b.w))), 4) * 10000)
+        |     AS BIGINT) AS j_bp
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE
+        |     / len(list_distinct(list_concat(a.w, b.w))) >= 0.7),
+        |sig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   list_min(list_transform(w, t ->
+        |     CAST(xor(md5_number_lower(t),
+        |       CASE WHEN i = 0 THEN md5_number_upper(t)
+        |       ELSE CAST(((CAST(md5_number_upper(t) AS HUGEINT)
+        |              * CAST(power(2, i) AS HUGEINT))
+        |             % 18446744073709551616)
+        |           + CAST(md5_number_upper(t) >> CAST(64 - i AS INT)
+        |               AS HUGEINT) AS UBIGINT)
+        |       END) % 9223372036854775808 AS BIGINT))))
+        |   AS s
+        |  FROM d),
+        |bands AS (SELECT doc_id, CAST(b AS INT) AS band_idx,
+        |   md5_number_lower(array_to_string(
+        |     list_slice(s, CAST(b*8+1 AS INT), CAST(b*8+8 AS INT)), ','))
+        |   AS bh
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |hh AS (SELECT doc_id, list_transform(w, t -> md5_number_lower(t))
+        |   AS wh FROM d),
+        |sbits AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   CASE WHEN list_sum(list_transform(wh,
+        |     h -> CAST((h >> i) & 1 AS INT) * 2 - 1)) > 0
+        |   THEN 1 ELSE 0 END) AS bits FROM hh),
+        |e AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |   CAST(list_sum(list_transform(range(0, 16), b ->
+        |     CAST(bits[CAST(k*16 + b + 1 AS INT)] AS BIGINT) << b))
+        |     AS BIGINT) AS chunk_val
+        |  FROM sbits CROSS JOIN range(0, 4) t(k)),
+        |mh AS (SELECT DISTINCT t.doc_id_1, t.doc_id_2,
+        |   'minhash_lsh' AS method
+        |  FROM truth t JOIN bands x ON x.doc_id = t.doc_id_1
+        |  JOIN bands y ON y.doc_id = t.doc_id_2
+        |    AND y.band_idx = x.band_idx AND y.bh = x.bh),
+        |sh AS (SELECT DISTINCT t.doc_id_1, t.doc_id_2,
+        |   'simhash_chunk' AS method
+        |  FROM truth t JOIN e x ON x.doc_id = t.doc_id_1
+        |  JOIN e y ON y.doc_id = t.doc_id_2
+        |    AND y.chunk_idx = x.chunk_idx AND y.chunk_val = x.chunk_val),
+        |caught AS (SELECT * FROM mh UNION ALL SELECT * FROM sh),
+        |th AS (SELECT CAST(unnest([7000, 8000, 9000]) AS BIGINT)
+        |   AS threshold_bp),
+        |m AS (SELECT unnest(['minhash_lsh', 'simhash_chunk']) AS method),
+        |tt AS (SELECT threshold_bp, count(*) AS n_truth_pairs
+        |  FROM truth CROSS JOIN th WHERE j_bp >= threshold_bp GROUP BY 1),
+        |ct AS (SELECT method, threshold_bp, count(*) AS n_caught
+        |  FROM truth JOIN caught USING (doc_id_1, doc_id_2)
+        |  CROSS JOIN th WHERE j_bp >= threshold_bp GROUP BY 1, 2)
+        |SELECT m.method, th.threshold_bp,
+        | coalesce(tt.n_truth_pairs, 0) AS n_truth_pairs,
+        | coalesce(ct.n_caught, 0) AS n_caught,
+        | CASE WHEN coalesce(tt.n_truth_pairs, 0) = 0
+        |   THEN CAST(10000 AS BIGINT)
+        |   ELSE (10000 * coalesce(ct.n_caught, 0)) // tt.n_truth_pairs
+        | END AS recall_bp
+        |FROM m CROSS JOIN th
+        |LEFT JOIN tt ON tt.threshold_bp = th.threshold_bp
+        |LEFT JOIN ct ON ct.method = m.method
+        |  AND ct.threshold_bp = th.threshold_bp""".stripMargin,
     "dedup_simhash" ->
       """WITH d AS (SELECT doc_id,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w

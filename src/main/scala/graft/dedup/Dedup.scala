@@ -84,9 +84,22 @@ object Dedup {
     * [[dedupMinhash]]/[[dedupComponents]] (2.7×/3.1× at the same
     * decade).
     */
-  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairs(Tables.documents(spark, sfDir), 9000)
+
+  /** Threshold-parametric core of [[dedupNgram]] (τ = tBp/10000):
+    * identical machinery, generalized prefix length s − ⌈τ·s⌉ + 1 and
+    * size filter min ≥ τ·max (at tBp = 9000 both reduce exactly to the
+    * hard-coded 0.9 forms — ⌊(9s+9)/10⌋ = ⌈9s/10⌉ =
+    * ⌊(9000s+9999)/10000⌋). [[dedupRecallEval]] uses τ = 0.7 to build
+    * the ground-truth pair set its blocking-recall audit scores
+    * against.
+    */
+  private[graft] def ngramPairs(docs: DataFrame, tBp: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val d = withWordSet(Tables.documents(spark, sfDir))
+    val tau = tBp / 10000.0
+    val d = withWordSet(docs)
       // sort once per doc so the pairwise step is a merge scan
       .select($"doc_id", $"source", array_sort($"wset").as("wset"))
     // global document frequency = the AllPairs canonical token order
@@ -127,16 +140,16 @@ object Dedup {
       .get("spark.graft.ngram.maskVocabMax", "4096").toInt
     val nVocab = tokenDf.count()
     if (nVocab <= math.min(maskVocabMax, 4096)) {
-      ngramPairsBitmask(d, tokenDf, ((nVocab + 63) / 64).toInt)
+      ngramPairsBitmask(d, tokenDf, ((nVocab + 63) / 64).toInt, tBp)
     } else {
-      val (r, cands) = prefixCandidates(d, tokenDf)
+      val (r, cands) = prefixCandidates(d, tokenDf, tBp)
       cands
         .join(r.select($"doc_id".as("doc_id_1"), $"wset".as("w1")),
           Seq("doc_id_1"))
         .join(r.select($"doc_id".as("doc_id_2"), $"wset".as("w2")),
           Seq("doc_id_2"))
         .withColumn("jaccard", graft.functions.sortedJaccard($"w1", $"w2"))
-        .filter($"jaccard" >= 0.9)
+        .filter($"jaccard" >= lit(tau))
         .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
     }
   }
@@ -151,9 +164,10 @@ object Dedup {
     * multiplicity) reach the final distinct.
     */
   private def ngramPairsBitmask(
-      d: DataFrame, tokenDf: DataFrame, width: Int): DataFrame = {
+      d: DataFrame, tokenDf: DataFrame, width: Int, tBp: Int): DataFrame = {
     import d.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    val tau = tBp / 10000.0
     // bit i = the token at rank i of the same (df, tok) total order the
     // prefix path uses; ≤4096 rows, so the single-partition window is a
     // driver-scale sort, not a scale hazard (guarded by the branch)
@@ -171,7 +185,7 @@ object Dedup {
       .select($"doc_id", $"source",
         graft.functions.bitsToMask($"bits", width).as("mask"), $"s",
         expr("transform(slice(byRarity, 1, " +
-          "cast(s - ((9*s + 9) div 10) + 1 as int)), x -> x.bit)")
+          s"cast(s - (($tBp*s + 9999) div 10000) + 1 as int)), x -> x.bit)")
           .as("pbits"))
       .persist() // two join sides below; reclaimed by caller's clearCache
     val a = docs.select($"source", explode($"pbits").as("pb"),
@@ -181,10 +195,10 @@ object Dedup {
     a.join(b, Seq("source", "pb"))
       .filter($"doc_id_1" < $"doc_id_2" &&
               least($"s1", $"s2").cast("double") >=
-                lit(0.9) * greatest($"s1", $"s2"))
+                lit(tau) * greatest($"s1", $"s2"))
       // same int/int→double division as SortedJaccard — bit-identical
       .withColumn("jaccard", graft.functions.maskJaccard($"m1", $"m2"))
-      .filter($"jaccard" >= 0.9)
+      .filter($"jaccard" >= lit(tau))
       .select($"doc_id_1", $"doc_id_2", round($"jaccard", 4).as("jaccard"))
       .distinct()
   }
@@ -201,12 +215,13 @@ object Dedup {
       .select($"doc_id", $"source", array_sort($"wset").as("wset"))
     val tokenDf = d.select(explode($"wset").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("df"))
-    prefixCandidates(d, tokenDf)
+    prefixCandidates(d, tokenDf, 9000)
   }
 
   private def prefixCandidates(
-      d: DataFrame, tokenDf: DataFrame): (DataFrame, DataFrame) = {
+      d: DataFrame, tokenDf: DataFrame, tBp: Int): (DataFrame, DataFrame) = {
     import d.sparkSession.implicits._
+    val tau = tBp / 10000.0
     val prefixes = d.select($"doc_id", explode($"wset").as("tok"))
       .join(tokenDf, Seq("tok"))
       .groupBy($"doc_id")
@@ -214,7 +229,7 @@ object Dedup {
            count(lit(1)).as("s"))
       .select($"doc_id", expr(
         "transform(slice(byRarity, 1, " +
-          "cast(s - ((9*s + 9) div 10) + 1 as int)), x -> x.tok)")
+          s"cast(s - (($tBp*s + 9999) div 10000) + 1 as int)), x -> x.tok)")
         .as("prefix"))
     // 4 downstream references (two candidate sides, two verify
     // rejoins) — pin it once, the minhash-band pattern (reclaimed by
@@ -234,7 +249,7 @@ object Dedup {
     val cands = a.join(b, Seq("source", "tok"))
       .filter($"doc_id_1" < $"doc_id_2" &&
               least($"s1", $"s2").cast("double") >=
-                lit(0.9) * greatest($"s1", $"s2"))
+                lit(tau) * greatest($"s1", $"s2"))
       .select($"doc_id_1", $"doc_id_2").distinct()
     (r, cands)
   }
@@ -837,6 +852,88 @@ object Dedup {
     // combo exactly-once emission (no pair-distinct — the old
     // `.distinct()` shuffled ~40 M copies at sf1 for 2.7 M pairs)
     scheme.pairs(d.withColumnRenamed("simhash", "h"), maxHamming = 3)
+  }
+
+  /** Blocking-recall audit for the approximate dedup family — the
+    * dedup twin of `sim_recall_eval`: before trusting minhash-LSH or
+    * simhash decisions on a new corpus, measure how much of the EXACT
+    * near-dup mass each blocking scheme actually catches, per jaccard
+    * threshold, in basis points.
+    *
+    * Ground truth = the exact AllPairs jaccard pairs ([[ngramPairs]],
+    * τ = 0.7 — the lowest audited threshold; higher thresholds are
+    * row-filters over the same relation) on a deterministic 25% audit
+    * slice (doc_id % 4 = 0, the [[dedupIncremental]] batch-split
+    * device). At production scale the exact truth is corpus-quadratic
+    * in the worst case, so the audit runs on a slice by design — the
+    * slice rule is part of the operator's contract and the oracle
+    * replays it.
+    *
+    * A truth pair is "caught" by a scheme iff the two docs share ≥1
+    * blocking key: a (band_idx, band_hash) for `minhash_lsh` (8×8
+    * banding, [[minhashBands]]), a 16-bit simhash chunk for
+    * `simhash_chunk` (the 4-chunk pigeonhole — exact for hamming ≤ 3,
+    * probabilistic above). The caught test JOINS the truth pairs
+    * against the linear blocking relations (|truth|×8 rows) — LSH
+    * candidate pairs are never materialized, so the audit inherits
+    * the decision pipeline's linear-shuffle shape instead of the
+    * quadratic candidate mass.
+    *
+    * Output: (method, threshold_bp, n_truth_pairs, n_caught,
+    * recall_bp) — 2 methods × thresholds {7000, 8000, 9000}. The
+    * theoretical 8×8 LSH catch probability 1−(1−s⁸)⁸ (≈0.99 at
+    * s = 0.9) is the documented bound DedupSimSpec pins on a fixture.
+    */
+  def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sample = Tables.documents(spark, sfDir).filter($"doc_id" % 4 === 0)
+    val truth = ngramPairs(sample, 7000)
+      .withColumn("j_bp", expr("cast(round(jaccard * 10000) as bigint)"))
+      .select($"doc_id_1", $"doc_id_2", $"j_bp")
+      .persist() // scored once per method + once per threshold rollup
+    val bands = minhashBands(sample)
+    val mhCaught = truth
+      .join(bands.select($"doc_id".as("doc_id_1"), $"band_idx",
+        $"band_hash"), Seq("doc_id_1"))
+      .join(bands.select($"doc_id".as("doc_id_2"), $"band_idx",
+        $"band_hash"), Seq("doc_id_2", "band_idx", "band_hash"))
+      .select($"doc_id_1", $"doc_id_2").distinct()
+      .withColumn("method", lit("minhash_lsh"))
+    val chunks = withWordSet(sample)
+      .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, 3), k -> " +
+          "shiftright(simhash, k*16) & 65535)"))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val shCaught = truth
+      .join(chunks.select($"doc_id".as("doc_id_1"), $"chunk_idx",
+        $"chunk_val"), Seq("doc_id_1"))
+      .join(chunks.select($"doc_id".as("doc_id_2"), $"chunk_idx",
+        $"chunk_val"), Seq("doc_id_2", "chunk_idx", "chunk_val"))
+      .select($"doc_id_1", $"doc_id_2").distinct()
+      .withColumn("method", lit("simhash_chunk"))
+    val caught = mhCaught.union(shCaught)
+    // ≤3-row threshold axis and ≤6-row aggregates: broadcast the
+    // axes, roll the (method, threshold) matrix up from the pinned
+    // truth relation — every corpus-sized stage is above this line
+    val th = Seq(7000L, 8000L, 9000L).toDF("threshold_bp")
+    val methods = Seq("minhash_lsh", "simhash_chunk").toDF("method")
+    val truthT = truth.crossJoin(broadcast(th))
+      .filter($"j_bp" >= $"threshold_bp")
+      .groupBy($"threshold_bp").agg(count(lit(1)).as("n_truth_pairs"))
+    val caughtT = truth.join(caught, Seq("doc_id_1", "doc_id_2"))
+      .crossJoin(broadcast(th))
+      .filter($"j_bp" >= $"threshold_bp")
+      .groupBy($"method", $"threshold_bp").agg(count(lit(1)).as("n_caught"))
+    methods.crossJoin(th)
+      .join(truthT, Seq("threshold_bp"), "left")
+      .join(caughtT, Seq("method", "threshold_bp"), "left")
+      .select($"method", $"threshold_bp",
+        coalesce($"n_truth_pairs", lit(0L)).as("n_truth_pairs"),
+        coalesce($"n_caught", lit(0L)).as("n_caught"),
+        when(coalesce($"n_truth_pairs", lit(0L)) === 0, lit(10000L))
+          .otherwise(expr("(10000 * coalesce(n_caught, 0)) " +
+            "div n_truth_pairs")).as("recall_bp"))
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.35), blocked by the

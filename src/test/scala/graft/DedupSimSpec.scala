@@ -360,6 +360,49 @@ class DedupSimSpec extends AnyFunSuite {
                       (3L, 1L, 2L, false), (9L, 9L, 9L, true)))
   }
 
+  test("recall eval: LSH catches >= the 1-(1-s^8)^8 bound on j>=0.9 fixture pairs; audit slice rule holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
+    // 10 clusters, ids all ≡ 0 (mod 4) so every doc is ON the audit
+    // slice. Per cluster i: A = 20 distinct tokens, B = A minus one
+    // (j = 19/20 = 0.95), C = A minus five (j(A,C) = 15/20 = 0.75,
+    // j(B,C) = 15/19 ≈ 0.789). Truth pairs: 10 at j ≥ 0.9, 10 more
+    // in [0.8, 0.9) — none (0.789 < 0.8) — and 30 total at j ≥ 0.7.
+    // A decoy pair OFF the slice (ids ≡ 1 mod 4) with j = 1 must not
+    // count — that pins the doc_id % 4 contract.
+    def toks(i: Int, n: Int) = (1 to n).map(k => s"c${i}t$k").mkString(" ")
+    val docs = (0 until 10).flatMap { i =>
+      val base = 400L + i * 12
+      Seq((base, toks(i, 20), "s"), (base + 4, toks(i, 19), "s"),
+          (base + 8, toks(i, 15), "s"))
+    } ++ Seq((1001L, toks(99, 20), "s"), (1005L, toks(99, 20), "s"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.dedup.Dedup.dedupRecallEval(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got.size == 6, s"expected 2 methods x 3 thresholds, got $got")
+    // slice rule: the decoy j=1 pair (ids 1001/1005) is off-slice
+    assert(got(("minhash_lsh", 9000L))._1 == 10L,
+      s"truth@9000 should be the 10 on-slice j=0.95 pairs: $got")
+    assert(got(("minhash_lsh", 7000L))._1 == 30L,
+      s"truth@7000 should be 30 on-slice pairs: $got")
+    // the documented 8x8 LSH bound at s = 0.9 is 1-(1-0.9^8)^8 ≈
+    // 0.98898; the fixture's j>=0.9 pairs sit at 0.95 where the bound
+    // is 0.99983 — with fixed md5 hashes the outcome is deterministic
+    // and must not fall below the s=0.9 bound
+    val lsh9 = got(("minhash_lsh", 9000L))
+    assert(lsh9._3 >= 9890L,
+      s"LSH recall@0.9 below the 1-(1-s^8)^8 bound: $lsh9")
+    // recall is monotone non-increasing as the threshold drops (lower
+    // jaccard mass is strictly harder for any blocking)
+    val mh = Seq(7000L, 8000L, 9000L).map(t => got(("minhash_lsh", t))._3)
+    assert(mh(0) <= mh(1) && mh(1) <= mh(2),
+      s"LSH recall not monotone in threshold: $mh")
+  }
+
   test("clustco: clique nodes bucket 10, open wedge center 0, degree<2 bucket -1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-clustco").toString

@@ -44,6 +44,9 @@ class GateSubsetSpec extends AnyFunSuite {
     // (6.25e9 pairwise list-intersections at sf10 — the one
     // structural exclusion left after the r15 staged-oracle widening)
     "dedup_ngram",
+    // same truth relation on the 25% audit slice (390M intersections
+    // at sf10) — pending an sf10 probe; gated at 3 SFs meanwhile
+    "dedup_recall_eval",
     // output IS the 100M-row log; its four consumers gate it
     "evt_produce",
     // declared approximations with measured dispositions
