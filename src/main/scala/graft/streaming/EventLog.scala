@@ -186,19 +186,177 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
       }.sortBy(_._1)
   }
 
-  /** The group's last committed offsets (empty map = never committed,
+  /** The group's committed offsets (empty map = never committed,
     * i.e. `auto.offset.reset=smallest` → read from earliest).
+    *
+    * Commit files overlay PER PARTITION in sequence order (later file
+    * wins each partition it mentions) rather than last-file-wins: a
+    * group-coordinated consumer ([[pollAssigned]]) commits only the
+    * partitions it OWNS, and per-partition overlay makes two owners'
+    * interleaved commits compose instead of erasing each other —
+    * every partition has exactly one owner per generation, so its
+    * latest commit is the truth. Full-map commits (the ungrouped
+    * [[poll]] paths) are unaffected: a full map overrides everything.
     */
   def committed(groupId: String): Map[Int, Long] = {
     val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
-    commitFiles(d).lastOption.map { case (_, f) =>
+    commitFiles(d).foldLeft(Map.empty[Int, Long]) { case (acc, (_, f)) =>
       val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      s.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
+      acc ++ s.stripPrefix("{").stripSuffix("}").split(",")
+        .filter(_.nonEmpty)
         .map { kv =>
           val Array(k, v) = kv.split(":")
           k.replaceAll("\"", "").toInt -> v.toLong
         }.toMap
-    }.getOrElse(Map.empty)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Consumer-group membership + partition assignment (the reference's
+  // `addConsumer("myGroup", metadata -> metadata.topicStreamMap(...))`
+  // coordination surface, jc/DemoApplication.java:140-150: Kafka's
+  // high-level consumer split topic partitions among a group's live
+  // members and re-split on join/leave). Membership is an append-only
+  // event log under <dir>.groups/<groupId>/members/ — one empty file
+  // per event, `event-<seq>-<join|leave>-<consumerId>`, created
+  // atomically — so the live set and the generation number fold
+  // deterministically from the directory listing alone: no
+  // coordinator process, any JVM computes the same assignment.
+  // ---------------------------------------------------------------
+
+  private def memberDir(groupId: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$dir.groups/$groupId/members")
+
+  private val memberEventRe = "event-(\\d+)-(join|leave)-(.+)".r
+
+  /** Membership events in sequence order: (seq, op, consumerId). */
+  private def memberEvents(groupId: String): Seq[(Long, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val d = memberDir(groupId)
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else java.nio.file.Files.list(d).iterator().asScala.toSeq
+      .flatMap(p => p.getFileName.toString match {
+        case memberEventRe(n, op, id) => Some((n.toLong, op, id))
+        case _ => None
+      }).sortBy(_._1)
+  }
+
+  private def appendMemberEvent(groupId: String, op: String,
+                                consumerId: String): Unit = {
+    require(consumerId.matches("[A-Za-z0-9._-]+"),
+      s"consumer id must be [A-Za-z0-9._-]+: $consumerId")
+    val d = memberDir(groupId)
+    java.nio.file.Files.createDirectories(d)
+    // createFile is atomic: two racing members drawing the same seq
+    // collide on the filename and the loser retries with the next —
+    // the membership log stays a total order
+    var seq = memberEvents(groupId).lastOption.map(_._1 + 1).getOrElse(0L)
+    var done = false
+    while (!done) {
+      try {
+        java.nio.file.Files.createFile(
+          d.resolve(f"event-$seq%012d-$op-$consumerId"))
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      }
+    }
+  }
+
+  /** Live members (sorted): the fold of join/leave events. */
+  def members(groupId: String): Seq[String] =
+    memberEvents(groupId).foldLeft(Set.empty[String]) {
+      case (live, (_, "join", id)) => live + id
+      case (live, (_, _, id)) => live - id
+    }.toSeq.sorted
+
+  /** Group generation: bumps on every membership change (Kafka's
+    * rebalance generation). A consumer compares generations to detect
+    * a rebalance that happened under it ([[pollAssigned]]'s fence).
+    */
+  def generation(groupId: String): Long =
+    memberEvents(groupId).lastOption.map(_._1 + 1).getOrElse(0L)
+
+  /** Join the group and return this consumer's partition assignment.
+    * Re-joining bumps the generation (Kafka re-join semantics) but is
+    * idempotent for the live set.
+    */
+  def join(groupId: String, consumerId: String): Seq[Int] = {
+    appendMemberEvent(groupId, "join", consumerId)
+    assignment(groupId, consumerId)
+  }
+
+  /** Leave the group. The departed consumer's partitions flow to the
+    * survivors at the next [[assignment]] fold; its committed offsets
+    * stay in the group map, so the new owners resume exactly where it
+    * stopped (offset handoff).
+    */
+  def leave(groupId: String, consumerId: String): Unit =
+    appendMemberEvent(groupId, "leave", consumerId)
+
+  /** This consumer's current partitions under the RANGE assignor
+    * (Kafka's default `partition.assignment.strategy`): members
+    * sorted, partitions split into contiguous ranges, the first
+    * (P mod n) members taking one extra. Deterministic in the
+    * membership fold — every member computes the same split with no
+    * coordinator round.
+    */
+  def assignment(groupId: String, consumerId: String): Seq[Int] = {
+    val live = members(groupId)
+    val i = live.indexOf(consumerId)
+    require(i >= 0,
+      s"consumer $consumerId is not a live member of $groupId: $live")
+    val n = live.size
+    val base = numPartitions / n
+    val extra = numPartitions % n
+    val start = i * base + math.min(i, extra)
+    val len = base + (if (i < extra) 1 else 0)
+    (start until start + len).toVector
+  }
+
+  /** Poll as a group MEMBER: consume only the caller's assigned
+    * partitions past the group's committed offsets, run the handler,
+    * then commit ONLY the owned partitions' new high-water-marks
+    * (per-partition overlay in [[committed]] composes the members'
+    * commits). At-least-once, same contract as [[poll]].
+    *
+    * Rebalance fence: if the group generation changed between poll
+    * start and commit (someone joined/left while the handler ran),
+    * the commit is ABORTED and this throws — the partitions may no
+    * longer be owned by this consumer, and a stale commit could
+    * double-commit offsets the new owner is already processing. The
+    * uncommitted batch replays under the NEW assignment on the next
+    * poll (at-least-once; nothing is lost).
+    */
+  def pollAssigned(spark: SparkSession, groupId: String,
+                   consumerId: String)
+                  (handler: DataFrame => Unit): Long = {
+    val gen0 = generation(groupId)
+    val owned = assignment(groupId, consumerId)
+    if (owned.isEmpty) 0L
+    else {
+      val base = committed(groupId)
+      val batch = consume(spark, base)
+        .filter(col("partition").isin(owned: _*))
+      batch.persist()
+      try {
+        val stats = batch.groupBy("partition")
+          .agg(max("offset").as("hwm"), count(lit(1)).as("n"))
+          .collect()
+        val hwms = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = stats.map(_.getLong(2)).sum
+        if (n > 0) {
+          handler(batch)
+          if (generation(groupId) != gen0)
+            throw new IllegalStateException(
+              s"group $groupId rebalanced during poll (generation " +
+                s"$gen0 -> ${generation(groupId)}): offsets NOT " +
+                "committed; re-poll under the new assignment")
+          commit(groupId, hwms)
+        }
+        n
+      } finally batch.unpersist()
+    }
   }
 
   /** Poll as a consumer group: read everything past the group's last

@@ -164,6 +164,95 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("g") == log.highWaterMarks(spark))
   }
 
+  test("consumer group: range assignor splits partitions disjointly, rebalances on join/leave") {
+    val dir = Files.createTempDirectory("graft-assign").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 8)
+    val a1 = log.join("g", "c1")
+    assert(a1 == (0 until 8), s"sole member owns everything: $a1")
+    val g1 = log.generation("g")
+    val a2 = log.join("g", "c2")
+    // two members: contiguous 4+4 ranges, disjoint, covering all
+    assert(log.assignment("g", "c1") == (0 until 4))
+    assert(a2 == (4 until 8))
+    assert(log.generation("g") > g1, "join must bump the generation")
+    // third join → 3/3/2 (first P mod n members take one extra)
+    val a3 = log.join("g", "c3")
+    assert(log.assignment("g", "c1") == (0 until 3))
+    assert(log.assignment("g", "c2") == (3 until 6))
+    assert(a3 == (6 until 8))
+    // leave → survivors re-split 4/4; the departed member is fenced
+    log.leave("g", "c2")
+    assert(log.members("g") == Seq("c1", "c3"))
+    assert(log.assignment("g", "c1") == (0 until 4))
+    assert(log.assignment("g", "c3") == (4 until 8))
+    intercept[IllegalArgumentException](log.assignment("g", "c2"))
+  }
+
+  test("consumer group: offset handoff across a rebalance — nothing lost, nothing double-committed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-handoff").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 8)
+    def produce(from: Int, until: Int): Unit =
+      log.produce(spark.range(from, until)
+        .select($"id".cast("string").as("key"),
+                concat(lit("#"), $"id").as("payload")))
+    // each consumer records every (partition, offset) it processed
+    val seen = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Set[(Int, Long)]]()
+    def handler(c: String)(b: org.apache.spark.sql.DataFrame): Unit = {
+      val s = seen.getOrElseUpdate(c, scala.collection.mutable.Set())
+      b.select("partition", "offset").collect()
+        .foreach(r => s += ((r.getInt(0), r.getLong(1))))
+    }
+    produce(0, 100)
+    log.join("g", "c1"); log.join("g", "c2")
+    val n1 = log.pollAssigned(spark, "g", "c1")(handler("c1"))
+    val n2 = log.pollAssigned(spark, "g", "c2")(handler("c2"))
+    assert(n1 + n2 == 100, s"two members drain the whole topic: $n1 + $n2")
+    // rebalance: c3 joins, partitions 6-7 move from c2; new backlog
+    produce(100, 200)
+    log.join("g", "c3")
+    val m = Seq("c1", "c2", "c3")
+      .map(c => log.pollAssigned(spark, "g", c)(handler(c)))
+    assert(m.sum == 100, s"the new generation drains the new backlog: $m")
+    // nothing lost: every produced (partition, offset) was processed
+    val all = log.consume(spark).select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val processed = seen.values.flatten.toSet
+    assert(processed == all,
+      s"missing=${(all -- processed).take(5)} extra=${(processed -- all).take(5)}")
+    // nothing double-committed / double-processed in this orchestration:
+    // partitions that moved to c3 resume from the PREVIOUS owner's
+    // committed offset, so per-consumer sets are pairwise disjoint
+    val counts = seen.values.map(_.size).sum
+    assert(counts == all.size, s"some offset processed twice: $counts vs ${all.size}")
+    // and the group's committed map equals the topic's high-water-marks
+    assert(log.committed("g") == log.highWaterMarks(spark))
+  }
+
+  test("consumer group: a rebalance during the handler fences the commit (no stale-owner commit)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fence").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 40)
+      .select($"id".cast("string").as("key"),
+              concat(lit("#"), $"id").as("payload")))
+    log.join("g", "c1")
+    val before = log.committed("g")
+    intercept[IllegalStateException] {
+      log.pollAssigned(spark, "g", "c1") { _ =>
+        log.join("g", "c2") // zombie window: membership changes mid-poll
+      }
+    }
+    // the fence aborted the commit: position unchanged, so the batch
+    // replays under the new assignment (at-least-once, nothing lost)
+    assert(log.committed("g") == before)
+    val n1 = log.pollAssigned(spark, "g", "c1")(_ => ())
+    val n2 = log.pollAssigned(spark, "g", "c2")(_ => ())
+    assert(n1 + n2 == 40)
+    assert(log.committed("g") == log.highWaterMarks(spark))
+  }
+
   test("a torn commit temp file never becomes the group's position") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-torn").toString + "/event-stream"
