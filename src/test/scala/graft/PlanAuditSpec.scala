@@ -422,6 +422,20 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(names.subsetOf(Set("o_orderpriority", "bucket", "btot")),
           s"priority-only window over a non-bucket-sized input: $names")
       }
+    // txt_ccnet_buckets: the tercile CDF window must consume only the
+    // (lang, mean) HISTOGRAM — value-domain-bounded (≤ the e4 range
+    // per lang) at any corpus size. A rewrite that cumsums over the
+    // per-doc LM relation instead would ship doc_id/n_bigrams into
+    // the window child and fact-size the per-lang sort — this assert
+    // fails on exactly that input shape (the q_median_mad device)
+    val cc = graft.text.TextAnalysis.txtCcnetBuckets(spark, sf)
+    val ccWins = cc.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(ccWins.nonEmpty, "ccnet tercile CDF window disappeared")
+    ccWins.foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(names.subsetOf(Set("lang", "mean_surprisal_e4", "c")),
+        s"ccnet CDF window over a non-histogram input: $names")
+    }
     // pipeline_rag: the composed serving path adds NO corpus-sized
     // stage beyond its constituents' — downstream of the (internally
     // checkpointed) MMR selection, context assembly is ONE chunk pass
