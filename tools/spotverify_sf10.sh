@@ -234,6 +234,10 @@ R=${1:?round tag, e.g. r09}
 # that GROW with the corpus — 20 x 25k-doc blocks = 6.25e9 pairwise
 # ~70x70 list-intersections at sf10, hours even staged; its algebra
 # is pinned by the DedupSimSpec fixture + 3-SF hash gates),
+# dedup_recall_eval (its truth is the SAME relation on the 25% audit
+# slice — 390M intersections; the inline oracle ran >33 min at sf10
+# without finishing in the r15 probe; 3-SF gated + sf1 spark probe,
+# python-staged truth documented as the admission route),
 # evt_produce (output IS the 100M-row log; its four consumers gate
 # it), txt_approx_topk + q_approx_distinct (declared approximations,
 # measured comments above).
