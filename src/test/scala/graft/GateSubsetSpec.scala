@@ -44,13 +44,6 @@ class GateSubsetSpec extends AnyFunSuite {
     // (6.25e9 pairwise list-intersections at sf10 — the one
     // structural exclusion left after the r15 staged-oracle widening)
     "dedup_ngram",
-    // same truth relation on the 25% audit slice: the inline DuckDB
-    // truth (390M ~70-element list-intersections) ran >33 min at sf10
-    // without finishing (r15 probe, killed); gated at sf0.001/0.01/
-    // 0.1 + sf1 spark-side probe. Admission route if ever needed: a
-    // python-staged truth (blockwise float32 matmul over the bitset
-    // matrix, ~2-3 min) three-way-verified like the minhash stage
-    "dedup_recall_eval",
     // output IS the 100M-row log; its four consumers gate it
     "evt_produce",
     // declared approximations with measured dispositions

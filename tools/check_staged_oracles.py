@@ -9,7 +9,7 @@ and diffs. Exit 0 iff all match.
 """
 import sys, os, json, copy
 import duckdb
-from stage_minhash_oracles import swap, BANDS_KEYS, SIMHASH_KEYS
+from stage_minhash_oracles import swap, BANDS_KEYS, SIMHASH_KEYS, RECALL_KEYS
 
 def main(sf_dir, stage_dir, oracle_path):
     inline = json.load(open(oracle_path))
@@ -21,7 +21,7 @@ def main(sf_dir, stage_dir, oracle_path):
         p = f"{p}/*.parquet"
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
     ok = True
-    for k in BANDS_KEYS + SIMHASH_KEYS:
+    for k in BANDS_KEYS + SIMHASH_KEYS + RECALL_KEYS:
         if k not in inline or staged[k] == inline[k]:
             print(f"SKIP {k}: not present / not swapped")
             continue

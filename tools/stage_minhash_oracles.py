@@ -16,17 +16,24 @@ ORACLE's output equals its inline form at sf0.01/sf0.1.
 
 Usage: python3 tools/stage_minhash_oracles.py <oracle_sql.json> <stageDir>
 """
-import sys, json, re
+import sys, os, json, re
 
 BANDS_KEYS = ["dedup_minhash", "dedup_incremental", "dedup_components",
               "dedup_keep_one", "dedup_cross_source", "pipeline_decontam"]
 SIMHASH_KEYS = ["dedup_simhash"]
+# dedup_recall_eval: truth (gen_truth_stage.py) + slice-filtered band/
+# chunk scans replace the whole sdoc->...->e prefix; the caught-joins
+# and the (method, threshold) rollup replay inline
+RECALL_KEYS = ["dedup_recall_eval"]
 
 BANDS_RE = re.compile(
     r"d AS \(SELECT doc_id,.*?FROM sig CROSS JOIN range\(0, 8\) t\(b\)\)",
     re.S)
 SIMHASH_RE = re.compile(
     r"d AS \(SELECT doc_id,.*?AS chunks FROM s\),", re.S)
+RECALL_RE = re.compile(
+    r"sdoc AS \(SELECT doc_id, source, text FROM documents"
+    r".*?FROM sbits CROSS JOIN range\(0, 4\) t\(k\)\),", re.S)
 
 def swap(oracle: dict, stage_dir: str) -> list:
     # keep a slim `d`: the components closure seeds its label relation
@@ -48,6 +55,22 @@ def swap(oracle: dict, stage_dir: str) -> list:
         if k in oracle:
             new, n = SIMHASH_RE.subn(sim_repl, oracle[k])
             assert n == 1, f"{k}: simhash prefix not found (n={n})"
+            oracle[k] = new
+            swapped.append(f"{k}({n})")
+    recall_repl = (
+        f"truth AS (SELECT doc_id_1, doc_id_2, j_bp FROM "
+        f"read_parquet('{stage_dir}/truth.parquet')),\n"
+        f"bands AS (SELECT doc_id, band_idx, bh FROM "
+        f"read_parquet('{stage_dir}/bands.parquet') "
+        f"WHERE doc_id % 4 = 0),\n"
+        f"e AS (SELECT doc_id, chunk_idx, "
+        f"CAST(chunk_val AS BIGINT) AS chunk_val FROM "
+        f"read_parquet('{stage_dir}/simhash.parquet') "
+        f"WHERE doc_id % 4 = 0),")
+    for k in RECALL_KEYS:
+        if k in oracle and os.path.isfile(f"{stage_dir}/truth.parquet"):
+            new, n = RECALL_RE.subn(recall_repl, oracle[k])
+            assert n == 1, f"{k}: recall prefix not found (n={n})"
             oracle[k] = new
             swapped.append(f"{k}({n})")
     return swapped
