@@ -211,6 +211,27 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     }
   }
 
+  /** Compact a group's commit history: fold every commit file into
+    * ONE full-map file (written as the next sequence number), then
+    * delete the folded files. A long-lived group writes one file per
+    * poll and [[committed]] folds them all — linear in poll count —
+    * so the owner runs this periodically, exactly like [[compact]]
+    * for the topic's data files (and with the same contract: not
+    * safe under concurrent COMMITTERS — run it as the group owner,
+    * e.g. at a rebalance boundary). Crash-safe in itself: the merged
+    * file lands first (temp + atomic move, carrying the full fold),
+    * so a crash mid-delete leaves stale files whose per-partition
+    * overlay is a no-op under the merged map.
+    */
+  def compactCommits(groupId: String): Unit = {
+    val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
+    val files = commitFiles(d)
+    if (files.size > 1) {
+      commit(groupId, committed(groupId)) // full fold as next seq
+      files.foreach { case (_, f) => java.nio.file.Files.delete(f) }
+    }
+  }
+
   // ---------------------------------------------------------------
   // Consumer-group membership + partition assignment (the reference's
   // `addConsumer("myGroup", metadata -> metadata.topicStreamMap(...))`

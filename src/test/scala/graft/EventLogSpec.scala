@@ -253,6 +253,30 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.committed("g") == log.highWaterMarks(spark))
   }
 
+  test("commit compaction folds the history into one file, position unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ccompact").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 40)
+      .select($"id".cast("string").as("key"),
+              concat(lit("#"), $"id").as("payload")))
+    // two group members accumulate per-owner partial commits
+    log.join("g", "c1"); log.join("g", "c2")
+    log.pollAssigned(spark, "g", "c1")(_ => ())
+    log.pollAssigned(spark, "g", "c2")(_ => ())
+    log.commit("g", Map(0 -> 100L)) // a later manual override survives
+    val before = log.committed("g")
+    def nFiles = new java.io.File(s"$dir.groups/g").listFiles()
+      .count(_.getName.matches("commit-\\d+\\.json"))
+    assert(nFiles >= 3, s"expected a multi-file history, got $nFiles")
+    log.compactCommits("g")
+    assert(nFiles == 1, "history not folded into one file")
+    assert(log.committed("g") == before, "compaction changed the position")
+    // and the group keeps committing normally afterwards
+    log.commit("g", Map(1 -> 200L))
+    assert(log.committed("g") == before + (1 -> 200L))
+  }
+
   test("a torn commit temp file never becomes the group's position") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-torn").toString + "/event-stream"
