@@ -466,6 +466,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"surprisal joins fell back to sort-merge\n$sPlan")
   }
 
+  test("dedup_recall_eval: threshold axis broadcasts, no cartesian, truth pinned") {
+    // the audit's corpus-sized work is the truth candidate join; the
+    // (method, threshold) rollup must stay metadata-sized — the ≤3-row
+    // threshold axis rides BROADCAST nested-loop joins (a
+    // CartesianProduct there would shuffle the truth relation per
+    // threshold), and the pinned truth relation feeds its 4 consumers
+    // (two caught-joins, two rollups) from memory, not 4 recomputes
+    val df = graft.dedup.Dedup.dedupRecallEval(spark, sf)
+    df.collect() // AQE finalizes; also populates the InMemory scans
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"threshold axis degenerated to a cartesian shuffle\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"threshold cross joins are not broadcast\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"truth relation not pinned across its 4 consumers\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("pipeline_split/shard/length_hist: one aggregation shuffle each") {
     for (df <- Seq(graft.operators.Analytics.pipelineSplit(spark, sf),
                    graft.operators.Analytics.pipelineShard(spark, sf),
