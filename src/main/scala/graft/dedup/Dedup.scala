@@ -862,12 +862,14 @@ object Dedup {
     *
     * Ground truth = the exact AllPairs jaccard pairs ([[ngramPairs]],
     * τ = 0.7 — the lowest audited threshold; higher thresholds are
-    * row-filters over the same relation) on a deterministic 25% audit
-    * slice (doc_id % 4 = 0, the [[dedupIncremental]] batch-split
-    * device). At production scale the exact truth is corpus-quadratic
-    * in the worst case, so the audit runs on a slice by design — the
-    * slice rule is part of the operator's contract and the oracle
-    * replays it.
+    * row-filters over the same relation) on a deterministic audit
+    * slice: doc_id % `spark.graft.recallAuditSliceMod` = 0 (the
+    * [[dedupIncremental]] batch-split device; default mod 4 = a 25%
+    * slice, which the oracle replays). At production scale the exact
+    * truth is corpus-quadratic in the worst case, so the audit runs
+    * on a slice by design, and the slice RATE is the conf knob that
+    * prices it: truth cost falls ~quadratically in the mod while
+    * recall_bp stays an unbiased per-slice ratio.
     *
     * A truth pair is "caught" by a scheme iff the two docs share ≥1
     * blocking key: a (band_idx, band_hash) for `minhash_lsh` (8×8
@@ -886,7 +888,19 @@ object Dedup {
     */
   def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sample = Tables.documents(spark, sfDir).filter($"doc_id" % 4 === 0)
+    // spark.graft.recallAuditSliceMod: the audit slice RATE — the
+    // production price knob for the block-quadratic exact-truth
+    // stage (docs with doc_id % mod == 0 are audited, i.e. a 1/mod
+    // slice; default 4 = 25%, which the oracle replays). At 100 TB
+    // the truth cost scales ~1/mod² per source block, so a curation
+    // run dials mod up until the audit fits its budget; recall_bp is
+    // a ratio over the slice's own truth pairs, so it stays unbiased
+    // at any rate (DedupSimSpec pins mod 2/4/8 consistency).
+    val sliceMod = spark.conf.get("spark.graft.recallAuditSliceMod", "4").toInt
+    require(sliceMod >= 1,
+      s"spark.graft.recallAuditSliceMod must be >= 1: $sliceMod")
+    val sample = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % sliceMod === 0)
     val truth = ngramPairs(sample, 7000)
       .withColumn("j_bp", expr("cast(round(jaccard * 10000) as bigint)"))
       .select($"doc_id_1", $"doc_id_2", $"j_bp")
@@ -899,12 +913,19 @@ object Dedup {
         $"band_hash"), Seq("doc_id_2", "band_idx", "band_hash"))
       .select($"doc_id_1", $"doc_id_2").distinct()
       .withColumn("method", lit("minhash_lsh"))
+    // explode the chunk index FIRST (Generate is a CollapseProject
+    // barrier), then shift per exploded row: the earlier
+    // transform(sequence(0,3), k -> shiftright(simhash,…)) lambda was
+    // interpreted AND CollapseProject re-inlined the simhash md5 fold
+    // into the lambda body, recomputing it per element (the repo's
+    // documented interpreted-lambda recurrence; same fix as
+    // minhashBands' band_idx explode)
     val chunks = withWordSet(sample)
       .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
-      .select($"doc_id", posexplode(expr(
-        "transform(sequence(0, 3), k -> " +
-          "shiftright(simhash, k*16) & 65535)"))
-        .as(Seq("chunk_idx", "chunk_val")))
+      .select($"doc_id", $"simhash",
+        posexplode(expr("sequence(0, 3)")).as(Seq("chunk_idx", "_k")))
+      .select($"doc_id", $"chunk_idx",
+        expr("shiftright(simhash, chunk_idx*16) & 65535").as("chunk_val"))
     val shCaught = truth
       .join(chunks.select($"doc_id".as("doc_id_1"), $"chunk_idx",
         $"chunk_val"), Seq("doc_id_1"))

@@ -157,17 +157,58 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     java.nio.file.Files.createDirectories(d)
     val line = offsets.toSeq.sorted
       .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
-    // persisted monotonic sequence (max existing + 1): survives JVM
-    // restarts, unlike nanoTime whose origin is arbitrary per JVM and
-    // could make a later commit sort before an earlier one
-    val next = commitFiles(d).lastOption.map(_._1 + 1).getOrElse(0L)
+    // Sequence allocation: CLAIM the slot with an atomic createFile
+    // of commit-N.json.claim (the membership log's idiom) before
+    // writing through it — two same-generation owners of disjoint
+    // partitions committing concurrently (the normal grouped-consumer
+    // case) collide on the claim and the loser retries N+1, so
+    // neither's ATOMIC_MOVE can land on the other's sequence. The
+    // previous max(existing)+1 allocation raced: both owners could
+    // draw the same N and the loser's rename (which REPLACES on
+    // POSIX) silently erased the winner's file, regressing that
+    // partition's offsets. The sequence is persisted-monotonic (max
+    // over landed files AND claims, so it survives JVM restarts); a
+    // crash between claim and move burns the slot — harmless, the
+    // per-partition overlay in [[committed]] needs no contiguity —
+    // and [[compactCommits]] sweeps stale claims.
+    var seq = commitSeqs(d).lastOption.map(_ + 1).getOrElse(0L)
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createFile(
+          d.resolve(f"commit-$seq%012d.json.claim"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      }
+    }
     // write-temp-then-rename: a crash mid-write must never leave a
     // torn commit-N.json as the group's latest position — the .tmp
     // name doesn't match the commit pattern, so readers ignore it
-    val tmp = d.resolve(f"commit-$next%012d.json.tmp")
+    val tmp = d.resolve(f"commit-$seq%012d.json.tmp")
     java.nio.file.Files.write(tmp, line.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, d.resolve(f"commit-$next%012d.json"),
+    java.nio.file.Files.move(tmp, d.resolve(f"commit-$seq%012d.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Every ALLOCATED commit sequence in a group dir — landed
+    * `commit-N.json` files plus outstanding `.claim` markers —
+    * sorted. Allocation must scan both: a claim whose data file has
+    * not landed yet (or never will, after a crash) still owns its
+    * slot, and handing that slot out again would recreate the
+    * replace-on-rename race [[commit]] exists to prevent.
+    */
+  private def commitSeqs(d: java.nio.file.Path): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val re = "commit-(\\d+)\\.json(\\.claim)?".r
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else java.nio.file.Files.list(d).iterator().asScala.toSeq
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case re(n, _) => Some(n.toLong)
+          case _ => None
+        }
+      }.distinct.sorted
   }
 
   /** Commit files of a group dir, sorted by NUMERIC sequence number
@@ -229,6 +270,22 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     if (files.size > 1) {
       commit(groupId, committed(groupId)) // full fold as next seq
       files.foreach { case (_, f) => java.nio.file.Files.delete(f) }
+      // sweep claim markers at or below the merged file's sequence
+      // (the folded files' claims plus any slot burned by a crash
+      // between claim and move) — safe exactly because compaction
+      // already requires no concurrent committers; the merged file
+      // itself keeps the max visible, so the next allocation stays
+      // monotonic
+      import scala.jdk.CollectionConverters._
+      val merged = commitFiles(d).head._1
+      val claimRe = "commit-(\\d+)\\.json\\.claim".r
+      java.nio.file.Files.list(d).iterator().asScala.toSeq.foreach { p =>
+        p.getFileName.toString match {
+          case claimRe(n) if n.toLong <= merged =>
+            java.nio.file.Files.delete(p)
+          case _ => ()
+        }
+      }
     }
   }
 
@@ -243,6 +300,17 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
   // atomically — so the live set and the generation number fold
   // deterministically from the directory listing alone: no
   // coordinator process, any JVM computes the same assignment.
+  //
+  // DEPLOYMENT CONTRACT: every coordination primitive here —
+  // membership locks/events, commit claims, the write-temp +
+  // ATOMIC_MOVE commit — relies on atomic create-if-absent and
+  // atomic rename on ONE shared filesystem. All members of a group
+  // must therefore mount the same HDFS-compatible filesystem
+  // (HDFS, NFSv4, a POSIX cluster FS); plain object stores without
+  // atomic create/rename (e.g. unadorned S3) do NOT satisfy the
+  // contract and need a metastore layer in front. This is the
+  // file-log's stand-in for the reference's external coordinator
+  // (ZookeeperConnect, jc/DemoApplication.java:84-88).
   // ---------------------------------------------------------------
 
   private def memberDir(groupId: String): java.nio.file.Path =
@@ -262,26 +330,56 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
       }).sortBy(_._1)
   }
 
+  private val memberLockRe = "event-(\\d+)\\.lock".r
+
+  /** Next unallocated membership sequence: max over event files AND
+    * lock markers. Locks count because a lock whose event file has
+    * not landed (crash window) still owns its slot.
+    */
+  private def nextMemberSeq(groupId: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val d = memberDir(groupId)
+    if (!java.nio.file.Files.isDirectory(d)) 0L
+    else {
+      val seqs = java.nio.file.Files.list(d).iterator().asScala.toSeq
+        .flatMap(p => p.getFileName.toString match {
+          case memberEventRe(n, _, _) => Some(n.toLong)
+          case memberLockRe(n) => Some(n.toLong)
+          case _ => None
+        })
+      if (seqs.isEmpty) 0L else seqs.max + 1
+    }
+  }
+
   private def appendMemberEvent(groupId: String, op: String,
                                 consumerId: String): Unit = {
     require(consumerId.matches("[A-Za-z0-9._-]+"),
       s"consumer id must be [A-Za-z0-9._-]+: $consumerId")
     val d = memberDir(groupId)
     java.nio.file.Files.createDirectories(d)
-    // createFile is atomic: two racing members drawing the same seq
-    // collide on the filename and the loser retries with the next —
-    // the membership log stays a total order
-    var seq = memberEvents(groupId).lastOption.map(_._1 + 1).getOrElse(0L)
+    // Sequence reservation via a NEUTRAL lock name: createFile of
+    // event-<seq>.lock is atomic, and because the lock name is
+    // id-independent, two DIFFERENT consumers racing for the same
+    // sequence collide on it and the loser retries with the next.
+    // (Claiming the op filename directly only collided when the FULL
+    // name matched, so distinct ids could both land the same
+    // sequence — the log was commutative-but-unordered, and
+    // [[generation]] counted two concurrent changes as one bump.)
+    // The winner then writes its op file under the owned sequence;
+    // a crash between lock and op file burns the slot, which
+    // [[memberEvents]] simply skips.
+    var seq = nextMemberSeq(groupId)
     var done = false
     while (!done) {
       try {
-        java.nio.file.Files.createFile(
-          d.resolve(f"event-$seq%012d-$op-$consumerId"))
+        java.nio.file.Files.createFile(d.resolve(f"event-$seq%012d.lock"))
         done = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => seq += 1
       }
     }
+    java.nio.file.Files.createFile(
+      d.resolve(f"event-$seq%012d-$op-$consumerId"))
   }
 
   /** Live members (sorted): the fold of join/leave events. */
@@ -341,13 +439,18 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * (per-partition overlay in [[committed]] composes the members'
     * commits). At-least-once, same contract as [[poll]].
     *
-    * Rebalance fence: if the group generation changed between poll
-    * start and commit (someone joined/left while the handler ran),
-    * the commit is ABORTED and this throws — the partitions may no
-    * longer be owned by this consumer, and a stale commit could
-    * double-commit offsets the new owner is already processing. The
-    * uncommitted batch replays under the NEW assignment on the next
-    * poll (at-least-once; nothing is lost).
+    * Rebalance fence (BEST-EFFORT): if the group generation changed
+    * between poll start and the post-handler re-check (someone
+    * joined/left while the handler ran), the commit is ABORTED and
+    * this throws — the partitions may no longer be owned by this
+    * consumer. The uncommitted batch replays under the NEW assignment
+    * on the next poll. The fence is check-then-act: a join/leave
+    * landing in the window between the generation re-read and the
+    * commit's file creation escapes it and lands a stale-generation
+    * commit. That residual is covered by the at-least-once contract —
+    * a stale commit only advances partitions whose rows the OLD
+    * owner's handler has already fully processed, so the new owner at
+    * worst re-processes a batch (duplicates), never skips one.
     */
   def pollAssigned(spark: SparkSession, groupId: String,
                    consumerId: String)

@@ -403,6 +403,48 @@ class DedupSimSpec extends AnyFunSuite {
       s"LSH recall not monotone in threshold: $mh")
   }
 
+  test("recall eval slice-rate knob: truth pairs scale with recallAuditSliceMod, recall stays unbiased") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-recallmod").toString
+    // 10 clusters whose ids are multiples of 8 (on the slice at mod
+    // 2, 4 AND 8) with the same A/B/C structure as the fixture above
+    // (10 truth pairs at j = 0.95, 30 at j >= 0.7), plus one exact
+    // pair at ids ≡ 4 (mod 8): on the slice at mod 2 and mod 4, OFF
+    // at mod 8 — that pins the knob actually changing the slice.
+    def toks(i: Int, n: Int) = (1 to n).map(k => s"m${i}t$k").mkString(" ")
+    val docs = (0 until 10).flatMap { i =>
+      val base = 800L + i * 24
+      Seq((base, toks(i, 20), "s"), (base + 8, toks(i, 19), "s"),
+          (base + 16, toks(i, 15), "s"))
+    } ++ Seq((2004L, toks(99, 20), "s"), (2012L, toks(99, 20), "s"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(mod: Option[Int]) = {
+      mod.foreach(m =>
+        spark.conf.set("spark.graft.recallAuditSliceMod", m.toString))
+      try graft.dedup.Dedup.dedupRecallEval(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+      finally spark.conf.unset("spark.graft.recallAuditSliceMod")
+    }
+    val at2 = run(Some(2)); val at4 = run(Some(4)); val at8 = run(Some(8))
+    // the decoy j=1 pair (2004/2012) is on-slice at mod 2 and 4,
+    // off-slice at mod 8 — truth counts move exactly by that pair
+    assert(at2(("minhash_lsh", 9000L))._1 == 11L, s"mod2: $at2")
+    assert(at4(("minhash_lsh", 9000L))._1 == 11L, s"mod4: $at4")
+    assert(at8(("minhash_lsh", 9000L))._1 == 10L, s"mod8: $at8")
+    assert(at8(("minhash_lsh", 7000L))._1 == 30L, s"mod8: $at8")
+    // recall_bp is a per-slice ratio: it clears the LSH bound at every
+    // rate (identical docs share all bands, the clusters sit at 0.95)
+    for ((m, got) <- Seq(2 -> at2, 4 -> at4, 8 -> at8))
+      assert(got(("minhash_lsh", 9000L))._3 >= 9890L,
+        s"mod $m recall below bound: ${got(("minhash_lsh", 9000L))}")
+    // the default (no conf) IS mod 4 — the rate the oracle replays
+    assert(run(None) == at4, "default slice is not mod 4")
+  }
+
   test("clustco: clique nodes bucket 10, open wedge center 0, degree<2 bucket -1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-clustco").toString

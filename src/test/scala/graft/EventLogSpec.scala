@@ -513,6 +513,76 @@ class EventLogSpec extends AnyFunSuite {
       "fully-consumed group sees phantom messages after compaction")
   }
 
+  test("concurrent owners' commits never erase each other (claim-based sequences, 100 rounds)") {
+    // the r15 race: two same-generation owners of DISJOINT partitions
+    // (the normal 2-consumer case) commit concurrently; under
+    // max(existing)+1 allocation both could draw the same sequence
+    // and the loser's ATOMIC_MOVE (which REPLACES on POSIX) silently
+    // erased the winner's file, regressing that partition's offsets.
+    // The claim-file allocation makes the collision explicit — after
+    // EVERY round both owners' positions must survive.
+    val dir = Files.createTempDirectory("graft-crace").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 100) {
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val r = round.toLong
+        val f1 = pool.submit(new Runnable { def run(): Unit = {
+          barrier.await(); log.commit("g", Map(0 -> r, 1 -> r)) } })
+        val f2 = pool.submit(new Runnable { def run(): Unit = {
+          barrier.await(); log.commit("g", Map(2 -> r, 3 -> r)) } })
+        f1.get(); f2.get()
+        val pos = log.committed("g")
+        assert(pos == Map(0 -> r, 1 -> r, 2 -> r, 3 -> r),
+          s"round $round lost a commit: $pos")
+      }
+    } finally pool.shutdown()
+    // the claimed history compacts away cleanly (claims swept too)
+    log.compactCommits("g")
+    val files = new java.io.File(s"$dir.groups/g").listFiles().map(_.getName)
+    assert(files.count(_.matches("commit-\\d+\\.json")) == 1,
+      s"history not folded: ${files.toSeq}")
+    assert(!files.exists(_.endsWith(".json.claim")),
+      s"compaction left stale claims: ${files.toSeq}")
+    assert(log.committed("g") == Map(0 -> 99L, 1 -> 99L, 2 -> 99L, 3 -> 99L))
+    // and commits keep working on the compacted dir
+    log.commit("g", Map(0 -> 200L))
+    assert(log.committed("g")(0) == 200L)
+  }
+
+  test("membership log is a total order: concurrent distinct-id events draw distinct sequences") {
+    // two DIFFERENT consumer ids racing used to be able to land the
+    // same sequence (the op-file name only collided for the SAME id),
+    // so generation() counted two concurrent changes as one bump; the
+    // neutral event-<seq>.lock reservation forces a collision
+    val dir = Files.createTempDirectory("graft-mrace").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 8)
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      for (round <- 0 until 25) {
+        val join = new java.util.concurrent.CyclicBarrier(n)
+        (0 until n).map { i => pool.submit(new Runnable { def run(): Unit = {
+          join.await(); log.join("g", s"r$round-c$i") } }) }.foreach(_.get())
+        val leave = new java.util.concurrent.CyclicBarrier(n)
+        (0 until n).map { i => pool.submit(new Runnable { def run(): Unit = {
+          leave.await(); log.leave("g", s"r$round-c$i") } }) }.foreach(_.get())
+      }
+    } finally pool.shutdown()
+    val events = new java.io.File(s"$dir.groups/g/members").listFiles()
+      .map(_.getName).filter(_.matches("event-\\d+-(join|leave)-.+"))
+    val seqs = events.map(_.split("-")(1).toLong)
+    assert(events.length == 25 * n * 2, s"lost events: ${events.length}")
+    assert(seqs.distinct.length == seqs.length,
+      s"duplicate membership sequences: ${seqs.groupBy(identity).filter(_._2.length > 1).keys.toSeq.sorted}")
+    // every change bumped the generation at least once: the final
+    // generation covers all 400 events (burned lock slots may push it
+    // higher, never lower)
+    assert(log.generation("g") >= 25L * n * 2, s"generation ${log.generation("g")}")
+    assert(log.members("g").isEmpty, s"live set not empty: ${log.members("g")}")
+  }
+
   test("consume self-heals a compaction crash mid-swap (.old IS the log)") {
     import spark.implicits._
     import java.nio.file.Paths

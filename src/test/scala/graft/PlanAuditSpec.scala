@@ -707,6 +707,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_recall_eval: chunk index explodes through a Generate, no simhash lambda recurrence") {
+    val fmt = capture(graft.dedup.Dedup.dedupRecallEval(spark, sf), "formatted")
+    // the simhash md5 fold is computed once per doc BELOW the Generate
+    // (posexplode(sequence(0,3)) is the CollapseProject barrier); the
+    // old transform(sequence(0,3), k -> shiftright(simhash,…)) lambda
+    // was interpreted and CollapseProject re-inlined the fold into the
+    // lambda body, recomputing it per element
+    assert(fmt.contains("Generate"), fmt)
+    assert(!fmt.contains("transform(sequence"),
+      s"chunk stream still computes simhash inside an interpreted lambda\n$fmt")
+    assert(fmt.contains("shiftright"),
+      s"per-row chunk shift missing above the Generate\n$fmt")
+  }
+
   test("sim_filtered_ann: predicate pushed to the embeddings scan, pre-ranking") {
     val fmt = capture(
       graft.similarity.Similarity.simFilteredAnn(spark, sf), "formatted")
