@@ -433,6 +433,91 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     (start until start + len).toVector
   }
 
+  /** This consumer's partitions under the ROUND-ROBIN assignor
+    * (Kafka's `roundrobin` strategy): partition p goes to live
+    * member p mod n in sorted order. Compared to RANGE it spreads
+    * hot low-numbered partitions across members; like RANGE it is a
+    * pure function of the membership fold, so every JVM computes the
+    * same split with no coordinator round.
+    */
+  def assignmentRoundRobin(groupId: String, consumerId: String): Seq[Int] = {
+    val live = members(groupId)
+    val i = live.indexOf(consumerId)
+    require(i >= 0,
+      s"consumer $consumerId is not a live member of $groupId: $live")
+    (0 until numPartitions).filter(_ % live.size == i).toVector
+  }
+
+  /** All members' partitions under the STICKY assignor (Kafka's
+    * `cooperative-sticky` strategy): each rebalance moves the MINIMUM
+    * number of partitions — a member keeps what it owns up to its
+    * balanced target, and only the excess (plus a departed member's
+    * partitions) flows to under-target members. RANGE reshuffles
+    * almost every partition when membership changes (the contiguous
+    * ranges all shift); sticky keeps warm state — per-partition
+    * caches, in-progress batches — where it is, which is the entire
+    * point of cooperative rebalancing at scale.
+    *
+    * Determinism without a coordinator: the ownership map is the FOLD
+    * of the whole membership event log (replayed join by join, leave
+    * by leave, rebalancing stickily at each step), so any JVM reading
+    * the same log computes the same map — the same device as
+    * [[members]]/[[generation]], just folding assignment state
+    * instead of a live set. Cost is linear in the log length; a
+    * long-lived group bounds it with the same compaction discipline
+    * as commits. Within each step: over-target members release their
+    * HIGHEST-numbered partitions, releases are handed to
+    * under-target members in sorted order, lowest partitions first —
+    * every tie broken lexicographically, nothing drawn from
+    * iteration order.
+    */
+  def stickyAssignments(groupId: String): Map[String, Seq[Int]] = {
+    var owned = scala.collection.immutable.SortedMap.empty[String, Vector[Int]]
+    for ((_, op, id) <- memberEvents(groupId)) {
+      op match {
+        case "join" => if (!owned.contains(id)) owned += id -> Vector.empty
+        case _ => owned -= id
+      }
+      val live = owned.keys.toVector // sorted (SortedMap)
+      if (live.nonEmpty) {
+        val n = live.size
+        val base = numPartitions / n
+        val extra = numPartitions % n
+        // balanced targets: first (P mod n) members in sorted order
+        // take one extra — same counts as RANGE, different placement
+        val target = live.zipWithIndex.map { case (m, i) =>
+          m -> (base + (if (i < extra) 1 else 0)) }.toMap
+        var released = (0 until numPartitions).toVector
+          .filterNot(owned.values.flatten.toSet)
+        owned = owned.map { case (m, ps) =>
+          val keep = ps.sorted.take(target(m))
+          released ++= ps.sorted.drop(target(m))
+          m -> keep
+        }
+        // indexed handout (NOT a shared Iterator — Iterator.take
+        // invalidates the source on reuse in 2.13)
+        val handout = released.sorted
+        var idx = 0
+        owned = owned.map { case (m, ps) =>
+          val got = handout.slice(idx, idx + (target(m) - ps.size))
+          idx += target(m) - ps.size
+          m -> (ps ++ got).sorted
+        }
+      }
+    }
+    owned
+  }
+
+  /** This consumer's partitions under the STICKY assignor — see
+    * [[stickyAssignments]].
+    */
+  def assignmentSticky(groupId: String, consumerId: String): Seq[Int] = {
+    val all = stickyAssignments(groupId)
+    require(all.contains(consumerId),
+      s"consumer $consumerId is not a live member of $groupId: ${all.keys}")
+    all(consumerId)
+  }
+
   /** Poll as a group MEMBER: consume only the caller's assigned
     * partitions past the group's committed offsets, run the handler,
     * then commit ONLY the owned partitions' new high-water-marks

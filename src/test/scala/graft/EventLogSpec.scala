@@ -513,6 +513,40 @@ class EventLogSpec extends AnyFunSuite {
       "fully-consumed group sees phantom messages after compaction")
   }
 
+  test("sticky assignor moves the minimum on rebalance; round-robin interleaves; both cover disjointly") {
+    val dir = Files.createTempDirectory("graft-sticky").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 8)
+    def all = log.stickyAssignments("g")
+    log.join("g", "c1")
+    assert(all("c1") == (0 until 8).toVector, s"sole member owns all: $all")
+    log.join("g", "c2")
+    // c1 keeps its LOWEST 4, only the excess moved to c2
+    assert(all("c1") == Vector(0, 1, 2, 3) && all("c2") == Vector(4, 5, 6, 7), s"$all")
+    log.join("g", "c3")
+    // targets 3/3/2: c1 releases {3}, c2 releases {7}, c3 gets both —
+    // exactly 2 partitions move (RANGE would also reshuffle c2's set)
+    val a3 = all
+    assert(a3("c1") == Vector(0, 1, 2) && a3("c2") == Vector(4, 5, 6) &&
+           a3("c3") == Vector(3, 7), s"$a3")
+    log.leave("g", "c2")
+    // survivors keep EVERYTHING they owned; only the departed's
+    // partitions move (offset handoff stays per-partition)
+    val a4 = all
+    assert(a3("c1").forall(a4("c1").contains) &&
+           a3("c3").forall(a4("c3").contains),
+      s"a survivor lost a partition it owned: $a3 -> $a4")
+    assert(a4.values.flatten.toSeq.sorted == (0 until 8),
+      s"not a disjoint cover: $a4")
+    // deterministic from the log alone: a fresh instance over the
+    // same directory folds the identical map (no coordinator state)
+    assert(new EventLog(dir, numPartitions = 8).stickyAssignments("g") == a4)
+    assert(log.assignmentSticky("g", "c1") == a4("c1"))
+    intercept[IllegalArgumentException] { log.assignmentSticky("g", "c2") }
+    // round-robin: partition p -> member p mod n, disjoint cover
+    val rr = Seq("c1", "c3").map(c => c -> log.assignmentRoundRobin("g", c)).toMap
+    assert(rr("c1") == Vector(0, 2, 4, 6) && rr("c3") == Vector(1, 3, 5, 7), s"$rr")
+  }
+
   test("concurrent owners' commits never erase each other (claim-based sequences, 100 rounds)") {
     // the r15 race: two same-generation owners of DISJOINT partitions
     // (the normal 2-consumer case) commit concurrently; under
