@@ -536,12 +536,24 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * a stale commit only advances partitions whose rows the OLD
     * owner's handler has already fully processed, so the new owner at
     * worst re-processes a batch (duplicates), never skips one.
+    *
+    * `assignor` selects the partition split — "range" (default),
+    * "roundrobin", or "sticky" — and, like Kafka's
+    * `partition.assignment.strategy`, is a GROUP-WIDE choice: every
+    * member of a group must poll with the same assignor, or two
+    * members can own the same partition and double-commit it.
     */
   def pollAssigned(spark: SparkSession, groupId: String,
-                   consumerId: String)
+                   consumerId: String, assignor: String = "range")
                   (handler: DataFrame => Unit): Long = {
     val gen0 = generation(groupId)
-    val owned = assignment(groupId, consumerId)
+    val owned = assignor match {
+      case "range" => assignment(groupId, consumerId)
+      case "roundrobin" => assignmentRoundRobin(groupId, consumerId)
+      case "sticky" => assignmentSticky(groupId, consumerId)
+      case other => throw new IllegalArgumentException(
+        s"unknown assignor '$other' (range|roundrobin|sticky)")
+    }
     if (owned.isEmpty) 0L
     else {
       val base = committed(groupId)

@@ -547,6 +547,35 @@ class EventLogSpec extends AnyFunSuite {
     assert(rr("c1") == Vector(0, 2, 4, 6) && rr("c3") == Vector(1, 3, 5, 7), s"$rr")
   }
 
+  test("sticky-assignor group polls across a rebalance: nothing lost, handoff intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stickypoll").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    def batch(from: Int, until: Int) = spark.range(from, until)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload"))
+    log.produce(batch(0, 60))
+    log.join("g", "c1"); log.join("g", "c2")
+    var seen = 0L
+    def poll(c: String) =
+      log.pollAssigned(spark, "g", c, assignor = "sticky")(b => seen += b.count())
+    assert(poll("c1") + poll("c2") == 60, "group did not drain the backlog")
+    assert(seen == 60)
+    assert(log.committed("g") == log.highWaterMarks(spark))
+    // rebalance: c3 joins, new backlog drains under the sticky split —
+    // survivors kept their partitions, c3 resumes from the group map
+    // (offset handoff); every message lands exactly once here because
+    // each drain completed before the next membership change
+    log.join("g", "c3")
+    log.produce(batch(60, 120))
+    seen = 0
+    val n = Seq("c1", "c2", "c3").map(poll).sum
+    assert(n == 60 && seen == 60, s"rebalanced drain lost messages: $n/$seen")
+    assert(log.committed("g") == log.highWaterMarks(spark))
+    intercept[IllegalArgumentException] {
+      log.pollAssigned(spark, "g", "c1", assignor = "nope")(_ => ())
+    }
+  }
+
   test("concurrent owners' commits never erase each other (claim-based sequences, 100 rounds)") {
     // the r15 race: two same-generation owners of DISJOINT partitions
     // (the normal 2-consumer case) commit concurrently; under
