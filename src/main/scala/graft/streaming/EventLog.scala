@@ -191,6 +191,21 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Directory listing that CLOSES the underlying stream:
+    * `Files.list` returns a resource-backed stream holding an open
+    * directory handle, and the commit/membership paths list in retry
+    * loops — an unclosed stream per call leaks handles until GC.
+    * Every listing in this class goes through here.
+    */
+  private def listEntries(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+  }
+
   /** Every ALLOCATED commit sequence in a group dir — landed
     * `commit-N.json` files plus outstanding `.claim` markers —
     * sorted. Allocation must scan both: a claim whose data file has
@@ -199,10 +214,8 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * replace-on-rename race [[commit]] exists to prevent.
     */
   private def commitSeqs(d: java.nio.file.Path): Seq[Long] = {
-    import scala.jdk.CollectionConverters._
     val re = "commit-(\\d+)\\.json(\\.claim)?".r
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else java.nio.file.Files.list(d).iterator().asScala.toSeq
+    listEntries(d)
       .flatMap { p =>
         p.getFileName.toString match {
           case re(n, _) => Some(n.toLong)
@@ -215,10 +228,8 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * (string sort would break if digit counts ever differed).
     */
   private def commitFiles(d: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
-    import scala.jdk.CollectionConverters._
     val re = "commit-(\\d+)\\.json".r
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else java.nio.file.Files.list(d).iterator().asScala.toSeq
+    listEntries(d)
       .flatMap { p =>
         p.getFileName.toString match {
           case re(n) => Some(n.toLong -> p)
@@ -270,18 +281,20 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     if (files.size > 1) {
       commit(groupId, committed(groupId)) // full fold as next seq
       files.foreach { case (_, f) => java.nio.file.Files.delete(f) }
-      // sweep claim markers at or below the merged file's sequence
-      // (the folded files' claims plus any slot burned by a crash
-      // between claim and move) — safe exactly because compaction
-      // already requires no concurrent committers; the merged file
-      // itself keeps the max visible, so the next allocation stays
-      // monotonic
-      import scala.jdk.CollectionConverters._
-      val merged = commitFiles(d).head._1
+    }
+    // sweep claim markers at or below the max LANDED sequence —
+    // UNCONDITIONALLY, not only after a fold: under the owner-only
+    // compaction contract a claim whose sequence a landed file
+    // already covers is always stale (its writer either landed and
+    // was folded, or crashed between claim and move), and a prior
+    // compaction that crashed after its deletes left exactly such
+    // claims with a single commit file remaining. The surviving max
+    // file keeps allocation monotonic.
+    commitFiles(d).lastOption.foreach { case (maxLanded, _) =>
       val claimRe = "commit-(\\d+)\\.json\\.claim".r
-      java.nio.file.Files.list(d).iterator().asScala.toSeq.foreach { p =>
+      listEntries(d).foreach { p =>
         p.getFileName.toString match {
-          case claimRe(n) if n.toLong <= merged =>
+          case claimRe(n) if n.toLong <= maxLanded =>
             java.nio.file.Files.delete(p)
           case _ => ()
         }
@@ -319,36 +332,75 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
   private val memberEventRe = "event-(\\d+)-(join|leave)-(.+)".r
 
   /** Membership events in sequence order: (seq, op, consumerId). */
-  private def memberEvents(groupId: String): Seq[(Long, String, String)] = {
-    import scala.jdk.CollectionConverters._
-    val d = memberDir(groupId)
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else java.nio.file.Files.list(d).iterator().asScala.toSeq
+  private def memberEvents(groupId: String): Seq[(Long, String, String)] =
+    listEntries(memberDir(groupId))
       .flatMap(p => p.getFileName.toString match {
         case memberEventRe(n, op, id) => Some((n.toLong, op, id))
         case _ => None
       }).sortBy(_._1)
-  }
 
   private val memberLockRe = "event-(\\d+)\\.lock".r
+  private val memberSnapshotRe = "snapshot-(\\d+)".r
 
-  /** Next unallocated membership sequence: max over event files AND
-    * lock markers. Locks count because a lock whose event file has
-    * not landed (crash window) still owns its slot.
+  /** Next unallocated membership sequence: max over event files,
+    * lock markers AND snapshots. Locks count because a lock whose
+    * event file has not landed (crash window) still owns its slot;
+    * snapshots count so a post-compaction event always sequences
+    * after the snapshot it folds on.
     */
   private def nextMemberSeq(groupId: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val d = memberDir(groupId)
-    if (!java.nio.file.Files.isDirectory(d)) 0L
-    else {
-      val seqs = java.nio.file.Files.list(d).iterator().asScala.toSeq
-        .flatMap(p => p.getFileName.toString match {
-          case memberEventRe(n, _, _) => Some(n.toLong)
-          case memberLockRe(n) => Some(n.toLong)
-          case _ => None
-        })
-      if (seqs.isEmpty) 0L else seqs.max + 1
-    }
+    val seqs = listEntries(memberDir(groupId))
+      .flatMap(p => p.getFileName.toString match {
+        case memberEventRe(n, _, _) => Some(n.toLong)
+        case memberLockRe(n) => Some(n.toLong)
+        case memberSnapshotRe(n) => Some(n.toLong)
+        case _ => None
+      })
+    if (seqs.isEmpty) 0L else seqs.max + 1
+  }
+
+  /** The latest membership snapshot, if [[compactMembership]] has
+    * ever run: (snapshotSeq, generationAtSnapshot, ownershipFold).
+    * The ownership map's key set IS the live set (every live member
+    * holds an entry, possibly empty), so one snapshot seeds all
+    * three folds ([[members]], [[generation]], [[stickyAssignments]]).
+    */
+  private def latestSnapshot(groupId: String): Option[(Long, Long,
+      scala.collection.immutable.SortedMap[String, Vector[Int]])] = {
+    listEntries(memberDir(groupId))
+      .flatMap(p => p.getFileName.toString match {
+        case memberSnapshotRe(n) => Some(n.toLong -> p)
+        case _ => None
+      }).sortBy(_._1).lastOption.map { case (seq, p) =>
+        val lines = new String(java.nio.file.Files.readAllBytes(p),
+          "UTF-8").split("\n").filter(_.nonEmpty)
+        val gen = lines.head.stripPrefix("generation=").toLong
+        val owned = lines.tail.map { l =>
+          val Array(id, ps) = l.split("=", -1)
+          id -> (if (ps.isEmpty) Vector.empty[Int]
+                 else ps.split(",").map(_.toInt).toVector)
+        }
+        (seq, gen,
+          scala.collection.immutable.SortedMap.from(owned))
+      }
+  }
+
+  /** The membership fold's starting point: generation and sticky
+    * ownership at the latest snapshot (zero/empty if none), plus the
+    * events strictly AFTER it. Events at or below the snapshot's
+    * sequence are already folded in — a compaction crash mid-sweep
+    * leaves such stale files behind, and filtering by sequence makes
+    * them harmless until the next sweep.
+    */
+  private def membershipFoldState(groupId: String): (Long,
+      scala.collection.immutable.SortedMap[String, Vector[Int]],
+      Seq[(Long, String, String)]) = {
+    val snap = latestSnapshot(groupId)
+    val snapSeq = snap.map(_._1).getOrElse(-1L)
+    (snap.map(_._2).getOrElse(0L),
+     snap.map(_._3).getOrElse(
+       scala.collection.immutable.SortedMap.empty[String, Vector[Int]]),
+     memberEvents(groupId).filter(_._1 > snapSeq))
   }
 
   private def appendMemberEvent(groupId: String, op: String,
@@ -382,19 +434,28 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
       d.resolve(f"event-$seq%012d-$op-$consumerId"))
   }
 
-  /** Live members (sorted): the fold of join/leave events. */
-  def members(groupId: String): Seq[String] =
-    memberEvents(groupId).foldLeft(Set.empty[String]) {
+  /** Live members (sorted): the fold of join/leave events, seeded
+    * from the latest snapshot's live set if one exists.
+    */
+  def members(groupId: String): Seq[String] = {
+    val (_, owned0, events) = membershipFoldState(groupId)
+    events.foldLeft(owned0.keySet: Set[String]) {
       case (live, (_, "join", id)) => live + id
       case (live, (_, _, id)) => live - id
     }.toSeq.sorted
+  }
 
   /** Group generation: bumps on every membership change (Kafka's
     * rebalance generation). A consumer compares generations to detect
     * a rebalance that happened under it ([[pollAssigned]]'s fence).
+    * [[compactMembership]] is generation-NEUTRAL: the snapshot
+    * carries the generation it folded, so compacting never trips the
+    * rebalance fence of an in-flight poll.
     */
-  def generation(groupId: String): Long =
-    memberEvents(groupId).lastOption.map(_._1 + 1).getOrElse(0L)
+  def generation(groupId: String): Long = {
+    val (gen0, _, events) = membershipFoldState(groupId)
+    events.lastOption.map(_._1 + 1).getOrElse(gen0)
+  }
 
   /** Join the group and return this consumer's partition assignment.
     * Re-joining bumps the generation (Kafka re-join semantics) but is
@@ -463,17 +524,23 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * by leave, rebalancing stickily at each step), so any JVM reading
     * the same log computes the same map — the same device as
     * [[members]]/[[generation]], just folding assignment state
-    * instead of a live set. Cost is linear in the log length; a
-    * long-lived group bounds it with the same compaction discipline
-    * as commits. Within each step: over-target members release their
+    * instead of a live set. Cost is linear in the log length SINCE
+    * THE LAST SNAPSHOT: [[compactMembership]] folds the log's prefix
+    * into one snapshot file (the commit log's compaction discipline
+    * applied to membership), and this fold seeds from it — replaying
+    * snapshot + tail is exactly equivalent to replaying the full log
+    * because the fold is Markovian in the ownership map (snapshot
+    * equivalence is spec-asserted against an uncompacted control).
+    * Within each step: over-target members release their
     * HIGHEST-numbered partitions, releases are handed to
     * under-target members in sorted order, lowest partitions first —
     * every tie broken lexicographically, nothing drawn from
     * iteration order.
     */
   def stickyAssignments(groupId: String): Map[String, Seq[Int]] = {
-    var owned = scala.collection.immutable.SortedMap.empty[String, Vector[Int]]
-    for ((_, op, id) <- memberEvents(groupId)) {
+    val (_, owned0, events) = membershipFoldState(groupId)
+    var owned = owned0
+    for ((_, op, id) <- events) {
       op match {
         case "join" => if (!owned.contains(id)) owned += id -> Vector.empty
         case _ => owned -= id
@@ -518,6 +585,92 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     all(consumerId)
   }
 
+  /** Compact the membership log: fold live set, generation AND
+    * sticky ownership into ONE `snapshot-<seq>` file, then sweep the
+    * folded event files, burned locks and superseded snapshots. The
+    * 100 TB motivation is [[compactCommits]]'s: a long-lived group
+    * appends one event per join/leave forever, and every
+    * [[members]]/[[generation]]/[[stickyAssignments]] fold — i.e.
+    * every [[pollAssigned]] — rescans the whole directory; the
+    * snapshot makes that cost linear in events SINCE the last
+    * compaction. Fold-equivalent by construction (the sticky fold is
+    * Markovian in the ownership map, and the map's key set is the
+    * live set) and generation-neutral (the snapshot stores the
+    * folded generation, so an in-flight poll's rebalance fence does
+    * not trip on compaction). Crash-safe: the snapshot lands via
+    * temp + ATOMIC_MOVE under a lock-claimed sequence, and the folds
+    * skip stale pre-snapshot files by sequence until the next sweep.
+    * Same ownership contract as [[compactCommits]]: not safe under
+    * concurrent JOINERS/LEAVERS — run it at a rebalance boundary.
+    */
+  def compactMembership(groupId: String): Unit = {
+    val d = memberDir(groupId)
+    if (memberEvents(groupId).isEmpty) return // nothing to fold
+    val owned = stickyAssignments(groupId)
+    val gen = generation(groupId)
+    // claim the snapshot's sequence with the membership lock idiom
+    var seq = nextMemberSeq(groupId)
+    var done = false
+    while (!done) {
+      try {
+        java.nio.file.Files.createFile(d.resolve(f"event-$seq%012d.lock"))
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      }
+    }
+    val content = (s"generation=$gen" +:
+      owned.toSeq.sortBy(_._1).map { case (m, ps) =>
+        s"$m=${ps.mkString(",")}" }).mkString("\n")
+    val tmp = d.resolve(f"snapshot-$seq%012d.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, d.resolve(f"snapshot-$seq%012d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // sweep everything the snapshot folds: events and older
+    // snapshots strictly below it, locks at or below it (including
+    // this snapshot's own — the snapshot file keeps the max visible,
+    // so allocation stays monotonic)
+    listEntries(d).foreach { p =>
+      p.getFileName.toString match {
+        case memberEventRe(n, _, _) if n.toLong < seq =>
+          java.nio.file.Files.delete(p)
+        case memberLockRe(n) if n.toLong <= seq =>
+          java.nio.file.Files.delete(p)
+        case memberSnapshotRe(n) if n.toLong < seq =>
+          java.nio.file.Files.delete(p)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Pin the group's `partition.assignment.strategy` (Kafka rejects
+    * a member whose strategy list shares nothing with the group's;
+    * this is that check for the file-log coordinator). First caller
+    * creates `assignor-<name>` atomically; everyone else must match
+    * it. Check-before-create keeps a misconfigured LATE member from
+    * wedging a healthy group: it fails on the existing marker
+    * without writing a conflicting one.
+    */
+  private def ensureAssignor(groupId: String, assignor: String): Unit = {
+    val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
+    java.nio.file.Files.createDirectories(d)
+    def pinned: Seq[String] = listEntries(d)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("assignor-"))
+      .map(_.stripPrefix("assignor-")).sorted
+    if (pinned.isEmpty) {
+      try java.nio.file.Files.createFile(d.resolve(s"assignor-$assignor"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    val now = pinned
+    if (now != Seq(assignor))
+      throw new IllegalStateException(
+        s"group $groupId is pinned to assignor ${now.mkString("/")} " +
+          s"but this member polled with '$assignor' — " +
+          "partition.assignment.strategy is group-wide; mixed " +
+          "assignors would co-own partitions and double-commit")
+  }
+
   /** Poll as a group MEMBER: consume only the caller's assigned
     * partitions past the group's committed offsets, run the handler,
     * then commit ONLY the owned partitions' new high-water-marks
@@ -541,18 +694,30 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * "roundrobin", or "sticky" — and, like Kafka's
     * `partition.assignment.strategy`, is a GROUP-WIDE choice: every
     * member of a group must poll with the same assignor, or two
-    * members can own the same partition and double-commit it.
+    * members can own the same partition and double-commit it. The
+    * choice is ENFORCED, not just documented: the first poll pins it
+    * as an atomically-created `assignor-<name>` marker in the group
+    * dir, and any later poll with a different assignor fails loudly
+    * here instead of silently co-owning partitions. (Two first-polls
+    * racing with DIFFERENT assignors can each land a marker — the
+    * group then rejects every poll until an operator removes the
+    * wrong marker, which is the correct loud outcome for a
+    * mixed-config group.)
     */
   def pollAssigned(spark: SparkSession, groupId: String,
                    consumerId: String, assignor: String = "range")
                   (handler: DataFrame => Unit): Long = {
+    // name validity first (IllegalArgumentException), THEN the
+    // group-wide pin — a typo'd assignor must not reach the marker
+    if (!Set("range", "roundrobin", "sticky").contains(assignor))
+      throw new IllegalArgumentException(
+        s"unknown assignor '$assignor' (range|roundrobin|sticky)")
+    ensureAssignor(groupId, assignor)
     val gen0 = generation(groupId)
     val owned = assignor match {
       case "range" => assignment(groupId, consumerId)
       case "roundrobin" => assignmentRoundRobin(groupId, consumerId)
-      case "sticky" => assignmentSticky(groupId, consumerId)
-      case other => throw new IllegalArgumentException(
-        s"unknown assignor '$other' (range|roundrobin|sticky)")
+      case _ => assignmentSticky(groupId, consumerId)
     }
     if (owned.isEmpty) 0L
     else {
@@ -742,8 +907,9 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(dir))
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    val walk = java.nio.file.Files.walk(old) // resource-backed, like Files.list
+    val paths = try walk.iterator().asScala.toVector finally walk.close()
+    paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
   }
 
   /** Streaming produce: sink any streaming frame of (key, payload)

@@ -646,6 +646,152 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.members("g").isEmpty, s"live set not empty: ${log.members("g")}")
   }
 
+  test("assignor is pinned group-wide on first poll; a mismatched member fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pin").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.produce(spark.range(0, 20)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    log.join("g", "c1"); log.join("g", "c2")
+    log.pollAssigned(spark, "g", "c1", assignor = "sticky")(_ => ())
+    // same assignor: fine; different assignor: rejected BEFORE it can
+    // co-own partitions — and the marker it did NOT write leaves the
+    // healthy members polling
+    log.pollAssigned(spark, "g", "c2", assignor = "sticky")(_ => ())
+    val e = intercept[IllegalStateException] {
+      log.pollAssigned(spark, "g", "c2", assignor = "range")(_ => ())
+    }
+    assert(e.getMessage.contains("pinned to assignor sticky"), e.getMessage)
+    log.produce(spark.range(20, 40)
+      .select($"id".cast("string").as("key"), concat(lit("#"), $"id").as("payload")))
+    log.pollAssigned(spark, "g", "c1", assignor = "sticky")(_ => ()) // still healthy
+    // an unrelated group pins independently
+    log.join("g2", "c1")
+    log.pollAssigned(spark, "g2", "c1", assignor = "range")(_ => ())
+  }
+
+  test("compactCommits sweeps stale claims even with a single commit file") {
+    // the crash window: a prior compaction deleted its folded files
+    // but died before the claim sweep — one commit file plus stale
+    // claims remain, and the old files.size>1-gated sweep never ran
+    // again, so every commit() rescanned the claims forever
+    val dir = Files.createTempDirectory("graft-claims").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 2)
+    log.commit("g", Map(0 -> 5L, 1 -> 7L)) // lands commit-0 + its claim
+    val d = java.nio.file.Paths.get(s"$dir.groups/g")
+    assert(Files.list(d).count() >= 2) // file + claim present
+    log.compactCommits("g") // single file: no fold, but sweep runs
+    val names = new java.io.File(d.toString).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".json.claim")),
+      s"stale claim survived a single-file compaction: ${names.toSeq}")
+    assert(log.committed("g") == Map(0 -> 5L, 1 -> 7L))
+    log.commit("g", Map(0 -> 9L)) // allocation still monotonic
+    assert(log.committed("g") == Map(0 -> 9L, 1 -> 7L))
+  }
+
+  test("membership compaction: snapshot fold == full-log fold, generation-neutral, dir bounded") {
+    val dir = Files.createTempDirectory("graft-msnap").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 8)
+    val ctl = new EventLog(Files.createTempDirectory("graft-msnapctl").toString + "/t",
+      numPartitions = 8)
+    // identical event history on both groups; only `log` compacts
+    def drive(l: EventLog, ops: Seq[(String, String)]): Unit =
+      ops.foreach { case ("join", id) => l.join("g", id)
+                    case (_, id) => l.leave("g", id) }
+    val prefix = Seq("join" -> "c1", "join" -> "c2", "join" -> "c3",
+      "leave" -> "c2", "join" -> "c4")
+    drive(log, prefix); drive(ctl, prefix)
+    val genBefore = log.generation("g")
+    log.compactMembership("g")
+    // fold-equivalence at the snapshot point
+    assert(log.members("g") == ctl.members("g"))
+    assert(log.stickyAssignments("g") == ctl.stickyAssignments("g"))
+    assert(log.generation("g") == genBefore, "compaction bumped the generation")
+    // the folded prefix is swept: one snapshot, no event/lock files
+    val files = new java.io.File(s"$dir.groups/g/members").listFiles().map(_.getName)
+    assert(files.count(_.startsWith("snapshot-")) == 1 &&
+           !files.exists(_.startsWith("event-")), s"${files.toSeq}")
+    // post-snapshot events fold identically to the uncompacted control
+    val tail = Seq("join" -> "c5", "leave" -> "c1", "join" -> "c2")
+    for ((op, id) <- tail) {
+      drive(log, Seq(op -> id)); drive(ctl, Seq(op -> id))
+      assert(log.members("g") == ctl.members("g"), s"after $op $id")
+      assert(log.stickyAssignments("g") == ctl.stickyAssignments("g"),
+        s"sticky fold diverged after $op $id")
+    }
+    assert(log.generation("g") > genBefore)
+    // a second compaction folds snapshot + tail; a fresh instance
+    // over the directory reads the same state (no JVM-local cache)
+    log.compactMembership("g")
+    val fresh = new EventLog(dir, numPartitions = 8)
+    assert(fresh.stickyAssignments("g") == ctl.stickyAssignments("g"))
+    assert(fresh.members("g") == ctl.members("g"))
+    // generation is opaque-monotonic, not numerically tied to the
+    // control: each snapshot burns one sequence slot (same as a
+    // crashed lock), so the compacted log may run AHEAD — never behind
+    assert(fresh.generation("g") == log.generation("g") &&
+           fresh.generation("g") >= ctl.generation("g"))
+  }
+
+  test("two sticky members pollAssigned concurrently across a mid-run join: no double-commit, nothing skipped (100 rounds)") {
+    import spark.implicits._
+    // the full stack under contention: claim-allocated commit
+    // sequences, the rebalance fence, and the sticky ownership fold
+    // exercised together — two members poll CONCURRENTLY every
+    // round, a third joins mid-run while polls are in flight
+    val dir = Files.createTempDirectory("graft-stickyrace").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 4)
+    log.join("g", "c1"); log.join("g", "c2")
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+    def pollOnce(c: String): Boolean = // true = fenced (commit aborted)
+      try {
+        log.pollAssigned(spark, "g", c, assignor = "sticky") { b =>
+          b.select("partition", "offset").collect()
+            .foreach(r => seen.add(r.getInt(0) -> r.getLong(1)))
+        }
+        false
+      } catch { case _: IllegalStateException => true }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      var consumers = Vector("c1", "c2")
+      val perRound = 20
+      for (round <- 0 until 100) {
+        log.produce(spark.range(round * perRound, (round + 1) * perRound)
+          .select($"id".cast("string").as("key"),
+                  concat(lit("#"), $"id").as("payload")))
+        val joiner = if (round == 50)
+          Some(pool.submit(new Runnable { def run(): Unit = log.join("g", "c3") }))
+        else None
+        val barrier = new java.util.concurrent.CyclicBarrier(consumers.size)
+        val polls = consumers.map { c =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = { barrier.await(); pollOnce(c) } })
+        }
+        val fenced = polls.map(_.get()).exists(identity)
+        joiner.foreach { j => j.get(); consumers = Vector("c1", "c2", "c3") }
+        // drain sequentially after a fence or an ownership change so
+        // every round ends with the group's positions at the topic's
+        // high-water-marks — a lost (erased) commit would break this
+        if (fenced || round == 50)
+          consumers.foreach(c => assert(!pollOnce(c), "fence fired without a rebalance"))
+        if (round % 10 == 9 || round == 50) {
+          val pos = log.committed("g")
+          val hwm = log.highWaterMarks(spark)
+          assert(pos == hwm, s"round $round: positions $pos != HWMs $hwm — a commit was lost")
+        }
+      }
+    } finally pool.shutdown()
+    // nothing skipped: every produced (partition, offset) was handled
+    // at least once (the set absorbs fence replays)
+    assert(seen.size == 100 * 20, s"processed ${seen.size}/2000 distinct messages")
+    assert(log.committed("g") == log.highWaterMarks(spark))
+    // and the commit history compacts away cleanly, claims included
+    log.compactCommits("g")
+    val files = new java.io.File(s"$dir.groups/g").listFiles().map(_.getName)
+    assert(files.count(_.matches("commit-\\d+\\.json")) == 1 &&
+           !files.exists(_.endsWith(".json.claim")), s"${files.toSeq}")
+  }
+
   test("consume self-heals a compaction crash mid-swap (.old IS the log)") {
     import spark.implicits._
     import java.nio.file.Paths
