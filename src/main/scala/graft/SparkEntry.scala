@@ -149,6 +149,7 @@ object SparkEntry {
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
     "dedup_incremental"    -> (graft.dedup.Dedup.dedupIncremental _),
+    "dedup_incremental_stored" -> (graft.dedup.Dedup.dedupIncrementalStored _),
     "dedup_simhash"        -> (graft.dedup.Dedup.dedupSimhash _),
     "dedup_components"     -> (graft.dedup.Dedup.dedupComponents _),
     "dedup_keep_one"       -> (graft.dedup.Dedup.dedupKeepOne _),
@@ -259,6 +260,10 @@ object SparkEntry {
     ("sim_ivfpq_stored" -> oracleSqlBase("sim_ivfpq_ann")) +
     // same contract for the SQ8 stored index vs its recompute twin
     ("sim_ivfsq_stored" -> oracleSqlBase("sim_ivfsq_ann")) +
+    // the stored-index increment path computes the identical decision
+    // relation (same class collapse, same join) from the persisted
+    // corpus index instead of a per-run re-derivation — same oracle
+    ("dedup_incremental_stored" -> oracleSqlBase("dedup_incremental")) +
     // keeper selection replays the components closure verbatim, then
     // picks each cluster's longest doc (min doc_id on ties) via a
     // total-order window — the oracle twin of the engine's

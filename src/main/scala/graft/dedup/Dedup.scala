@@ -603,6 +603,50 @@ object Dedup {
                          bands.filter($"doc_id" % 4 =!= 0))
   }
 
+  /** The PRODUCTION per-increment path of [[dedupIncremental]], as
+    * its own benchmarked key: the corpus band index is NOT re-derived
+    * per run — the decision join reads the PRE-COLLAPSED class
+    * relations from the stored index [[graft.streaming.DedupIngest]]
+    * maintains (seeded once per corpus here, the AnnIndex seed-once
+    * device: keyed by corpus path + row count under the JVM temp
+    * dir; `rm -rf $TMPDIR/graft-dedup-index` after changing any
+    * band/signature code, the key does not include the code
+    * version). What this measures is exactly what a continuously
+    * ingesting pipeline pays per increment — batch-side band
+    * derivation plus the broadcast decision join — while
+    * [[dedupIncremental]] additionally re-derives and pins the whole
+    * corpus index per run (its own Scaladoc's disclosed bench-only
+    * cost). Decisions are identical by construction (same relations,
+    * same join), so the same oracle gates both; the r16 verdict's
+    * dedup_incremental profile is the measured GAP between the two
+    * keys.
+    */
+  def dedupIncrementalStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(sfDir).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = s"${sys.props("java.io.tmpdir")}/graft-dedup-index/" +
+      s"${key}_${corpus.count()}"
+    val marker = new java.io.File(path, "_SEEDED")
+    if (!marker.exists()) {
+      graft.streaming.DedupIngest.seedIndex(corpus, path)
+      marker.createNewFile()
+    }
+    // increment-side derivation IS per-increment production work; the
+    // pin mirrors DedupIngest.start (the decision join reads the
+    // batch bands three times)
+    val batch = contentBands(docs.filter($"doc_id" % 4 === 0)).persist()
+    incrementalDecisionsPreCollapsed(batch,
+      spark.read.parquet(path + "/classbands")
+        .select($"band_idx", $"band_hash", $"c_class"),
+      spark.read.parquet(path + "/classsizes")
+        .select($"c_class", $"c_docs"),
+      spark.read.parquet(path + "/hashes").select($"content_hash"))
+  }
+
   /** (doc_id, content_hash, sig_class, band_idx, band_hash) — the
     * STORED, APPENDABLE corpus band index behind incremental dedup:
     * 8 rows per document, exactly what [[incrementalDecisions]] joins

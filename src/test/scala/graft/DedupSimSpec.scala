@@ -150,6 +150,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(d.filter($"decision" === "exact_dup" && !$"is_exact_dup").count() == 0)
   }
 
+  test("stored-index increment path decides identically to the derive-per-run path") {
+    // dedup_incremental_stored reads the PRE-COLLAPSED class
+    // relations from the DedupIngest store; its decision relation
+    // must equal dedupIncremental's row for row (same oracle gates
+    // both keys). Fresh seed per run: the tmp-dir cache key includes
+    // corpus row count but not the code version.
+    val cache = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
+    if (cache.exists())
+      cache.listFiles().foreach { d =>
+        d.listFiles().foreach(deep => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+          rm(deep) })
+        d.delete()
+      }
+    val derived = Dedup.dedupIncremental(spark, sf)
+    val stored = Dedup.dedupIncrementalStored(spark, sf)
+    assert(derived.exceptAll(stored).isEmpty &&
+           stored.exceptAll(derived).isEmpty,
+      "stored-index decisions diverged from the derive-per-run path")
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     import spark.implicits._
     val r = Dedup.dedupSimhash(spark, sf)

@@ -18,7 +18,8 @@ Usage: python3 tools/stage_minhash_oracles.py <oracle_sql.json> <stageDir>
 """
 import sys, os, json, re
 
-BANDS_KEYS = ["dedup_minhash", "dedup_incremental", "dedup_components",
+BANDS_KEYS = ["dedup_minhash", "dedup_incremental",
+              "dedup_incremental_stored", "dedup_components",
               "dedup_keep_one", "dedup_cross_source", "pipeline_decontam"]
 SIMHASH_KEYS = ["dedup_simhash"]
 # dedup_recall_eval: truth (gen_truth_stage.py) + slice-filtered band/
