@@ -147,6 +147,7 @@ object SparkEntry {
     "dedup_boilerplate"    -> (graft.dedup.Dedup.dedupBoilerplate _),
     "dedup_semantic"       -> (graft.dedup.Dedup.dedupSemantic _),
     "dedup_ngram"          -> (graft.dedup.Dedup.dedupNgram _),
+    "dedup_ngram_slice"    -> (graft.dedup.Dedup.dedupNgramSlice _),
     "dedup_minhash"        -> (graft.dedup.Dedup.dedupMinhash _),
     "dedup_incremental"    -> (graft.dedup.Dedup.dedupIncremental _),
     "dedup_incremental_stored" -> (graft.dedup.Dedup.dedupIncrementalStored _),
@@ -2353,6 +2354,16 @@ object SparkEntry {
          | cmin.m != l16.v AS is_dup
          |FROM l16 JOIN cmin ON cmin.src = l16.l""".stripMargin
     },
+    "dedup_ngram_slice" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   list_distinct(string_split_regex(trim(text), ' +')) AS w
+        |  FROM documents WHERE doc_id % 16 = 0)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        | round(len(list_intersect(a.w, b.w))::DOUBLE
+        |   / len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE
+        |   / len(list_distinct(list_concat(a.w, b.w))) >= 0.9""".stripMargin,
     "dedup_ngram" ->
       """WITH d AS (SELECT doc_id, source,
         |   list_distinct(string_split_regex(trim(text), ' +')) AS w

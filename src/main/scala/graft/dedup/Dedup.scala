@@ -87,6 +87,25 @@ object Dedup {
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
     ngramPairs(Tables.documents(spark, sfDir), 9000)
 
+  /** sf10 correctness gate for [[dedupNgram]]'s machinery: the same
+    * EXACT pipeline over a deterministic doc_id slice
+    * (doc_id % 16 = 0). Exactness makes the slice CLOSED — a
+    * qualifying pair of sliced docs appears in the sliced output iff
+    * it appears in the full output (spec-asserted), so hash-matching
+    * this key exercises the full blocking + verify path (prefix
+    * order, mask/merge-scan verify, the int→double division) at sf10
+    * scale where the full oracle is structurally intractable
+    * (6.25e9 within-source pairwise intersections, r09 datum; the
+    * slice's 97.6M replay in DuckDB measured ~4 min, r17 pricing).
+    * This is the recallAuditSliceMod device applied to the one
+    * remaining structural sf10 exclusion.
+    */
+  def dedupNgramSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ngramPairs(Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 16 === 0), 9000)
+  }
+
   /** Threshold-parametric core of [[dedupNgram]] (τ = tBp/10000):
     * identical machinery, generalized prefix length s − ⌈τ·s⌉ + 1 and
     * size filter min ≥ τ·max (at tBp = 9000 both reduce exactly to the

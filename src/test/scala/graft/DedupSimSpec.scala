@@ -150,6 +150,22 @@ class DedupSimSpec extends AnyFunSuite {
     assert(d.filter($"decision" === "exact_dup" && !$"is_exact_dup").count() == 0)
   }
 
+  test("ngram slice-closure: sliced-input pairs == full pairs with both ends in the slice") {
+    import spark.implicits._
+    // the property behind the dedup_ngram_slice sf10 gate: the pair
+    // relation is EXACT, so restricting the input docs restricts the
+    // output to exactly the pairs whose BOTH endpoints survive. Test
+    // modulus 4 (the key uses 16) so the test corpus yields pairs.
+    val docs = graft.core.Tables.documents(spark, sf)
+    val sliced = Dedup.ngramPairs(docs.filter($"doc_id" % 4 === 0), 9000)
+    val filtered = Dedup.ngramPairs(docs, 9000)
+      .filter($"doc_id_1" % 4 === 0 && $"doc_id_2" % 4 === 0)
+    assert(sliced.count() > 0, "vacuous slice — raise the test corpus")
+    assert(sliced.exceptAll(filtered).isEmpty &&
+           filtered.exceptAll(sliced).isEmpty,
+      "slice-closure violated: sliced output != filtered full output")
+  }
+
   test("stored-index increment path decides identically to the derive-per-run path") {
     // dedup_incremental_stored reads the PRE-COLLAPSED class
     // relations from the DedupIngest store; its decision relation
