@@ -733,6 +733,46 @@ class EventLogSpec extends AnyFunSuite {
            fresh.generation("g") >= ctl.generation("g"))
   }
 
+  test("membership compaction crash windows: burned lock and stale pre-snapshot files are both harmless") {
+    val dir = Files.createTempDirectory("graft-msnapcrash").toString + "/t"
+    val log = new EventLog(dir, numPartitions = 8)
+    log.join("g", "c1"); log.join("g", "c2"); log.join("g", "c3")
+    val before = (log.members("g"), log.generation("g"),
+      log.stickyAssignments("g"))
+    val d = java.nio.file.Paths.get(s"$dir.groups/g/members")
+    // window 1: compaction claimed its lock, crashed before the
+    // snapshot landed — the slot is burned, every fold unchanged,
+    // and the next event sequences past it
+    Files.createFile(d.resolve(f"event-${3L}%012d.lock"))
+    assert((log.members("g"), log.generation("g"),
+      log.stickyAssignments("g")) == before, "burned lock changed a fold")
+    log.join("g", "c4")
+    assert(log.members("g") == Seq("c1", "c2", "c3", "c4"))
+    assert(log.generation("g") == 5, // seq 3 burned, join landed at 4
+      s"join did not sequence past the burned lock: ${log.generation("g")}")
+    // window 2: compaction landed its snapshot but crashed mid-sweep —
+    // stale pre-snapshot event files remain; folds must filter them
+    // by sequence, and the next compaction sweeps them
+    log.compactMembership("g")
+    val afterSnap = (log.members("g"), log.generation("g"),
+      log.stickyAssignments("g"))
+    // resurrect a stale pre-snapshot event file (what a crashed sweep
+    // leaves): an old leave for a member the snapshot still holds
+    Files.createFile(d.resolve(f"event-${1L}%012d-leave-c2"))
+    assert((log.members("g"), log.generation("g"),
+      log.stickyAssignments("g")) == afterSnap,
+      "stale pre-snapshot event leaked into the fold")
+    log.compactMembership("g")
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!names.exists(_.contains("-leave-c2")),
+      s"recompaction did not sweep the stale file: $names")
+    assert(names.count(_.startsWith("snapshot-")) == 1, s"$names")
+    assert((log.members("g"), log.generation("g"),
+      log.stickyAssignments("g")) == afterSnap)
+  }
+
   test("two sticky members pollAssigned concurrently across a mid-run join: no double-commit, nothing skipped (100 rounds)") {
     import spark.implicits._
     // the full stack under contention: claim-allocated commit
