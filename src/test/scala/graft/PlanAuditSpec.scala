@@ -227,6 +227,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus band index fell into a shuffle join\n$p")
   }
 
+  test("dedup_incremental_stored: same BuildLeft shape against parquet-backed store relations") {
+    // the production path reads the class relations from the stored
+    // index (parquet-backed, real Catalyst stats — NOT the cached
+    // in-memory relation the derive key pins above); the designed
+    // plan must survive that source swap: increment broadcast as the
+    // INNER build side, stored index streamed, zero shuffle joins
+    val p = capture(
+      graft.dedup.Dedup.dedupIncrementalStored(spark, sf), "simple")
+    assert(p.contains("BuildLeft"),
+      s"stored-path batch side is not the broadcast build side\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stored class relations fell into a shuffle join\n$p")
+  }
+
   test("sim_ivfpq_ann: probe and ADC sides broadcast, no corpus-corpus join") {
     val p = capture(graft.similarity.Similarity.simIvfPqAnn(spark, sf), "simple")
     assert(!p.contains("SortMergeJoin"),
