@@ -74,6 +74,7 @@ object SparkEntry {
     "q_date_dim"           -> (Analytics.qDateDim _),
     // event-stream surface
     "evt_produce"          -> (Events.evtProduce _),
+    "evt_produce_stats"    -> (Events.evtProduceStats _),
     "evt_offsets"          -> (Events.evtOffsets _),
     "evt_consume_batches"  -> (Events.evtConsumeBatches _),
     "evt_multi_topic"      -> (Events.evtMultiTopic _),
@@ -1486,6 +1487,19 @@ object SparkEntry {
         |      ORDER BY event_id) - 1 AS BIGINT) AS "offset",
         | event_id AS key, '#' || event_id AS payload
         |FROM events""".stripMargin,
+    "evt_produce_stats" ->
+      s"""WITH p AS (SELECT event_id AS key,
+        |   CAST(event_id % $logP AS INT) AS "partition",
+        |   CAST(row_number() OVER (PARTITION BY event_id % $logP
+        |        ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+        |   '#' || event_id AS payload
+        |  FROM events)
+        |SELECT "partition", count(*) AS n_messages,
+        | max("offset") AS max_offset,
+        | CAST(sum(((key % 97003) * ("offset" % 97003)) % 1000003)
+        |   AS BIGINT) AS key_offset_checksum,
+        | min(payload) AS first_payload, max(payload) AS last_payload
+        |FROM p GROUP BY 1""".stripMargin,
     "evt_offsets" ->
       s"""WITH p AS (SELECT CAST(event_id % $logP AS INT) AS "partition",
         |   CAST(row_number() OVER (PARTITION BY event_id % $logP

@@ -626,13 +626,14 @@ object Dedup {
     * its own benchmarked key: the corpus band index is NOT re-derived
     * per run — the decision join reads the PRE-COLLAPSED class
     * relations from the stored index [[graft.streaming.DedupIngest]]
-    * maintains (seeded once per corpus here, the AnnIndex seed-once
-    * device: keyed by corpus path + row count under the JVM temp
-    * dir; `rm -rf $TMPDIR/graft-dedup-index` after changing any
-    * band/signature code, the key does not include the code
-    * version). What this measures is exactly what a continuously
-    * ingesting pipeline pays per increment — batch-side band
-    * derivation plus the broadcast decision join — while
+    * maintains, seeded once per (corpus, code version) through
+    * [[graft.core.SeedCache]]: the cache path embeds a bytecode
+    * fingerprint of the whole band/signature path, so a code change
+    * reseeds instead of silently replaying a stale artifact, and the
+    * atomic directory claim makes concurrent seeders (Verify beside
+    * Bench on one SF) safe. What this measures is exactly what a
+    * continuously ingesting pipeline pays per increment — batch-side
+    * band derivation plus the broadcast decision join — while
     * [[dedupIncremental]] additionally re-derives and pins the whole
     * corpus index per run (its own Scaladoc's disclosed bench-only
     * cost). Decisions are identical by construction (same relations,
@@ -647,12 +648,9 @@ object Dedup {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(sfDir).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-dedup-index/" +
-      s"${key}_${corpus.count()}"
-    val marker = new java.io.File(path, "_SEEDED")
-    if (!marker.exists()) {
-      graft.streaming.DedupIngest.seedIndex(corpus, path)
-      marker.createNewFile()
+    val path = graft.core.SeedCache.ensure("graft-dedup-index",
+      s"${key}_${corpus.count()}") { tmp =>
+      graft.streaming.DedupIngest.seedIndex(corpus, tmp)
     }
     // increment-side derivation IS per-increment production work; the
     // pin mirrors DedupIngest.start (the decision join reads the

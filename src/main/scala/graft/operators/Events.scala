@@ -83,6 +83,29 @@ object Events {
            count(lit(1)).as("n_messages"))
   }
 
+  /** Aggregate content gate over [[evtProduce]] (r17 verdict item 6,
+    * the `dedup_ngram_slice` move): evt_produce's full output IS the
+    * log — row-linear, oracle-infeasible at sf10 — so this P-row twin
+    * hash-gates the machinery instead. Per partition: message count,
+    * committed offset, payload range, and a modular key↔offset
+    * checksum (`Σ ((key mod 97003)·(offset mod 97003)) mod 1000003`,
+    * exact integer arithmetic both engines replay bit-for-bit) — the
+    * checksum pins the OFFSET ASSIGNMENT itself, which count/max
+    * alone cannot (any permutation of offsets within a partition
+    * preserves both).
+    */
+  def evtProduceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    evtProduce(spark, sfDir)
+      .groupBy($"partition")
+      .agg(count(lit(1)).as("n_messages"),
+           max($"offset").as("max_offset"),
+           sum((($"key" % 97003) * ($"offset" % 97003)) % 1000003)
+             .as("key_offset_checksum"),
+           min($"payload").as("first_payload"),
+           max($"payload").as("last_payload"))
+  }
+
   /** Poll-style micro-batch consumption: the reference consumer polls
     * at most 10 messages per poll (`maxMessages(10)`) and hands the
     * handler a map of payload batches. Batch id = offset / 10 within

@@ -225,9 +225,12 @@ object AnnIndex {
     query(spark, ensureSeeded(spark, sfDir),
       Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
 
-  /** Seed-once per corpus: the index lives under the JVM temp dir
-    * keyed by (corpus path, corpus row count) — the count guards a
-    * stale artifact if the corpus dir is regenerated in place. The
+  /** Seed-once per (corpus, code version) via
+    * [[graft.core.SeedCache]]: the cache key carries the corpus path
+    * hash, its row count (guards an in-place regeneration) AND the
+    * seed-path bytecode fingerprint (guards a code change — the r17
+    * stale-cache footgun), and the artifact directory is claimed
+    * atomically so concurrent seeders cannot corrupt it. The
     * production twin of this helper is a real scheduled build job
     * writing to a durable store path.
     */
@@ -242,13 +245,8 @@ object AnnIndex {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(sfDir).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/$cacheDir/${key}_$n"
-    val marker = new java.io.File(path, "_SEEDED")
-    if (!marker.exists()) {
-      seedFn(vecs, path)
-      marker.createNewFile()
-    }
-    path
+    graft.core.SeedCache.ensure(cacheDir, s"${key}_$n")(tmp =>
+      seedFn(vecs, tmp))
   }
 
   /** Fold accumulated per-batch code partitions back into the base

@@ -250,16 +250,29 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * latest commit is the truth. Full-map commits (the ungrouped
     * [[poll]] paths) are unaffected: a full map overrides everything.
     */
-  def committed(groupId: String): Map[Int, Long] = {
+  @annotation.tailrec
+  final def committed(groupId: String): Map[Int, Long] = {
     val d = java.nio.file.Paths.get(s"$dir.groups/$groupId")
-    commitFiles(d).foldLeft(Map.empty[Int, Long]) { case (acc, (_, f)) =>
-      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      acc ++ s.stripPrefix("{").stripSuffix("}").split(",")
-        .filter(_.nonEmpty)
-        .map { kv =>
-          val Array(k, v) = kv.split(":")
-          k.replaceAll("\"", "").toInt -> v.toLong
-        }.toMap
+    // list-then-read races an owner-run [[compactCommits]] (same
+    // reader-vs-sweep class as [[latestSnapshot]]): the merged fold
+    // lands BEFORE any delete, so on NoSuchFileException a fresh
+    // listing always converges — retry it rather than throwing into
+    // an in-flight poll
+    val folded =
+      try Some(commitFiles(d).foldLeft(Map.empty[Int, Long]) {
+        case (acc, (_, f)) =>
+          val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          acc ++ s.stripPrefix("{").stripSuffix("}").split(",")
+            .filter(_.nonEmpty)
+            .map { kv =>
+              val Array(k, v) = kv.split(":")
+              k.replaceAll("\"", "").toInt -> v.toLong
+            }.toMap
+      })
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    folded match {
+      case Some(m) => m
+      case None => committed(groupId)
     }
   }
 
@@ -341,6 +354,7 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
 
   private val memberLockRe = "event-(\\d+)\\.lock".r
   private val memberSnapshotRe = "snapshot-(\\d+)".r
+  private val memberSnapshotTmpRe = "snapshot-(\\d+)\\.tmp".r
 
   /** Next unallocated membership sequence: max over event files,
     * lock markers AND snapshots. Locks count because a lock whose
@@ -364,25 +378,49 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * The ownership map's key set IS the live set (every live member
     * holds an entry, possibly empty), so one snapshot seeds all
     * three folds ([[members]], [[generation]], [[stickyAssignments]]).
+    *
+    * List-then-read races a concurrent compaction by design
+    * (compaction is generation-neutral precisely so readers need not
+    * coordinate with it): a reader that listed before snapshot-N
+    * landed can find the older snapshot swept under it. The read
+    * therefore retries the LISTING on NoSuchFileException — once the
+    * old snapshot is swept, the newer one is guaranteed present
+    * (snapshot lands via ATOMIC_MOVE before any sweep), so the retry
+    * terminates with a strictly newer snapshot.
     */
+  @annotation.tailrec
   private def latestSnapshot(groupId: String): Option[(Long, Long,
       scala.collection.immutable.SortedMap[String, Vector[Int]])] = {
-    listEntries(memberDir(groupId))
+    val newest = listEntries(memberDir(groupId))
       .flatMap(p => p.getFileName.toString match {
         case memberSnapshotRe(n) => Some(n.toLong -> p)
         case _ => None
-      }).sortBy(_._1).lastOption.map { case (seq, p) =>
-        val lines = new String(java.nio.file.Files.readAllBytes(p),
-          "UTF-8").split("\n").filter(_.nonEmpty)
-        val gen = lines.head.stripPrefix("generation=").toLong
-        val owned = lines.tail.map { l =>
-          val Array(id, ps) = l.split("=", -1)
-          id -> (if (ps.isEmpty) Vector.empty[Int]
-                 else ps.split(",").map(_.toInt).toVector)
+      }).sortBy(_._1).lastOption
+    newest match {
+      case None => None
+      case Some((seq, p)) =>
+        val bytes =
+          try Some(java.nio.file.Files.readAllBytes(p))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        bytes match {
+          case None => latestSnapshot(groupId) // swept under us — relist
+          case Some(b) =>
+            val lines = new String(b, "UTF-8").split("\n").filter(_.nonEmpty)
+            val gen = lines.head.stripPrefix("generation=").toLong
+            val owned = lines.tail.map { l =>
+              // split on the LAST '=' — the partition list contains
+              // none, and [[appendMemberEvent]] constrains ids to
+              // [A-Za-z0-9._-]+ anyway; parsing stays total even for
+              // a hand-written snapshot with '=' inside the id
+              val i = l.lastIndexOf('=')
+              val ps = l.substring(i + 1)
+              l.substring(0, i) -> (if (ps.isEmpty) Vector.empty[Int]
+                     else ps.split(",").map(_.toInt).toVector)
+            }
+            Some((seq, gen,
+              scala.collection.immutable.SortedMap.from(owned)))
         }
-        (seq, gen,
-          scala.collection.immutable.SortedMap.from(owned))
-      }
+    }
   }
 
   /** The membership fold's starting point: generation and sticky
@@ -391,16 +429,58 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * sequence are already folded in — a compaction crash mid-sweep
     * leaves such stale files behind, and filtering by sequence makes
     * them harmless until the next sweep.
+    *
+    * READ ORDER IS LOAD-BEARING: events are listed BEFORE the
+    * snapshot. A compaction completing between the two reads folds
+    * events into a NEWER snapshot and sweeps them; with events-first,
+    * the stale listed events are ≤ the newer snapshot's sequence and
+    * the filter drops them (their effect arrives via the snapshot) —
+    * the fold stays consistent. The reverse order combined an OLD
+    * snapshot with a POST-sweep listing and silently lost every op
+    * the compaction had just folded (caught by the 200-round
+    * racing-compactor spec).
     */
   private def membershipFoldState(groupId: String): (Long,
       scala.collection.immutable.SortedMap[String, Vector[Int]],
       Seq[(Long, String, String)]) = {
+    val events = memberEvents(groupId)
     val snap = latestSnapshot(groupId)
     val snapSeq = snap.map(_._1).getOrElse(-1L)
     (snap.map(_._2).getOrElse(0L),
      snap.map(_._3).getOrElse(
        scala.collection.immutable.SortedMap.empty[String, Vector[Int]]),
-     memberEvents(groupId).filter(_._1 > snapSeq))
+     events.filter(_._1 > snapSeq))
+  }
+
+  /** The membership-compaction marker: [[compactMembership]] holds it
+    * for the duration of its fold+snapshot+sweep, and
+    * [[appendMemberEvent]] waits it out — the enforcement of the
+    * "no concurrent joiners/leavers" contract that used to be
+    * doc-only. Same device family as the assignor pin: an atomically
+    * created file in the group's coordination directory.
+    */
+  private def compactionMarker(d: java.nio.file.Path): java.nio.file.Path =
+    d.resolve("compacting")
+
+  /** Spin (5 ms steps) until no compaction marker is present. Bounded:
+    * a marker older than `spark.graft.membershipCompactionWaitMs`
+    * (default 30 s — compaction is pure metadata work, normally
+    * milliseconds) means a compactMembership crashed between creating
+    * it and its finally-delete; fail LOUDLY with the heal instruction
+    * instead of wedging the group silently.
+    */
+  private def awaitNoCompaction(d: java.nio.file.Path): Unit = {
+    val timeoutMs = sys.props.getOrElse(
+      "spark.graft.membershipCompactionWaitMs", "30000").toLong
+    val t0 = System.nanoTime()
+    while (java.nio.file.Files.exists(compactionMarker(d))) {
+      if ((System.nanoTime() - t0) / 1000000 > timeoutMs)
+        throw new IllegalStateException(
+          s"membership compaction marker ${compactionMarker(d)} " +
+            s"outlived ${timeoutMs} ms — a crashed compactMembership " +
+            "leaves it behind; delete the marker to heal the group")
+      Thread.sleep(5)
+    }
   }
 
   private def appendMemberEvent(groupId: String, op: String,
@@ -409,29 +489,55 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
       s"consumer id must be [A-Za-z0-9._-]+: $consumerId")
     val d = memberDir(groupId)
     java.nio.file.Files.createDirectories(d)
-    // Sequence reservation via a NEUTRAL lock name: createFile of
-    // event-<seq>.lock is atomic, and because the lock name is
-    // id-independent, two DIFFERENT consumers racing for the same
-    // sequence collide on it and the loser retries with the next.
-    // (Claiming the op filename directly only collided when the FULL
-    // name matched, so distinct ids could both land the same
-    // sequence — the log was commutative-but-unordered, and
-    // [[generation]] counted two concurrent changes as one bump.)
-    // The winner then writes its op file under the owned sequence;
-    // a crash between lock and op file burns the slot, which
-    // [[memberEvents]] simply skips.
-    var seq = nextMemberSeq(groupId)
-    var done = false
-    while (!done) {
-      try {
-        java.nio.file.Files.createFile(d.resolve(f"event-$seq%012d.lock"))
-        done = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+    // Append-then-settle: a compaction that starts in the window
+    // between the marker check and our event file landing can fold
+    // WITHOUT our event and sweep it (or leave it sequence-filtered
+    // below its snapshot) — the one join/leave-vs-compaction race the
+    // r17 verdict flagged as guarded by neither code nor spec. The
+    // loop makes the outcome deterministic: wait out any in-flight
+    // compaction, append, wait again, then check whether the fold
+    // state REFLECTS our op — either the event is visible (no
+    // snapshot at/above it) or the snapshot caught it before the
+    // sweep. A folded-invisible op re-appends; at worst the op lands
+    // twice (both folds are idempotent for the live set — join adds,
+    // leave removes — and a spurious generation bump only widens the
+    // at-least-once rebalance fence).
+    var settled = false
+    while (!settled) {
+      awaitNoCompaction(d)
+      // Sequence reservation via a NEUTRAL lock name: createFile of
+      // event-<seq>.lock is atomic, and because the lock name is
+      // id-independent, two DIFFERENT consumers racing for the same
+      // sequence collide on it and the loser retries with the next.
+      // (Claiming the op filename directly only collided when the FULL
+      // name matched, so distinct ids could both land the same
+      // sequence — the log was commutative-but-unordered, and
+      // [[generation]] counted two concurrent changes as one bump.)
+      // The winner then writes its op file under the owned sequence;
+      // a crash between lock and op file burns the slot, which
+      // [[memberEvents]] simply skips.
+      var seq = nextMemberSeq(groupId)
+      var done = false
+      while (!done) {
+        try {
+          java.nio.file.Files.createFile(d.resolve(f"event-$seq%012d.lock"))
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => seq += 1
+        }
+      }
+      java.nio.file.Files.createFile(
+        d.resolve(f"event-$seq%012d-$op-$consumerId"))
+      awaitNoCompaction(d)
+      settled = latestSnapshot(groupId) match {
+        case Some((snapSeq, _, owned)) if snapSeq >= seq =>
+          // a snapshot sequenced at/above our event: the fold either
+          // caught the op (reflected below) or missed-and-buried it
+          if (op == "join") owned.contains(consumerId)
+          else !owned.contains(consumerId)
+        case _ => true // no snapshot above us — the event file is live
       }
     }
-    java.nio.file.Files.createFile(
-      d.resolve(f"event-$seq%012d-$op-$consumerId"))
   }
 
   /** Live members (sorted): the fold of join/leave events, seeded
@@ -600,47 +706,67 @@ final class EventLog(val dir: String, val numPartitions: Int = 8,
     * not trip on compaction). Crash-safe: the snapshot lands via
     * temp + ATOMIC_MOVE under a lock-claimed sequence, and the folds
     * skip stale pre-snapshot files by sequence until the next sweep.
-    * Same ownership contract as [[compactCommits]]: not safe under
-    * concurrent JOINERS/LEAVERS — run it at a rebalance boundary.
+    * The no-concurrent-joiners/leavers contract is ENFORCED, not just
+    * documented (r17 verdict item 5): the whole fold+snapshot+sweep
+    * runs under an atomically-created `compacting` marker that
+    * [[appendMemberEvent]] waits out, and an append that nonetheless
+    * raced the marker window detects a snapshot that buried its op
+    * and re-appends (see there). A second concurrent compaction
+    * fails loudly on the marker.
     */
   def compactMembership(groupId: String): Unit = {
     val d = memberDir(groupId)
     if (memberEvents(groupId).isEmpty) return // nothing to fold
-    val owned = stickyAssignments(groupId)
-    val gen = generation(groupId)
-    // claim the snapshot's sequence with the membership lock idiom
-    var seq = nextMemberSeq(groupId)
-    var done = false
-    while (!done) {
-      try {
-        java.nio.file.Files.createFile(d.resolve(f"event-$seq%012d.lock"))
-        done = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => seq += 1
-      }
+    try java.nio.file.Files.createFile(compactionMarker(d))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"another compactMembership is in flight for $groupId " +
+            s"(marker ${compactionMarker(d)} exists — if no compaction " +
+            "is running, a crashed one left it; delete the marker)")
     }
-    val content = (s"generation=$gen" +:
-      owned.toSeq.sortBy(_._1).map { case (m, ps) =>
-        s"$m=${ps.mkString(",")}" }).mkString("\n")
-    val tmp = d.resolve(f"snapshot-$seq%012d.tmp")
-    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, d.resolve(f"snapshot-$seq%012d"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // sweep everything the snapshot folds: events and older
-    // snapshots strictly below it, locks at or below it (including
-    // this snapshot's own — the snapshot file keeps the max visible,
-    // so allocation stays monotonic)
-    listEntries(d).foreach { p =>
-      p.getFileName.toString match {
-        case memberEventRe(n, _, _) if n.toLong < seq =>
-          java.nio.file.Files.delete(p)
-        case memberLockRe(n) if n.toLong <= seq =>
-          java.nio.file.Files.delete(p)
-        case memberSnapshotRe(n) if n.toLong < seq =>
-          java.nio.file.Files.delete(p)
-        case _ => ()
+    try {
+      val owned = stickyAssignments(groupId)
+      val gen = generation(groupId)
+      // claim the snapshot's sequence with the membership lock idiom
+      var seq = nextMemberSeq(groupId)
+      var done = false
+      while (!done) {
+        try {
+          java.nio.file.Files.createFile(d.resolve(f"event-$seq%012d.lock"))
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => seq += 1
+        }
       }
-    }
+      val content = (s"generation=$gen" +:
+        owned.toSeq.sortBy(_._1).map { case (m, ps) =>
+          s"$m=${ps.mkString(",")}" }).mkString("\n")
+      val tmp = d.resolve(f"snapshot-$seq%012d.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, d.resolve(f"snapshot-$seq%012d"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // sweep everything the snapshot folds: events and older
+      // snapshots strictly below it, locks at or below it (including
+      // this snapshot's own — the snapshot file keeps the max visible,
+      // so allocation stays monotonic), and orphaned snapshot .tmp
+      // files below it (a compaction that crashed between write and
+      // ATOMIC_MOVE leaves one; nothing else ever removed it, and the
+      // full-match sweep regexes never saw the .tmp suffix)
+      listEntries(d).foreach { p =>
+        p.getFileName.toString match {
+          case memberEventRe(n, _, _) if n.toLong < seq =>
+            java.nio.file.Files.delete(p)
+          case memberLockRe(n) if n.toLong <= seq =>
+            java.nio.file.Files.delete(p)
+          case memberSnapshotRe(n) if n.toLong < seq =>
+            java.nio.file.Files.delete(p)
+          case memberSnapshotTmpRe(n) if n.toLong < seq =>
+            java.nio.file.Files.delete(p)
+          case _ => ()
+        }
+      }
+    } finally java.nio.file.Files.delete(compactionMarker(d))
   }
 
   /** Pin the group's `partition.assignment.strategy` (Kafka rejects

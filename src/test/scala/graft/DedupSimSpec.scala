@@ -170,8 +170,10 @@ class DedupSimSpec extends AnyFunSuite {
     // dedup_incremental_stored reads the PRE-COLLAPSED class
     // relations from the DedupIngest store; its decision relation
     // must equal dedupIncremental's row for row (same oracle gates
-    // both keys). Fresh seed per run: the tmp-dir cache key includes
-    // corpus row count but not the code version.
+    // both keys). The SeedCache key now embeds a code fingerprint
+    // (stale replays across code versions are structurally
+    // impossible); the wipe below just forces the SEED path itself to
+    // run fresh in every test run.
     val cache = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
     if (cache.exists())

@@ -44,7 +44,9 @@ class GateSubsetSpec extends AnyFunSuite {
     // (6.25e9 pairwise list-intersections at sf10 — the one
     // structural exclusion left after the r15 staged-oracle widening)
     "dedup_ngram",
-    // output IS the 100M-row log; its four consumers gate it
+    // output IS the 100M-row log; its four consumers gate it, and
+    // since r18 evt_produce_stats hash-gates the offset assignment
+    // itself at sf10 (P-row modular key↔offset checksum)
     "evt_produce",
     // declared approximations with measured dispositions
     "txt_approx_topk", "q_approx_distinct")

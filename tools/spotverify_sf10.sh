@@ -250,7 +250,7 @@ R=${1:?round tag, e.g. r09}
 # evt_produce (output IS the 100M-row log; its four consumers gate
 # it), txt_approx_topk + q_approx_distinct (declared approximations,
 # measured comments above).
-SUBSET="q1_pricing_summary,evt_offsets,evt_consume_batches,evt_multi_topic,evt_windowed,evt_sliding,evt_session_window,evt_first_last,evt_funnel,evt_retention,evt_transitions,evt_anomaly,evt_attribution,evt_pivot,evt_moving_agg,evt_distinct_sliding,evt_error_routing,q17_small_quantity,q_stats,q_multi_distinct,q_grouping_sets,q_cube,q_unpivot,q_promo_effect,q_date_dim,q_gap_fill,txt_langid,txt_entropy,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank,q_anti_join,q_semi_join,q_outer_join,q_full_outer,q_setops,q_except,q_lead_gap,q_percent_rank,q_window_running,q_percentiles,q_scd2_dim,q_scd2_lookup,q_asof_join,q_asof_native,q_upsert_latest,q_scalar_subquery,q_collect_list,q_array_funcs,q_string_funcs,q_range_join,evt_enrich,evt_json_extract,evt_sessionize,pipeline_cap,pipeline_curriculum,pipeline_fixed_sample,pipeline_mixture,pipeline_pack,pipeline_prep,pipeline_sample,pipeline_shard,pipeline_shuffle,pipeline_split,pipeline_zorder,txt_tfidf,txt_surprisal,txt_term_freq,txt_doc_freq,txt_pii_scrub,txt_contamination,txt_contamination_bloom,txt_classifier,txt_bigrams,txt_bigram_lm,txt_classifier_train,dedup_cluster_stats,sim_nsw_ann,sim_nsw_stored,sim_knn_graph,pipeline_rag,dedup_embed,graph_degree_hist,graph_components,graph_pagerank,graph_triangles,graph_jaccard,graph_clustco,graph_kcore,graph_coreness,dedup_exact,dedup_paragraph,dedup_semantic,mm_binary_meta,mm_chunk_dedup,mm_decode_batch,mm_frame_sample,txt_dup_coverage,sim_brute_topk,sim_centroids,sim_range_search,sim_ivf_ann,sim_lsh_ann,sim_filtered_ann,sim_pq_ann,sim_pq_rerank,sim_ivfpq_ann,sim_ivfpq_stored,sim_recall_eval,dedup_minhash,dedup_incremental,dedup_incremental_stored,dedup_components,dedup_keep_one,dedup_cross_source,pipeline_decontam,dedup_simhash,dedup_substr,mm_phash_pairs,mm_phash_clusters,dedup_recall_eval,dedup_ngram_slice"
+SUBSET="q1_pricing_summary,evt_offsets,evt_produce_stats,evt_consume_batches,evt_multi_topic,evt_windowed,evt_sliding,evt_session_window,evt_first_last,evt_funnel,evt_retention,evt_transitions,evt_anomaly,evt_attribution,evt_pivot,evt_moving_agg,evt_distinct_sliding,evt_error_routing,q17_small_quantity,q_stats,q_multi_distinct,q_grouping_sets,q_cube,q_unpivot,q_promo_effect,q_date_dim,q_gap_fill,txt_langid,txt_entropy,q2_top_customers,q3_shipping_priority,q4_order_priority,q5_local_supplier,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit,q10_returned_items,q13_cust_distribution,q15_top_supplier,q18_large_orders,q19_disjunctive,q21_blame_supplier,q22_idle_customers,q_conditional_agg,q_distinct,q_having,q_quantile_buckets,q_rollup,evt_top_types,evt_value_buckets,txt_length_hist,evt_mv_merge,sim_threshold_sweep,sim_kmeans,q_mode,evt_rate_limit,evt_out_of_order,evt_log_integrity,sim_sq_ann,sim_matryoshka,evt_concurrency,txt_bpe_pairs,sim_ivfsq_ann,sim_ivfsq_stored,sim_matryoshka_stored,mm_phash,pipeline_kanon,mm_phash_pair_stats,q16_supplier_variety,q20_excess_shipments,txt_gopher_rules,sim_binary_ann,txt_ccnet_buckets,q_skew_join,q_approx_percentile,txt_tokens,txt_quality,txt_repetition,pipeline_curate,txt_heaps_law,txt_fingerprint,q11_important_stock,q_window_range,q_median_mad,txt_zipf,evt_interarrival,dedup_boilerplate,mm_chunk_refcount,mm_blob_pack,pipeline_chunk,pipeline_expectations,evt_cdc_apply,sim_index_profile,q12_ship_lateness,txt_dsir_weights,sim_hybrid_rrf,txt_bpe_train,txt_bpe_apply,pipeline_dsir_sample,sim_mmr_rerank,q_anti_join,q_semi_join,q_outer_join,q_full_outer,q_setops,q_except,q_lead_gap,q_percent_rank,q_window_running,q_percentiles,q_scd2_dim,q_scd2_lookup,q_asof_join,q_asof_native,q_upsert_latest,q_scalar_subquery,q_collect_list,q_array_funcs,q_string_funcs,q_range_join,evt_enrich,evt_json_extract,evt_sessionize,pipeline_cap,pipeline_curriculum,pipeline_fixed_sample,pipeline_mixture,pipeline_pack,pipeline_prep,pipeline_sample,pipeline_shard,pipeline_shuffle,pipeline_split,pipeline_zorder,txt_tfidf,txt_surprisal,txt_term_freq,txt_doc_freq,txt_pii_scrub,txt_contamination,txt_contamination_bloom,txt_classifier,txt_bigrams,txt_bigram_lm,txt_classifier_train,dedup_cluster_stats,sim_nsw_ann,sim_nsw_stored,sim_knn_graph,pipeline_rag,dedup_embed,graph_degree_hist,graph_components,graph_pagerank,graph_triangles,graph_jaccard,graph_clustco,graph_kcore,graph_coreness,dedup_exact,dedup_paragraph,dedup_semantic,mm_binary_meta,mm_chunk_dedup,mm_decode_batch,mm_frame_sample,txt_dup_coverage,sim_brute_topk,sim_centroids,sim_range_search,sim_ivf_ann,sim_lsh_ann,sim_filtered_ann,sim_pq_ann,sim_pq_rerank,sim_ivfpq_ann,sim_ivfpq_stored,sim_recall_eval,dedup_minhash,dedup_incremental,dedup_incremental_stored,dedup_components,dedup_keep_one,dedup_cross_source,pipeline_decontam,dedup_simhash,dedup_substr,mm_phash_pairs,mm_phash_clusters,dedup_recall_eval,dedup_ngram_slice"
 OUT=/tmp/verify_sf10_${R}
 # stage the minhash/simhash intermediates and the recall-eval truth
 # BEFORE the Spark run so a generator failure aborts the gate early
