@@ -601,12 +601,37 @@ object Events {
         struct($"cs".as("bts"), lit(1).as("delta")),
         struct($"ce".as("bts"), lit(-1).as("delta")))).as("b"))
       .select($"day", $"b.bts".as("bts"), $"b.delta".as("delta"))
-    val wd = Window.partitionBy($"day").orderBy($"bts", $"delta")
+    // Two-level distributed prefix scan (r17 verdict item 4): the
+    // corpus timespan is FIXED (~30 days) while events grow with SF,
+    // so a per-DAY running-sum window caps parallelism at ~30
+    // partitions whose sorts grow linearly — the measured 3.42x
+    // decade. Splitting the sweep at the hour boundary is exact
+    // because hour(bts) is monotone in bts within a day: sorting by
+    // (day, hr, bts, delta) equals the old (day, bts, delta) order.
+    // Level 1 runs the running sum per (day, hour) — 24x more
+    // partitions, 24x smaller sorts; level 2 stitches hours with a
+    // carry-in prefix over the <=24-row per-hour delta totals. The
+    // peak at any bound = its hour's carry-in + the local running
+    // max, so max(carry + local_max) over hours IS the day's peak.
+    // One edge makes hour() alone wrong: a clipped close bound can
+    // sit EXACTLY at next-day midnight (ce = day+1 00:00), where
+    // hour() = 0 — it must sort LAST within its day, so it gets the
+    // synthetic hour 24.
+    val wh = Window.partitionBy($"day", $"hr").orderBy($"bts", $"delta")
       .rowsBetween(Window.unboundedPreceding, 0)
-    bounds.withColumn("running", sum($"delta").over(wd))
+    val hourly = bounds
+      .withColumn("hr", when($"bts" >= expr("timestamp(date_add(day, 1))"),
+        lit(24)).otherwise(hour($"bts")))
+      .withColumn("running", sum($"delta").over(wh))
+      .groupBy($"day", $"hr")
+      .agg(count(lit(1)).as("n_bounds"), sum($"delta").as("tot"),
+           max($"running").as("lmax"))
+    val wc = Window.partitionBy($"day").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly.withColumn("carry", coalesce(sum($"tot").over(wc), lit(0L)))
       .groupBy($"day")
-      .agg(expr("cast(count(1) div 2 as bigint)").as("n_sessions"),
-           max($"running").cast("long").as("peak_concurrent"))
+      .agg(expr("cast(sum(n_bounds) div 2 as bigint)").as("n_sessions"),
+           max($"carry" + $"lmax").cast("long").as("peak_concurrent"))
   }
 
   /** Consumer-log integrity audit — the offset-contiguity check a

@@ -185,7 +185,15 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
       .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
     val l = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
-    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+    // derived predicate the optimizer cannot infer: with
+    // o_orderdate >= 1996-01-01, the join condition
+    // l_shipdate > o_orderdate + 90 days implies
+    // l_shipdate > 1996-03-31 — pushing that bound to the lineitem
+    // scan prunes ~60% of the fact rows BEFORE the semi-join shuffle
+    // (r17 verdict item 4: the 3.56x decade was the full-lineitem
+    // exchange; the filter is implied, so the result is unchanged)
+    o.join(l.filter($"l_shipdate" > lit("1996-03-31")),
+           $"o_orderkey" === $"l_orderkey" &&
              $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), "left_semi")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
@@ -554,10 +562,23 @@ object Relational {
       .join(broadcast(n.filter($"n_name".isin(picks: _*))),
         $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name".as("cust_nation"))
-    Tables.lineitem(spark, sfDir)
-      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+    // Pre-filter BOTH facts by their selective dims BEFORE the
+    // fact-fact join (r17 verdict item 4: the 3.62x decade was the
+    // old shape shuffling FULL lineitem against FULL orders at sf10 —
+    // at sf1 AQE hid it by broadcasting orders). s2 broadcasts (3/25
+    // of suppliers), cutting lineitem to ~12% before it ever
+    // shuffles; c2 joins orders un-hinted so AQE broadcasts it at
+    // bench SFs and falls back to a shuffle at true scale — either
+    // way orders reaches the wide join ~12%-filtered. Inner joins
+    // commute with these filters, so the oracle is untouched.
+    val l2 = Tables.lineitem(spark, sfDir)
       .join(broadcast(s2), $"l_suppkey" === $"s_suppkey")
+      .select($"l_orderkey", $"l_shipdate", $"l_extendedprice",
+              $"l_discount", $"supp_nation")
+    val o2 = Tables.orders(spark, sfDir)
       .join(c2, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
+    l2.join(o2, $"l_orderkey" === $"o_orderkey")
       .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
                year($"l_shipdate").cast("int").as("l_year"))
