@@ -679,11 +679,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ivfsq.contains("CartesianProduct"), ivfsq)
     assert(!ivfsq.contains("SortMergeJoin"),
       s"IVF+SQ8 shuffled a join that must broadcast\n$ivfsq")
-    // concurrency sweep: two windows (per-user sessionize, per-day
-    // sweep), no joins — the union is a read-side concat
+    // concurrency sweep: the per-user sessionize pair plus the r18
+    // two-level day sweep (per-(day,hour) local running sum + the
+    // ≤24-row-per-day carry-in prefix), no joins — the union is a
+    // read-side concat
     val cc = capture(Events.evtConcurrency(spark, sf), "simple")
-    assert("Window \\[".r.findAllIn(cc).size == 3 && !cc.contains("Join"),
-      cc) // sessionize lag + session-id running sum + the day sweep
+    assert("Window \\[".r.findAllIn(cc).size == 4 && !cc.contains("Join"),
+      cc) // sessionize lag + session-id sum + hour sweep + hour carry
   }
 
   test("txt_bigram_lm: shuffles carry 63-bit hash keys, never bigram strings") {
