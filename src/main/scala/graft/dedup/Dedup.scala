@@ -966,6 +966,10 @@ object Dedup {
       .withColumn("j_bp", expr("cast(round(jaccard * 10000) as bigint)"))
       .select($"doc_id_1", $"doc_id_2", $"j_bp")
       .persist() // scored once per method + once per threshold rollup
+    // materialize before the concurrent method branches below — a
+    // cold persisted relation first touched by two concurrent jobs
+    // can be computed redundantly by each
+    truth.count()
     val bands = minhashBands(sample)
     val mhCaught = truth
       .join(bands.select($"doc_id".as("doc_id_1"), $"band_idx",
@@ -994,7 +998,23 @@ object Dedup {
         $"chunk_val"), Seq("doc_id_2", "chunk_idx", "chunk_val"))
       .select($"doc_id_1", $"doc_id_2").distinct()
       .withColumn("method", lit("simhash_chunk"))
-    val caught = mhCaught.union(shCaught)
+    // the two catch branches are independent passes over the pinned
+    // truth (one against the minhash band relation, one against the
+    // simhash chunk relation) — overlap them from a 2-thread pool
+    // (guide §2.6), each materializing via its own localCheckpoint;
+    // rows identical, only job overlap changes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val caught =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(Seq(mhCaught, shCaught).map(df =>
+            Future(df.localCheckpoint()))), Duration.Inf)
+          .reduce(_ union _)
+      } finally pool.shutdown()
     // ≤3-row threshold axis and ≤6-row aggregates: broadcast the
     // axes, roll the (method, threshold) matrix up from the pinned
     // truth relation — every corpus-sized stage is above this line

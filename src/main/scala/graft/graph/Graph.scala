@@ -121,14 +121,15 @@ object Graph {
       .localCheckpoint()
     try {
       for (_ <- 1 to 10) {
-        val in = edges
+        // the graph is symmetric, so the in-sum's key set IS the rank
+        // universe (every node with an edge both sends and receives):
+        // the old inner join of `in` back onto `ranks` was an identity
+        // — one exchange + relation build per hop for nothing (r18
+        // job-profile trim; DROPPED, 10 joins saved per query)
+        ranks = edges
           .join(ranks.select($"vec_id".as("a"), $"rank_e9"), Seq("a"))
           .select($"b".as("vec_id"), expr("rank_e9 div deg").as("c"))
           .groupBy($"vec_id").agg(sum($"c").as("in_sum"))
-        // the graph is symmetric, so every iterating node has ≥1
-        // in-edge and the join stays inner — no rank row disappears
-        ranks = ranks.select($"vec_id")
-          .join(in, Seq("vec_id"))
           .select($"vec_id", expr(
             "150000000L + ((85 * in_sum) div 100)").as("rank_e9"))
           .localCheckpoint() // cut lineage: constant plan size per hop
@@ -480,16 +481,25 @@ object Graph {
     // phase 1 is the identity on the edge relation: membership in the
     // 1-core = having any mutual edge at the start
     var live = sym.localCheckpoint()
-    var members = live.select($"a").distinct()
+    // Each phase fixpoint is already checkpointed (peelFixpoint's
+    // per-round cut), so the per-phase membership relations can stay
+    // LAZY views over those checkpoints and fold into one final
+    // aggregate — the old shape re-checkpointed the growing members
+    // union every phase, one extra materialization job per phase for
+    // a relation nothing iterates on (r18 job profile). Early exit:
+    // cores nest, so once a phase peels to empty every higher phase
+    // is empty too — skip their (empty) peel rounds outright.
+    val phaseMembers = Seq.newBuilder[DataFrame]
+    phaseMembers += live.select($"a").distinct()
       .select($"a".as("vec_id"), lit(1L).as("kk"))
-      .localCheckpoint()
-    for (kk <- 2 to 5) {
+    var kk = 2
+    while (kk <= 5 && !live.isEmpty) {
       live = peelFixpoint(live, kk)
-      members = members.union(
-          live.select($"a").distinct()
-            .select($"a".as("vec_id"), lit(kk.toLong).as("kk")))
-        .localCheckpoint()
+      phaseMembers += live.select($"a").distinct()
+        .select($"a".as("vec_id"), lit(kk.toLong).as("kk"))
+      kk += 1
     }
+    val members = phaseMembers.result().reduce(_ union _)
     val core = members.groupBy($"vec_id").agg(max($"kk").as("coreness"))
     allNodes.join(core, Seq("vec_id"), "left_outer")
       .groupBy(coalesce($"coreness", lit(0L)).as("coreness"))

@@ -1242,8 +1242,16 @@ object Relational {
         .agg(min(when($"cum" * 2 >= $"n", col(valueCol))).as("med"),
              max($"n").as("n"))
     }
+    // med is a 5-row model relation consumed THREE times (the dev
+    // histogram below, the MAD pass's plan, and the final output
+    // join) — uncheckpointed, its whole pass-1 pipeline (window over
+    // the checkpointed bucket histogram + two broadcast joins + the
+    // rank aggregate) re-executed per consumer (r18 stage profile:
+    // the dev-histogram materialization alone re-ran it at 3.9 s vs
+    // 0.95 s for pass 1 itself). Pin the 5 rows once.
     val med = rankMin(h, "cents")
       .select($"o_orderpriority", $"med".as("median_cents"), $"n")
+      .localCheckpoint()
     val dev = h.join(broadcast(med), Seq("o_orderpriority"))
       .groupBy($"o_orderpriority",
         abs($"cents" - $"median_cents").as("dev"))

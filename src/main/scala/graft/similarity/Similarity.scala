@@ -1114,9 +1114,13 @@ object Similarity {
     import spark.implicits._
     // the exact ground truth feeds every method's hit join AND the
     // query roster — pin it, or AQE recomputes the brute-force scan
-    // once per union branch (self-joins get no ReusedExchange)
+    // once per union branch (self-joins get no ReusedExchange).
+    // Materialize it BEFORE the concurrent branch jobs below: a cold
+    // persisted relation first touched by several concurrent jobs can
+    // be computed redundantly by each of them.
     val brute = simBruteTopk(spark, sfDir)
       .select($"query_id", $"neighbor_id").persist()
+    brute.count()
     val queries = brute.select($"query_id").distinct()
     def recallOf(method: String, df: DataFrame): DataFrame = {
       val hits = df.select($"query_id", $"neighbor_id")
@@ -1131,17 +1135,40 @@ object Similarity {
     // production deployment runs before picking its serving scheme
     // (IVF+SQ8's ranking behavior is covered by the sq8 + ivf rows;
     // its inline oracle replay is the sf10 spill case)
-    val out = recallOf("lsh", simLshAnn(spark, sfDir))
-      .union(recallOf("ivf", simIvfAnn(spark, sfDir)))
-      .union(recallOf("ivfpq", simIvfPqAnn(spark, sfDir)))
-      .union(recallOf("sq8", simSqAnn(spark, sfDir)))
-      .union(recallOf("pq", simPqAnn(spark, sfDir)))
-      .union(recallOf("pq_rerank", simPqRerank(spark, sfDir)))
-      .union(recallOf("matryoshka", simMatryoshka(spark, sfDir)))
-      .union(recallOf("binary", simBinaryAnn(spark, sfDir)))
-    // materialize while brute is pinned (8 branches read it), then
-    // hand back the query-set-sized result
-    try out.localCheckpoint() finally brute.unpersist()
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "lsh"        -> simLshAnn(spark, sfDir),
+      "ivf"        -> simIvfAnn(spark, sfDir),
+      "ivfpq"      -> simIvfPqAnn(spark, sfDir),
+      "sq8"        -> simSqAnn(spark, sfDir),
+      "pq"         -> simPqAnn(spark, sfDir),
+      "pq_rerank"  -> simPqRerank(spark, sfDir),
+      "matryoshka" -> simMatryoshka(spark, sfDir),
+      "binary"     -> simBinaryAnn(spark, sfDir))
+    // The 8 branches are INDEPENDENT evaluations (each reads only the
+    // pinned brute relation + its own method's plan), and the single
+    // fused union executed them as one mostly-serial chain of AQE
+    // stage materializations (r18 stage profile: 61 stage jobs,
+    // 14.3 s in one execution). Overlap them from a small driver
+    // thread pool (guide §2.6 — actions are only sequential because
+    // the driver calls them sequentially): each branch materializes
+    // via its own localCheckpoint, later branches back-fill the
+    // earlier ones' straggler tails. Result rows are identical; only
+    // job overlap changes. 3 in flight is the guide's "enough to fill
+    // the tail" sizing.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val parts =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(methods.map { case (name, df) =>
+            Future(recallOf(name, df).localCheckpoint())
+          }), Duration.Inf)
+      } finally pool.shutdown()
+    // checkpointed parts are query-set-sized; the union is metadata
+    try parts.reduce(_ union _) finally brute.unpersist()
   }
 
   /** Near-dup threshold calibration sweep — the audit that PICKS the
@@ -1332,20 +1359,33 @@ object Similarity {
       entries: DataFrame, queries: DataFrame, excludeSelf: Boolean,
       beamWidth: Int = 48, hops: Int = 8, kOut: Int = 10): DataFrame = {
     import vecs.sparkSession.implicits._
-    val q = queries.select(col("query_id"), col("qv"))
+    // qv RIDES THE BEAM (r18 job profile): the old shape re-broadcast
+    // the query set into every hop's scoring join — one extra
+    // broadcast-stage job per hop, and for corpus-derived query sets
+    // one query-plan re-evaluation per hop. The beam is |queries|·W
+    // metadata rows by contract, so carrying the query vector on each
+    // row costs dim·8 bytes/row and deletes the per-hop broadcast;
+    // the one-time checkpoint below pins the query set instead.
+    val q = queries.select(col("query_id"), col("qv")).localCheckpoint()
     def score(cands: DataFrame): DataFrame = {
+      // cands carry (query_id, qv, vec_id): ONE broadcast per hop —
+      // the corpus side streams past it un-shuffled, as before
       val s = vecs.select($"vec_id", $"v")
         .join(broadcast(cands), Seq("vec_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select($"query_id", $"vec_id", cosineSim($"qv", $"v").as("cos"))
+        .select($"query_id", $"qv", $"vec_id",
+                cosineSim($"qv", $"v").as("cos"))
       if (excludeSelf) s.filter($"query_id" =!= $"vec_id") else s
     }
+    // beam rows: (query_id, qv, vec_id, cos); qv is constant per
+    // query_id, so max(qv) re-attaches it through the aggregate
+    // without changing the TopK contract
     def topW(c: DataFrame, w: Int): DataFrame =
       c.groupBy($"query_id")
-        .agg(graft.functions.TopK.topK(w)($"vec_id", $"cos").as("top"))
-        .select($"query_id", posexplode($"top").as(Seq("i", "p")))
-        .select($"query_id", $"p._1".as("vec_id"), $"p._2".as("cos"),
-                ($"i" + 1).cast("int").as("rank"))
+        .agg(graft.functions.TopK.topK(w)($"vec_id", $"cos").as("top"),
+             max($"qv").as("qv"))
+        .select($"query_id", $"qv", posexplode($"top").as(Seq("i", "p")))
+        .select($"query_id", $"qv", $"p._1".as("vec_id"),
+                $"p._2".as("cos"), ($"i" + 1).cast("int").as("rank"))
     // NSW links are UNDIRECTED (Malkov et al. §3): symmetrize the
     // stored directed kNN edges at search time — the in-edges of a
     // near-neighbor hub are exactly the paths greedy search needs to
@@ -1354,17 +1394,31 @@ object Similarity {
       .unionByName(edges.select($"neighbor_id".as("vec_id"),
         $"vec_id".as("neighbor_id")))
       .distinct().persist()
-    val seeds = q.select($"query_id").crossJoin(broadcast(entries))
+    val seeds = q.crossJoin(broadcast(entries))
+      .select($"query_id", $"qv", $"vec_id")
     var beam = topW(score(seeds), beamWidth)
-      .select($"query_id", $"vec_id", $"cos").localCheckpoint()
+      .select($"query_id", $"qv", $"vec_id", $"cos").localCheckpoint()
     for (_ <- 1 to hops) {
-      val frontier = und
-        .join(broadcast(beam.select($"query_id", $"vec_id")), Seq("vec_id"))
-        .select($"query_id", $"neighbor_id".as("vec_id")).distinct()
-      val fresh = frontier.join(beam.select($"query_id", $"vec_id"),
-        Seq("query_id", "vec_id"), "left_anti")
-      beam = topW(beam.unionByName(score(fresh)), beamWidth)
-        .select($"query_id", $"vec_id", $"cos").localCheckpoint()
+      // FUSED frontier dedup + not-yet-seen anti-join (r18 job
+      // profile: distinct + left_anti were two exchanges per hop on a
+      // beam-bounded relation): tag expansion rows 0 and beam rows 1,
+      // one (query, vec) aggregate keeps expansion rows only where no
+      // beam row exists — exactly distinct-minus-beam, one exchange
+      val expanded = und
+        .join(broadcast(beam.select($"query_id", $"qv", $"vec_id")),
+          Seq("vec_id"))
+        .select($"query_id", $"qv", $"neighbor_id".as("vec_id"),
+                lit(0).as("inb"))
+      val fresh = expanded
+        .unionByName(beam.select($"query_id", $"qv", $"vec_id",
+          lit(1).as("inb")))
+        .groupBy($"query_id", $"vec_id")
+        .agg(max($"qv").as("qv"), max($"inb").as("inb"))
+        .filter($"inb" === 0)
+        .select($"query_id", $"qv", $"vec_id")
+      beam = topW(beam.select($"query_id", $"qv", $"vec_id", $"cos")
+          .unionByName(score(fresh)), beamWidth)
+        .select($"query_id", $"qv", $"vec_id", $"cos").localCheckpoint()
     }
     und.unpersist()
     // final ranking reads only the checkpointed beam — safe to return

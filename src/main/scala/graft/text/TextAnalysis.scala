@@ -1068,15 +1068,22 @@ object TextAnalysis {
       val (a, b, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((k, a, b, a + b, cnt))
-      val islW = Window.partitionBy($"word", $"m").orderBy($"pos")
-      val rnW = Window.partitionBy($"word", $"isl").orderBy($"pos")
+      // Island parity over the (word, pos) spec ALONE (r18 window
+      // fusion): the old islW=(word,m) / rnW=(word,isl) specs forced
+      // two extra within-partition sorts per round. Equivalent form:
+      // an island of matches is a maximal run of consecutive m
+      // positions, so its START is an m row whose predecessor is not
+      // m, the latest start ≤ pos is a running max, and "odd rank
+      // inside the island" is even (pos − start) — all computable in
+      // the one (word, pos)-sorted pass the lead/lag already need.
       st = st
         .withColumn("nxt", lead($"sym", 1).over(wW))
         .withColumn("m", $"sym" === lit(a) && $"nxt" === lit(b))
-        .withColumn("isl",
-          when($"m", $"pos" - row_number().over(islW)))
-        .withColumn("ms",
-          when($"m", row_number().over(rnW) % 2 === 1).otherwise(lit(false)))
+        .withColumn("start",
+          $"m" && !coalesce(lag($"m", 1).over(wW), lit(false)))
+        .withColumn("startpos", max(when($"start", $"pos")).over(
+          wW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ms", $"m" && ($"pos" - $"startpos") % 2 === 0)
         .withColumn("consumed",
           coalesce(lag($"ms", 1).over(wW), lit(false)))
         .filter(!$"consumed")
