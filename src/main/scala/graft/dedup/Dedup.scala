@@ -947,6 +947,27 @@ object Dedup {
     * theoretical 8×8 LSH catch probability 1−(1−s⁸)⁸ (≈0.99 at
     * s = 0.9) is the documented bound DedupSimSpec pins on a fixture.
     */
+  /** 16-bit simhash chunk stream of the audit sample — the
+    * simhash_chunk catch relation of [[dedupRecallEval]], split out so
+    * the plan audit can pin its shape now that the catch branches
+    * materialize behind checkpoints. The chunk index explodes FIRST
+    * (Generate is a CollapseProject barrier), then shifts per exploded
+    * row: the earlier transform(sequence(0,3), k ->
+    * shiftright(simhash,…)) lambda was interpreted AND CollapseProject
+    * re-inlined the simhash md5 fold into the lambda body, recomputing
+    * it per element (the repo's documented interpreted-lambda
+    * recurrence; same fix as minhashBands' band_idx explode).
+    */
+  private[graft] def simhashChunks(sample: DataFrame): DataFrame = {
+    import sample.sparkSession.implicits._
+    withWordSet(sample)
+      .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
+      .select($"doc_id", $"simhash",
+        posexplode(expr("sequence(0, 3)")).as(Seq("chunk_idx", "_k")))
+      .select($"doc_id", $"chunk_idx",
+        expr("shiftright(simhash, chunk_idx*16) & 65535").as("chunk_val"))
+  }
+
   def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // spark.graft.recallAuditSliceMod: the audit slice RATE — the
@@ -978,19 +999,7 @@ object Dedup {
         $"band_hash"), Seq("doc_id_2", "band_idx", "band_hash"))
       .select($"doc_id_1", $"doc_id_2").distinct()
       .withColumn("method", lit("minhash_lsh"))
-    // explode the chunk index FIRST (Generate is a CollapseProject
-    // barrier), then shift per exploded row: the earlier
-    // transform(sequence(0,3), k -> shiftright(simhash,…)) lambda was
-    // interpreted AND CollapseProject re-inlined the simhash md5 fold
-    // into the lambda body, recomputing it per element (the repo's
-    // documented interpreted-lambda recurrence; same fix as
-    // minhashBands' band_idx explode)
-    val chunks = withWordSet(sample)
-      .withColumn("simhash", graft.functions.simhash64Md5($"wset"))
-      .select($"doc_id", $"simhash",
-        posexplode(expr("sequence(0, 3)")).as(Seq("chunk_idx", "_k")))
-      .select($"doc_id", $"chunk_idx",
-        expr("shiftright(simhash, chunk_idx*16) & 65535").as("chunk_val"))
+    val chunks = simhashChunks(sample)
     val shCaught = truth
       .join(chunks.select($"doc_id".as("doc_id_1"), $"chunk_idx",
         $"chunk_val"), Seq("doc_id_1"))

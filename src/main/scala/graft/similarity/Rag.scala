@@ -52,12 +52,35 @@ object Rag {
   private val ServeK = 5
 
   def pipelineRag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val tf = Similarity.hybridTf(spark, sfDir).persist()
-    // materialize the (metadata-sized) context output so the corpus
-    // tf cache can be released before returning — the checkpoint-
-    // then-unpersist pattern of simHybridRrf
-    try pipelineRagPlan(spark, sfDir, tf).localCheckpoint()
-    finally { tf.unpersist(); () }
+    // The two candidate-generation arms (stored-index probe, lexical
+    // posting join) are independent — materialize their metadata-
+    // sized rank lists from a 2-thread pool (guide §2.6) and assemble
+    // the rest of the serving plan over the checkpoints; rows are
+    // identical, only job overlap changes. The chunk relation stays
+    // LAZY: it is corpus-sized, streams past the broadcast selection
+    // in the final action, and must never be checkpointed. Only the
+    // lex thread touches the cold tf cache (no redundant-compute
+    // race); the vec arm's stored-index seeding is cached on disk and
+    // claim-locked (SeedCache), so thread placement cannot corrupt it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val Seq(lex, vec) = Await.result(
+        Future.sequence(Seq(
+          Future(Similarity.lexicalRanks(spark, sfDir, tf)
+            .localCheckpoint()),
+          Future(vecArm(spark, sfDir).localCheckpoint()))),
+        Duration.Inf)
+      // materialize the (metadata-sized) context output so the corpus
+      // tf cache can be released before returning — the checkpoint-
+      // then-unpersist pattern of simHybridRrf
+      assemble(spark, sfDir, lex, vec).localCheckpoint()
+    } finally { pool.shutdown(); tf.unpersist(); () }
   }
 
   /** The [[pipelineRag]] plan given the pinned corpus tf relation —
@@ -68,7 +91,29 @@ object Rag {
     * generation upstream and context assembly downstream of it.
     */
   private[graft] def pipelineRagPlan(spark: SparkSession, sfDir: String,
-                                     tf: DataFrame): DataFrame = {
+                                     tf: DataFrame): DataFrame =
+    assemble(spark, sfDir,
+      Similarity.lexicalRanks(spark, sfDir, tf), vecArm(spark, sfDir))
+
+  /** Vector arm: the persisted IVF+SQ8 index (build-once/search-many;
+    * shares sim_ivfsq_stored's seeded artifact).
+    */
+  private def vecArm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    AnnIndex.querySq(spark,
+        AnnIndex.ensureSqSeeded(spark, sfDir),
+        Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
+      .select($"query_id", $"neighbor_id".as("doc_id"),
+              $"rank".as("vec_rank"))
+  }
+
+  /** Fusion + MMR + context assembly given the two rank lists — one
+    * body so the audited plan builder and the overlapped public entry
+    * cannot diverge.
+    */
+  private def assemble(spark: SparkSession, sfDir: String,
+                       lexRanks: DataFrame,
+                       vecRanks: DataFrame): DataFrame = {
     import spark.implicits._
     // 1. chunk the corpus, then chunk-hash dedup (keep the first
     //    occurrence): the served context set never repeats a context
@@ -78,18 +123,11 @@ object Rag {
       .withColumn("rn", row_number().over(firstW))
       .filter($"rn" === 1)
       .select($"doc_id", $"chunk_idx", $"n_toks", $"chunk_hash")
-    // 2. vector arm: the persisted IVF+SQ8 index (build-once/search-
-    //    many; shares sim_ivfsq_stored's seeded artifact)
-    val vecRanks = AnnIndex.querySq(spark,
-        AnnIndex.ensureSqSeeded(spark, sfDir),
-        Similarity.defaultQueries(spark, sfDir), excludeSelf = true)
-      .select($"query_id", $"neighbor_id".as("doc_id"),
-              $"rank".as("vec_rank"))
-    // 3. lexical arm + integer RRF fusion (the sim_hybrid_rrf
+    // 2. lexical arm + integer RRF fusion (the sim_hybrid_rrf
     //    arithmetic, with the stored-index list as the vector list)
     val fusedW = Window.partitionBy($"query_id")
       .orderBy($"rrf_e6".desc, $"doc_id")
-    val fused = Similarity.lexicalRanks(spark, sfDir, tf)
+    val fused = lexRanks
       .join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_e6",
         coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +

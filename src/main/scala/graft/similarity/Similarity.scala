@@ -131,35 +131,51 @@ object Similarity {
     val spark = cand.sparkSession
     import spark.implicits._
     val cv = cand.localCheckpoint()
+    // pairs carry the x side's relevance (constant per (query, a)) so
+    // the greedy rounds below never rejoin the candidate relation —
+    // one fewer join + broadcast per round (r18 job-profile trim)
     val pairs = cv.as("x").join(cv.as("y"),
         col("x.query_id") === col("y.query_id") &&
         col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.query_id").as("query_id"), col("x.doc_id").as("a"),
               col("y.doc_id").as("b"),
-              cosineSim(col("x.v"), col("y.v")).as("sim"))
+              cosineSim(col("x.v"), col("y.v")).as("sim"),
+              col("x.rel").as("rel"))
       .localCheckpoint()
-    val argW = Window.partitionBy($"query_id")
-      .orderBy($"score".desc, $"doc_id")
-    var selected = cv
-      .select($"query_id", $"doc_id", $"rel".as("score"))
-      .withColumn("rn", row_number().over(argW)).filter($"rn" === 1)
-      .select($"query_id", $"doc_id", lit(1).as("mmr_rank"),
-              $"score".as("mmr_score"))
+    // argmax by (score desc, doc_id asc) as a map-combinable
+    // max(struct(score, −doc_id)) — replaces the per-round window
+    // sort (one exchange + sort saved per round). Equivalence incl.
+    // the NaN corner: Double.compare ranks NaN GREATEST, so both the
+    // desc window and the struct max put a NaN score first; the
+    // negated-id second field breaks ties toward the smaller doc_id
+    // exactly like the window's `doc_id` asc.
+    def argmax(df: DataFrame, rank: Int, scoreCol: Column): DataFrame =
+      df.withColumn("score", scoreCol)
+        .groupBy($"query_id")
+        .agg(max(struct($"score", (-$"doc_id").as("nd"))).as("m"))
+        .select($"query_id", (-$"m.nd").as("doc_id"),
+                lit(rank).as("mmr_rank"), $"m.score".as("mmr_score"))
+    var selected = argmax(cv.select($"query_id", $"doc_id", $"rel"),
+        1, $"rel")
       .localCheckpoint()
     for (i <- 2 to k) {
-      val maxSim = pairs
-        .join(selected.select($"query_id", $"doc_id".as("b")),
-              Seq("query_id", "b"))
-        .groupBy($"query_id", $"a").agg(max($"sim").as("maxsim"))
-        .select($"query_id", $"a".as("doc_id"), $"maxsim")
-      val pick = cv.select($"query_id", $"doc_id", $"rel")
-        .join(selected.select($"query_id", $"doc_id"),
-              Seq("query_id", "doc_id"), "left_anti")
-        .join(maxSim, Seq("query_id", "doc_id"))
-        .withColumn("score", expr("0.7 * rel - 0.3 * maxsim"))
-        .withColumn("rn", row_number().over(argW)).filter($"rn" === 1)
-        .select($"query_id", $"doc_id", lit(i).as("mmr_rank"),
-                $"score".as("mmr_score"))
+      // every not-yet-selected candidate pairs with every selected
+      // doc (the pair relation is complete per query), so the inner
+      // selected-join keeps exactly the unselected candidates the old
+      // cv-side anti-join kept
+      // joins stay un-hinted: AQE broadcasts the checkpointed
+      // |queries|·i-row selected relation at any realistic batch size
+      // and falls back to a shuffle if a caller ever feeds a huge one
+      val pick = argmax(
+        pairs
+          .join(selected.select($"query_id",
+            $"doc_id".as("b")), Seq("query_id", "b"))
+          .join(selected.select($"query_id",
+            $"doc_id".as("a")), Seq("query_id", "a"), "left_anti")
+          .groupBy($"query_id", $"a")
+          .agg(max($"sim").as("maxsim"), max($"rel").as("rel"))
+          .select($"query_id", $"a".as("doc_id"), $"maxsim", $"rel"),
+        i, expr("0.7 * rel - 0.3 * maxsim"))
       selected = selected.union(pick).localCheckpoint()
     }
     selected.select($"query_id", $"doc_id",
@@ -199,12 +215,27 @@ object Similarity {
     // pinned (it feeds df/idf, query-term selection AND the posting
     // join)
     val tf = hybridTf(spark, sfDir).persist()
-    // materialize the (metadata-sized) fused output so the corpus tf
-    // cache can be released before returning — the lazy-plan leak the
-    // r12 advisor flagged (simRecallEval's checkpoint-then-unpersist
-    // pattern)
-    try simHybridRrfPlan(spark, sfDir, tf).localCheckpoint()
-    finally { tf.unpersist(); () }
+    // The two retrieval arms are INDEPENDENT corpus passes (brute
+    // cosine vs tf posting join) that the single fused action ran as
+    // one serial stage chain — materialize them from a 2-thread pool
+    // (guide §2.6; rows identical, only job overlap changes), then
+    // fuse the two metadata-sized rank lists. Only the lex thread
+    // touches the cold tf cache, so no redundant-compute race. The
+    // final checkpoint releases the tf cache before returning — the
+    // lazy-plan leak the r12 advisor flagged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val Seq(lex, vec) = Await.result(
+        Future.sequence(Seq(
+          Future(lexicalRanks(spark, sfDir, tf).localCheckpoint()),
+          Future(vecTop20(spark, sfDir).localCheckpoint()))),
+        Duration.Inf)
+      rrfFuse(lex, vec).localCheckpoint()
+    } finally { pool.shutdown(); tf.unpersist(); () }
   }
 
   /** Hashed-term tf per doc — [[simHybridRrf]]'s lexical input. */
@@ -257,10 +288,13 @@ object Similarity {
     * factored out so plan audits can inspect the pre-checkpoint shape.
     */
   private[graft] def simHybridRrfPlan(spark: SparkSession, sfDir: String,
-      tf: DataFrame): DataFrame = {
+      tf: DataFrame): DataFrame =
+    rrfFuse(lexicalRanks(spark, sfDir, tf), vecTop20(spark, sfDir))
+
+  /** Vector arm: brute cosine, top-20 ranks per query. */
+  private def vecTop20(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // vector list: brute cosine, top-20 ranks per query
-    val vecRanks = crossQueries(vectors(spark, sfDir),
+    crossQueries(vectors(spark, sfDir),
         defaultQueries(spark, sfDir), excludeSelf = true)
       .withColumn("cos", cosineSim($"qv", $"v"))
       .groupBy($"query_id")
@@ -268,7 +302,14 @@ object Similarity {
       .select($"query_id", posexplode($"top").as(Seq("i", "p")))
       .select($"query_id", $"p._1".as("doc_id"),
               ($"i" + 1).cast("int").as("vec_rank"))
-    val lexRanks = lexicalRanks(spark, sfDir, tf)
+  }
+
+  /** Integer-RRF fusion of the two rank lists — one body so the fused
+    * arithmetic cannot diverge between the audited plan builder and
+    * the overlapped public entry.
+    */
+  private def rrfFuse(lexRanks: DataFrame, vecRanks: DataFrame): DataFrame = {
+    import lexRanks.sparkSession.implicits._
     val fusedW = Window.partitionBy($"query_id")
       .orderBy($"rrf_e6".desc, $"doc_id")
     lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
