@@ -968,62 +968,91 @@ object Dedup {
         expr("shiftright(simhash, chunk_idx*16) & 65535").as("chunk_val"))
   }
 
-  def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic audit slice of the corpus — factored so the
+    * query AND the plan audit build the IDENTICAL sample (r18
+    * advisor: the audit's hard-coded `doc_id % 4` could silently
+    * drift from the conf-driven production slice).
+    *
+    * spark.graft.recallAuditSliceMod: the audit slice RATE — the
+    * production price knob for the block-quadratic exact-truth
+    * stage (docs with doc_id % mod == 0 are audited, i.e. a 1/mod
+    * slice; default 4 = 25%, which the oracle replays). At 100 TB
+    * the truth cost scales ~1/mod² per source block, so a curation
+    * run dials mod up until the audit fits its budget; recall_bp is
+    * a ratio over the slice's own truth pairs, so it stays unbiased
+    * at any rate (DedupSimSpec pins mod 2/4/8 consistency).
+    */
+  private[graft] def recallAuditSample(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
     import spark.implicits._
-    // spark.graft.recallAuditSliceMod: the audit slice RATE — the
-    // production price knob for the block-quadratic exact-truth
-    // stage (docs with doc_id % mod == 0 are audited, i.e. a 1/mod
-    // slice; default 4 = 25%, which the oracle replays). At 100 TB
-    // the truth cost scales ~1/mod² per source block, so a curation
-    // run dials mod up until the audit fits its budget; recall_bp is
-    // a ratio over the slice's own truth pairs, so it stays unbiased
-    // at any rate (DedupSimSpec pins mod 2/4/8 consistency).
     val sliceMod = spark.conf.get("spark.graft.recallAuditSliceMod", "4").toInt
     require(sliceMod >= 1,
       s"spark.graft.recallAuditSliceMod must be >= 1: $sliceMod")
-    val sample = Tables.documents(spark, sfDir)
-      .filter($"doc_id" % sliceMod === 0)
+    Tables.documents(spark, sfDir).filter($"doc_id" % sliceMod === 0)
+  }
+
+  /** One blocking scheme's caught relation: the truth pairs whose two
+    * docs share ≥ 1 blocking key. Factored so the plan audit pins each
+    * branch's pre-checkpoint shape (truth consumed from its cache,
+    * never recomputed per branch — r18 advisor).
+    */
+  private def caughtBy(truth: DataFrame, keys: DataFrame,
+                       keyCols: Seq[String], method: String): DataFrame = {
+    import truth.sparkSession.implicits._
+    truth
+      .join(keys.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
+      .join(keys.withColumnRenamed("doc_id", "doc_id_2"),
+        "doc_id_2" +: keyCols)
+      .select($"doc_id_1", $"doc_id_2").distinct()
+      .withColumn("method", lit(method))
+  }
+
+  /** The pinned truth relation plus the two PRE-CHECKPOINT catch
+    * branches — [[dedupRecallEval]]'s building blocks, split out as
+    * the plan-audit surface. The caller must materialize `truth`
+    * (count) before consuming the branches concurrently.
+    */
+  private[graft] def recallBranches(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val sample = recallAuditSample(spark, sfDir)
     val truth = ngramPairs(sample, 7000)
       .withColumn("j_bp", expr("cast(round(jaccard * 10000) as bigint)"))
       .select($"doc_id_1", $"doc_id_2", $"j_bp")
       .persist() // scored once per method + once per threshold rollup
+    // §3/§6 prune (r19): a blocking key matters ONLY for docs that
+    // appear in a truth pair — the catch joins consult nothing else,
+    // and each doc's signature depends only on its own text, so
+    // pruning the signature input cannot change any emitted key.
+    // Semi-join the sample down to the truth doc set BEFORE the
+    // per-doc signature passes: the 64-slot minhash md5 signature and
+    // the simhash md5 fold were the audit's most expensive corpus
+    // work (each ran TWICE per branch — the self-join's two sides get
+    // no ReusedExchange), and the truth-doc set (docs in ≥1 near-dup
+    // pair at j ≥ 0.7) is far smaller than the slice at every SF.
+    val truthDocs = truth.select($"doc_id_1".as("doc_id"))
+      .union(truth.select($"doc_id_2".as("doc_id")))
+    val audited = sample.join(truthDocs, Seq("doc_id"), "left_semi")
+    val mhCaught = caughtBy(truth, minhashBands(audited),
+      Seq("band_idx", "band_hash"), "minhash_lsh")
+    val shCaught = caughtBy(truth, simhashChunks(audited),
+      Seq("chunk_idx", "chunk_val"), "simhash_chunk")
+    (truth, mhCaught, shCaught)
+  }
+
+  def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (truth, mhCaught, shCaught) = recallBranches(spark, sfDir)
     // materialize before the concurrent method branches below — a
     // cold persisted relation first touched by two concurrent jobs
     // can be computed redundantly by each
     truth.count()
-    val bands = minhashBands(sample)
-    val mhCaught = truth
-      .join(bands.select($"doc_id".as("doc_id_1"), $"band_idx",
-        $"band_hash"), Seq("doc_id_1"))
-      .join(bands.select($"doc_id".as("doc_id_2"), $"band_idx",
-        $"band_hash"), Seq("doc_id_2", "band_idx", "band_hash"))
-      .select($"doc_id_1", $"doc_id_2").distinct()
-      .withColumn("method", lit("minhash_lsh"))
-    val chunks = simhashChunks(sample)
-    val shCaught = truth
-      .join(chunks.select($"doc_id".as("doc_id_1"), $"chunk_idx",
-        $"chunk_val"), Seq("doc_id_1"))
-      .join(chunks.select($"doc_id".as("doc_id_2"), $"chunk_idx",
-        $"chunk_val"), Seq("doc_id_2", "chunk_idx", "chunk_val"))
-      .select($"doc_id_1", $"doc_id_2").distinct()
-      .withColumn("method", lit("simhash_chunk"))
     // the two catch branches are independent passes over the pinned
-    // truth (one against the minhash band relation, one against the
-    // simhash chunk relation) — overlap them from a 2-thread pool
-    // (guide §2.6), each materializing via its own localCheckpoint;
-    // rows identical, only job overlap changes
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    val caught =
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.sequence(Seq(mhCaught, shCaught).map(df =>
-            Future(df.localCheckpoint()))), Duration.Inf)
-          .reduce(_ union _)
-      } finally pool.shutdown()
+    // truth — overlap them (guide §2.6), each materializing via its
+    // own localCheckpoint; rows identical, only job overlap changes
+    val caught = graft.core.Overlap.run(spark, "dedupRecallEval", 2)(Seq(
+      () => mhCaught.localCheckpoint(),
+      () => shCaught.localCheckpoint())).reduce(_ union _)
     // ≤3-row threshold axis and ≤6-row aggregates: broadcast the
     // axes, roll the (method, threshold) matrix up from the pinned
     // truth relation — every corpus-sized stage is above this line

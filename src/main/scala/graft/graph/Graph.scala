@@ -302,20 +302,31 @@ object Graph {
       .withColumn("v", col("embedding").cast("array<double>"))
       .drop("embedding")
       .persist() // class domain: ≤ |distinct vectors|, reused 4×
+    // class-edge relation: the cellSimPairs generator output is
+    // class-domain metadata but its COMPUTATION is the Σ|cell|²
+    // scoring pass — checkpoint it so the three consumers (both sym
+    // legs, adj) read 2-long rows instead of re-running the generator
+    // (r18 left it lazy and the adj leg re-scored every cell; r19,
+    // verdict item 4)
     val ce = cls.groupBy($"label")
       .agg(collect_list(struct($"cls".as("vec_id"), $"v")).as("vecs"))
       .select(graft.functions.cellSimPairs($"vecs", 0.35 - 1e-4)
         .as(Seq("a", "b", "cos")))
       .filter(round($"cos", 4) >= 0.35)
       .select($"a", $"b")
+      .localCheckpoint()
     val sym = ce.union(ce.select($"b".as("a"), $"a".as("b"))).persist()
     val szs = cls.select($"cls", $"sz")
     // m_A: neighbor-class size sum (0 for isolated classes via the
     // left join at the consumers)
     val m = sym.join(szs.withColumnRenamed("cls", "nb"), $"b" === $"nb")
       .groupBy($"a").agg(sum($"sz").as("m"))
+    // class-domain sizes+masses, consumed by BOTH the sx and sy legs
+    // of the cross join below — checkpointed, or the m aggregate
+    // subtree (join + exchange) executes twice in the final action
     val withM = szs.join(m.withColumnRenamed("a", "cls"), Seq("cls"), "left_outer")
       .withColumn("m", coalesce($"m", lit(0L)))
+      .localCheckpoint()
     // shared-neighbor mass per class pair (x < y by class id)
     val shared = sym.select($"a".as("x"), $"b".as("c"))
       .join(sym.select($"a".as("y"), $"b".as("c")), Seq("c"))
@@ -482,21 +493,25 @@ object Graph {
     // 1-core = having any mutual edge at the start
     var live = sym.localCheckpoint()
     // Each phase fixpoint is already checkpointed (peelFixpoint's
-    // per-round cut), so the per-phase membership relations can stay
-    // LAZY views over those checkpoints and fold into one final
-    // aggregate — the old shape re-checkpointed the growing members
-    // union every phase, one extra materialization job per phase for
-    // a relation nothing iterates on (r18 job profile). Early exit:
-    // cores nest, so once a phase peels to empty every higher phase
-    // is empty too — skip their (empty) peel rounds outright.
+    // per-round cut), so the per-phase membership relations stay LAZY
+    // views over those checkpoints and fold into one final aggregate.
+    // r19: the per-phase `distinct()` is DROPPED — coreness(v) =
+    // max kk over the phases whose live edge set mentions v, and max
+    // over the raw a-side MULTISET equals max over the deduplicated
+    // set, so the final groupBy(vec_id).max(kk) is the only exchange
+    // the membership fold pays (the r18 lazy fold still ran one
+    // distinct exchange per phase inside the final action — the
+    // committed sf1/sf10 legs read +30-40%, r18 verdict item 1; a
+    // phase contributes ≤ 5n rows of (long, const), map-side combined
+    // before the shuffle). Early exit: cores nest, so once a phase
+    // peels to empty every higher phase is empty too — skip their
+    // (empty) peel rounds outright.
     val phaseMembers = Seq.newBuilder[DataFrame]
-    phaseMembers += live.select($"a").distinct()
-      .select($"a".as("vec_id"), lit(1L).as("kk"))
+    phaseMembers += live.select($"a".as("vec_id"), lit(1L).as("kk"))
     var kk = 2
     while (kk <= 5 && !live.isEmpty) {
       live = peelFixpoint(live, kk)
-      phaseMembers += live.select($"a").distinct()
-        .select($"a".as("vec_id"), lit(kk.toLong).as("kk"))
+      phaseMembers += live.select($"a".as("vec_id"), lit(kk.toLong).as("kk"))
       kk += 1
     }
     val members = phaseMembers.result().reduce(_ union _)

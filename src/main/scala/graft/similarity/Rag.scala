@@ -64,23 +64,15 @@ object Rag {
     // lex thread touches the cold tf cache (no redundant-compute
     // race); the vec arm's stored-index seeding is cached on disk and
     // claim-locked (SeedCache), so thread placement cannot corrupt it.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
-      val Seq(lex, vec) = Await.result(
-        Future.sequence(Seq(
-          Future(Similarity.lexicalRanks(spark, sfDir, tf)
-            .localCheckpoint()),
-          Future(vecArm(spark, sfDir).localCheckpoint()))),
-        Duration.Inf)
+      val Seq(lex, vec) = graft.core.Overlap.run(spark, "pipelineRag", 2)(Seq(
+        () => Similarity.lexicalRanks(spark, sfDir, tf).localCheckpoint(),
+        () => vecArm(spark, sfDir).localCheckpoint()))
       // materialize the (metadata-sized) context output so the corpus
       // tf cache can be released before returning — the checkpoint-
       // then-unpersist pattern of simHybridRrf
       assemble(spark, sfDir, lex, vec).localCheckpoint()
-    } finally { pool.shutdown(); tf.unpersist(); () }
+    } finally { tf.unpersist(); () }
   }
 
   /** The [[pipelineRag]] plan given the pinned corpus tf relation —

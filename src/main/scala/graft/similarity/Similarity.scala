@@ -223,19 +223,12 @@ object Similarity {
     // touches the cold tf cache, so no redundant-compute race. The
     // final checkpoint releases the tf cache before returning — the
     // lazy-plan leak the r12 advisor flagged.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
-      val Seq(lex, vec) = Await.result(
-        Future.sequence(Seq(
-          Future(lexicalRanks(spark, sfDir, tf).localCheckpoint()),
-          Future(vecTop20(spark, sfDir).localCheckpoint()))),
-        Duration.Inf)
+      val Seq(lex, vec) = graft.core.Overlap.run(spark, "simHybridRrf", 2)(Seq(
+        () => lexicalRanks(spark, sfDir, tf).localCheckpoint(),
+        () => vecTop20(spark, sfDir).localCheckpoint()))
       rrfFuse(lex, vec).localCheckpoint()
-    } finally { pool.shutdown(); tf.unpersist(); () }
+    } finally { tf.unpersist(); () }
   }
 
   /** Hashed-term tf per doc — [[simHybridRrf]]'s lexical input. */
@@ -1196,18 +1189,10 @@ object Similarity {
     // earlier ones' straggler tails. Result rows are identical; only
     // job overlap changes. 3 in flight is the guide's "enough to fill
     // the tail" sizing.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    val parts =
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.sequence(methods.map { case (name, df) =>
-            Future(recallOf(name, df).localCheckpoint())
-          }), Duration.Inf)
-      } finally pool.shutdown()
+    val parts = graft.core.Overlap.run(spark, "simRecallEval", 3)(
+      methods.map { case (name, df) =>
+        () => recallOf(name, df).localCheckpoint()
+      })
     // checkpointed parts are query-set-sized; the union is metadata
     try parts.reduce(_ union _) finally brute.unpersist()
   }
@@ -1400,33 +1385,30 @@ object Similarity {
       entries: DataFrame, queries: DataFrame, excludeSelf: Boolean,
       beamWidth: Int = 48, hops: Int = 8, kOut: Int = 10): DataFrame = {
     import vecs.sparkSession.implicits._
-    // qv RIDES THE BEAM (r18 job profile): the old shape re-broadcast
-    // the query set into every hop's scoring join — one extra
-    // broadcast-stage job per hop, and for corpus-derived query sets
-    // one query-plan re-evaluation per hop. The beam is |queries|·W
-    // metadata rows by contract, so carrying the query vector on each
-    // row costs dim·8 bytes/row and deletes the per-hop broadcast;
-    // the one-time checkpoint below pins the query set instead.
+    // The query set is CHECKPOINTED once (r18: kills the per-hop
+    // re-evaluation of a corpus-derived query plan) and re-broadcast
+    // into each hop's scoring join. r18 briefly carried qv on the
+    // beam instead to delete that per-hop broadcast, but the beam
+    // then dragged dim-sized arrays through every per-hop topW
+    // exchange plus max(qv) array comparisons per group — the
+    // committed sf1/sf10 legs read +40-60% on both nsw keys (r18
+    // verdict item 1), a local-mode trade that loses in the
+    // data-bound regime. REVERTED to the checkpointed-broadcast
+    // shape; the r19 A/B traces adjudicate it.
     val q = queries.select(col("query_id"), col("qv")).localCheckpoint()
     def score(cands: DataFrame): DataFrame = {
-      // cands carry (query_id, qv, vec_id): ONE broadcast per hop —
-      // the corpus side streams past it un-shuffled, as before
       val s = vecs.select($"vec_id", $"v")
         .join(broadcast(cands), Seq("vec_id"))
-        .select($"query_id", $"qv", $"vec_id",
-                cosineSim($"qv", $"v").as("cos"))
+        .join(broadcast(q), Seq("query_id"))
+        .select($"query_id", $"vec_id", cosineSim($"qv", $"v").as("cos"))
       if (excludeSelf) s.filter($"query_id" =!= $"vec_id") else s
     }
-    // beam rows: (query_id, qv, vec_id, cos); qv is constant per
-    // query_id, so max(qv) re-attaches it through the aggregate
-    // without changing the TopK contract
     def topW(c: DataFrame, w: Int): DataFrame =
       c.groupBy($"query_id")
-        .agg(graft.functions.TopK.topK(w)($"vec_id", $"cos").as("top"),
-             max($"qv").as("qv"))
-        .select($"query_id", $"qv", posexplode($"top").as(Seq("i", "p")))
-        .select($"query_id", $"qv", $"p._1".as("vec_id"),
-                $"p._2".as("cos"), ($"i" + 1).cast("int").as("rank"))
+        .agg(graft.functions.TopK.topK(w)($"vec_id", $"cos").as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+        .select($"query_id", $"p._1".as("vec_id"), $"p._2".as("cos"),
+                ($"i" + 1).cast("int").as("rank"))
     // NSW links are UNDIRECTED (Malkov et al. §3): symmetrize the
     // stored directed kNN edges at search time — the in-edges of a
     // near-neighbor hub are exactly the paths greedy search needs to
@@ -1435,10 +1417,9 @@ object Similarity {
       .unionByName(edges.select($"neighbor_id".as("vec_id"),
         $"vec_id".as("neighbor_id")))
       .distinct().persist()
-    val seeds = q.crossJoin(broadcast(entries))
-      .select($"query_id", $"qv", $"vec_id")
+    val seeds = q.select($"query_id").crossJoin(broadcast(entries))
     var beam = topW(score(seeds), beamWidth)
-      .select($"query_id", $"qv", $"vec_id", $"cos").localCheckpoint()
+      .select($"query_id", $"vec_id", $"cos").localCheckpoint()
     for (_ <- 1 to hops) {
       // FUSED frontier dedup + not-yet-seen anti-join (r18 job
       // profile: distinct + left_anti were two exchanges per hop on a
@@ -1446,20 +1427,20 @@ object Similarity {
       // one (query, vec) aggregate keeps expansion rows only where no
       // beam row exists — exactly distinct-minus-beam, one exchange
       val expanded = und
-        .join(broadcast(beam.select($"query_id", $"qv", $"vec_id")),
+        .join(broadcast(beam.select($"query_id", $"vec_id")),
           Seq("vec_id"))
-        .select($"query_id", $"qv", $"neighbor_id".as("vec_id"),
+        .select($"query_id", $"neighbor_id".as("vec_id"),
                 lit(0).as("inb"))
       val fresh = expanded
-        .unionByName(beam.select($"query_id", $"qv", $"vec_id",
+        .unionByName(beam.select($"query_id", $"vec_id",
           lit(1).as("inb")))
         .groupBy($"query_id", $"vec_id")
-        .agg(max($"qv").as("qv"), max($"inb").as("inb"))
+        .agg(max($"inb").as("inb"))
         .filter($"inb" === 0)
-        .select($"query_id", $"qv", $"vec_id")
-      beam = topW(beam.select($"query_id", $"qv", $"vec_id", $"cos")
+        .select($"query_id", $"vec_id")
+      beam = topW(beam.select($"query_id", $"vec_id", $"cos")
           .unionByName(score(fresh)), beamWidth)
-        .select($"query_id", $"qv", $"vec_id", $"cos").localCheckpoint()
+        .select($"query_id", $"vec_id", $"cos").localCheckpoint()
     }
     und.unpersist()
     // final ranking reads only the checkpointed beam — safe to return

@@ -504,6 +504,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
       s"catch branches not materialized via checkpoints\n$p")
     spark.catalog.clearCache()
+    // branch-plan pin (r18 advisor): each catch branch must consume
+    // the pinned truth from memory — a future change that recomputes
+    // truth per branch would not show in the final (post-checkpoint)
+    // plan above, so assert on the PRE-checkpoint branch plans, and
+    // on the r19 prune: the signature input is the truth-doc
+    // semi-joined sample, not the full slice
+    val (truth, mh, sh) = graft.dedup.Dedup.recallBranches(spark, sf)
+    try {
+      for ((name, branch) <- Seq("minhash" -> mh, "simhash" -> sh)) {
+        val bp = capture(branch, "formatted")
+        assert("InMemoryTableScan".r.findAllIn(bp).size >= 2,
+          s"$name branch recomputes the truth relation\n$bp")
+        assert(bp.contains("LeftSemi"),
+          s"$name branch signatures are not truth-doc pruned\n$bp")
+      }
+    } finally { truth.unpersist(); () }
   }
 
   test("pipeline_split/shard/length_hist: one aggregation shuffle each") {
@@ -733,9 +749,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dedup_recall_eval: chunk index explodes through a Generate, no simhash lambda recurrence") {
     // audit the chunk-stream builder directly: since r18 the catch
     // branches materialize behind checkpoints (overlapped jobs), so
-    // the final dedupRecallEval plan no longer exposes this subtree
-    val sample = graft.core.Tables.documents(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+    // the final dedupRecallEval plan no longer exposes this subtree.
+    // The sample comes from the SAME factored builder the query uses
+    // (r18 advisor: a hard-coded doc_id % 4 here could drift from the
+    // conf-driven production slice).
+    val sample = graft.dedup.Dedup.recallAuditSample(spark, sf)
     val fmt = capture(graft.dedup.Dedup.simhashChunks(sample), "formatted")
     // the simhash md5 fold is computed once per doc BELOW the Generate
     // (posexplode(sequence(0,3)) is the CollapseProject barrier); the
