@@ -995,15 +995,31 @@ object Dedup {
     * docs share ≥ 1 blocking key. Factored so the plan audit pins each
     * branch's pre-checkpoint shape (truth consumed from its cache,
     * never recomputed per branch — r18 advisor).
+    *
+    * Shape (r19, guide §2 shuffle fewer bytes): each doc's keys PACK
+    * into one bounded array (8 bands / 4 chunks by construction), the
+    * packed relation pins (it feeds BOTH pair sides — unpinned, the
+    * md5 signature pass ran twice per branch: broadcast self-joins
+    * get no ReusedExchange), and a truth pair is caught iff its two
+    * key arrays intersect (`arrays_overlap` — exact: keys compare as
+    * full (idx, hash) structs). The r18 shape instead exploded the
+    * keys INTO the join — |truth|·8 rows through a 3-column band-key
+    * shuffle plus a pair `distinct()` to undo the multi-key fanout
+    * (~53 M intermediate rows at sf10 for 6.6 M truth pairs).
     */
   private def caughtBy(truth: DataFrame, keys: DataFrame,
                        keyCols: Seq[String], method: String): DataFrame = {
     import truth.sparkSession.implicits._
+    val packed = keys.groupBy($"doc_id")
+      .agg(collect_list(struct(keyCols.map(col): _*)).as("ks"))
+      .persist()
     truth
-      .join(keys.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
-      .join(keys.withColumnRenamed("doc_id", "doc_id_2"),
-        "doc_id_2" +: keyCols)
-      .select($"doc_id_1", $"doc_id_2").distinct()
+      .join(packed.select($"doc_id".as("doc_id_1"), $"ks".as("k1")),
+        Seq("doc_id_1"))
+      .join(packed.select($"doc_id".as("doc_id_2"), $"ks".as("k2")),
+        Seq("doc_id_2"))
+      .filter(arrays_overlap($"k1", $"k2"))
+      .select($"doc_id_1", $"doc_id_2")
       .withColumn("method", lit(method))
   }
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellSimPairs, CellTopK, CodepointSum, Phash63, ShingleMd5, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
+  import org.apache.spark.sql.graft.{BitsToMask, Bridge, CellKnnRing, CellSimPairs, CellTopK, CodepointSum, Phash63, ShingleMd5, CosineSimilarity, HyperplaneBuckets, MaskJaccard, Md5Lower64, MinHashBands, MinHashSigMd5, SimHash64, SimHash64Md5, SortedJaccard}
 
   /** Cosine similarity between two `array<double>` columns — native
     * codegen'd Catalyst expression ([[CosineSimilarity]]) with
@@ -112,6 +112,17 @@ package object functions {
     */
   def cellSimPairs(vecs: Column, minCos: Double): Column =
     Bridge.column(CellSimPairs(Bridge.expression(vecs), minCos))
+
+  /** Fused NSW base-graph generator:
+    * `cellKnnRing(array<struct<id, v, h>>, k)` → rows
+    * (vec_id, neighbor_id) = each member's top-k cosine neighbors
+    * UNION its next-2 hash-ring successors in (h, id) order,
+    * deduplicated — the one-pass packed form of
+    * `cellTopK ∪ ringEdges ∪ distinct`. See
+    * [[org.apache.spark.sql.graft.CellKnnRing]].
+    */
+  def cellKnnRing(vecs: Column, k: Int): Column =
+    Bridge.column(CellKnnRing(Bridge.expression(vecs), k))
 
   /** Membership probe of a LongType column against a serialized
     * [[org.apache.spark.util.sketch.BloomFilter]] — the broadcast

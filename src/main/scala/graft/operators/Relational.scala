@@ -723,9 +723,26 @@ object Relational {
     // (l_orderkey, l_suppkey) aggregate (hash(ok) clusters (ok, sk))
     // and the window, so everything after the fact join runs in one
     // partitioning; the window key is the high-cardinality order key.
+    // SHUFFLED-HASH on the fact-fact join (guide §3, r19): the F-
+    // filtered orders side is ~12% of lineitem — too big to broadcast
+    // at any real scale, but its per-partition slice builds a hash map
+    // comfortably (and SHJ spills per partition if it ever doesn't) —
+    // and the hash build skips BOTH sides' sorts, the SMJ's dominant
+    // cost here (sf10 same-JVM A/B, warm passes: SMJ 5.19/4.72 s vs
+    // SHJ 3.91/3.67 s on the join+aggregate prefix). The aggregates
+    // downstream are hash aggregates — nothing needed that sort order.
+    // SCALE-ADAPTIVE (a SHUFFLE_HASH hint outranks broadcast in join
+    // selection, so an unconditional hint would also kill the
+    // broadcast plan that wins at small SFs): hint only when the
+    // orders side is past the session broadcast threshold — exactly
+    // the regime where the planner's alternative is the sort-merge.
+    val oSide =
+      if (o.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          spark.sessionState.conf.autoBroadcastJoinThreshold) o
+      else o.hint("shuffle_hash")
     val perSupp = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(oSide, $"l_orderkey" === $"o_orderkey")
       .withColumn("late",
         ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).cast("int"))
       // the explicit repartition is load-bearing at EVERY regime

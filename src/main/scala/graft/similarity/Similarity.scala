@@ -1310,12 +1310,21 @@ object Similarity {
     */
   private[graft] def knnEdges(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    val prox = vecs.groupBy($"label")
-      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
-      .select($"label", graft.functions.cellTopK($"vecs", 5)
-        .as(Seq("vec_id", "neighbor_id", "rank", "cosine")))
+    // ONE packed-cell pass (r18 verdict item 6): the top-5 edges, the
+    // 2-successor hash ring, and the union's dedup all come out of a
+    // single generator over the packed cell. The pre-r19 shape paid a
+    // second corpus scan + per-cell window sort for the ring and a
+    // third exchange for the union's `distinct()`; the fused
+    // generator sorts each cell in memory (the same cost class as the
+    // pack) and dedups per member (edges never cross cells, so
+    // per-member dedup IS the global distinct).
+    vecs.withColumn("h", expr(
+        "graft_md5lower64(cast(vec_id as string)) & 9223372036854775807"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v", $"h")).as("cell"))
+      .select($"label", graft.functions.cellKnnRing($"cell", 5)
+        .as(Seq("vec_id", "neighbor_id")))
       .select($"vec_id", $"label", $"neighbor_id")
-    prox.unionByName(ringEdges(vecs)).distinct()
   }
 
   /** Deterministic LONG links: each vector links to the next 2
@@ -1331,7 +1340,11 @@ object Similarity {
     * pins NSW ≥ IVF). Per-cell window over (hash, id) — cell-sized
     * sorts, the same cost class as the packed-cell generator.
     */
-  private def ringEdges(vecs: DataFrame): DataFrame = {
+  // Retained as the spec's UNFUSED twin: DedupSimSpec pins set
+  // equality of [[knnEdges]]' fused generator against the original
+  // window formulation (cellTopK ∪ ringEdges ∪ distinct) on the real
+  // corpus.
+  private[graft] def ringEdges(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"label").orderBy($"h", $"vec_id")

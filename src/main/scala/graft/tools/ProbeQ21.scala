@@ -36,14 +36,28 @@ object ProbeQ21 {
            sum($"supp_late").as("n_late_suppliers"),
            max(when($"supp_late" === 1, $"l_suppkey")).as("l_suppkey"))
       .filter($"n_suppliers" >= 2 && $"n_late_suppliers" === 1)
-    for (pass <- 1 to 2) {
-      time(s"p$pass scan lineitem 3col")(
-        graft.core.Tables.lineitem(spark, sfDir)
-          .select($"l_orderkey", $"l_suppkey", $"l_shipdate"))
+    // SMJ-vs-SHJ A/B on the fact join (guide §3): the orders side is
+    // ~12% of lineitem — too big to broadcast at scale, small enough
+    // per partition for a shuffled-hash build that skips BOTH sorts
+    def perOrderShj = Tables_lineitem3
+      .join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).cast("int"))
+      .repartition($"l_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("supp_late"))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum($"supp_late").as("n_late_suppliers"),
+           max(when($"supp_late" === 1, $"l_suppkey")).as("l_suppkey"))
+      .filter($"n_suppliers" >= 2 && $"n_late_suppliers" === 1)
+    def Tables_lineitem3 = graft.core.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    for (pass <- 1 to 3) {
+      time(s"p$pass scan lineitem 3col")(Tables_lineitem3)
       time(s"p$pass orders F 2col")(o)
-      time(s"p$pass fact join")(joined)
-      time(s"p$pass join+repart+perSupp agg")(perSupp)
-      time(s"p$pass + perOrder agg+filter")(perOrder)
+      time(s"p$pass perOrder SMJ (current)")(perOrder)
+      time(s"p$pass perOrder SHJ (hint)")(perOrderShj)
       time(s"p$pass FULL q21")(
         graft.operators.Relational.q21BlameSupplier(spark, sfDir))
       spark.catalog.clearCache()

@@ -729,6 +729,126 @@ case class CellSimPairs(child: Expression, minCos: Double)
   override def prettyName: String = "graft_cell_sim_pairs"
 }
 
+/** Fused NSW base-graph generator (r19): [[CellTopK]]'s top-k cosine
+  * edges UNIONED with the deterministic hash-ring edges (each member
+  * links to its next 2 successors in (h, id) order within the cell),
+  * deduplicated per member — the packed one-pass form of
+  * `cellTopK ∪ ringEdges ∪ distinct`, which previously cost a second
+  * corpus scan + window exchange for the ring and a third exchange
+  * for the union's distinct. Input is one cell packed as
+  * `array<struct<id: long, v: array<double>, h: long>>`; output rows
+  * are (vec_id, neighbor_id). The top-k scoring loop is bit-identical
+  * to [[CellTopK]] (same insertion order, same tie rule), and the
+  * ring order (h asc, id asc) matches the window formulation, so the
+  * emitted edge SET is exactly the old relation's.
+  */
+case class CellKnnRing(child: Expression, k: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(k >= 1, s"k must be positive, got $k")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 3 &&
+          s(0).dataType == LongType &&
+          s(1).dataType.isInstanceOf[ArrayType] &&
+          s(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+          s(2).dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cell_knn_ring needs array<struct<long, array<double>, long>>, got $other")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val cell = child.eval(input).asInstanceOf[ArrayData]
+    if (cell == null) return Nil
+    val n = cell.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = cell.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      norms(i) = math.sqrt(s)
+      hs(i) = row.getLong(2)
+      i += 1
+    }
+    // ring positions: member indices in (h, id) ascending order
+    val order = Array.range(0, n).sortWith { (x, y) =>
+      hs(x) < hs(y) || (hs(x) == hs(y) && ids(x) < ids(y))
+    }
+    val ringPos = new Array[Int](n) // member index -> sorted position
+    i = 0
+    while (i < n) { ringPos(order(i)) = i; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n * (k + 2))
+    val bestId = new Array[Long](k)
+    val bestCos = new Array[Double](k)
+    val nbr = new Array[Long](k + 2) // per-member dedup scratch
+    i = 0
+    while (i < n) {
+      var m = 0
+      val vi = vecs(i); val ni = norms(i)
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val vj = vecs(j)
+          val len = math.min(vi.length, vj.length)
+          var dot = 0.0; var d = 0
+          while (d < len) { dot += vi(d) * vj(d); d += 1 }
+          val cos = dot / (ni * norms(j))
+          val id = ids(j)
+          // insertion into the k-slot scratch: score DESC, id ASC
+          if (m < k || cos > bestCos(m - 1) ||
+              (cos == bestCos(m - 1) && id < bestId(m - 1))) {
+            var p = if (m < k) m else k - 1
+            while (p > 0 && (cos > bestCos(p - 1) ||
+                (cos == bestCos(p - 1) && id < bestId(p - 1)))) {
+              bestCos(p) = bestCos(p - 1); bestId(p) = bestId(p - 1); p -= 1
+            }
+            bestCos(p) = cos; bestId(p) = id
+            if (m < k) m += 1
+          }
+        }
+        j += 1
+      }
+      var nn = 0
+      var r = 0
+      while (r < m) { nbr(nn) = bestId(r); nn += 1; r += 1 }
+      // ring successors of this member's sorted position, deduped
+      // against the top-k ids (≤ k+2 neighbors — linear check)
+      val pos = ringPos(i)
+      var s = 1
+      while (s <= 2) {
+        if (pos + s < n) {
+          val id = ids(order(pos + s))
+          var seen = false
+          var q = 0
+          while (q < nn) { if (nbr(q) == id) seen = true; q += 1 }
+          if (!seen) { nbr(nn) = id; nn += 1 }
+        }
+        s += 1
+      }
+      r = 0
+      while (r < nn) { out += InternalRow(ids(i), nbr(r)); r += 1 }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_cell_knn_ring"
+}
+
 /** Bloom-filter membership probe over a pre-built sketch: `sketch` is
   * a BinaryType literal holding a serialized
   * [[org.apache.spark.util.sketch.BloomFilter]] (built driver-side

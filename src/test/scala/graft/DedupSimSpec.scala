@@ -541,6 +541,48 @@ class DedupSimSpec extends AnyFunSuite {
                       5L -> 0L, 6L -> 0L, 7L -> 0L))
   }
 
+  test("nsw base graph: fused cell generator == cellTopK ∪ ring ∪ distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // r19 fuses knnEdges' three-relation shape into one packed-cell
+    // generator; the edge SET must be identical to the unfused twin
+    // (top-5 within-cell cosine edges ∪ next-2 hash-ring successors,
+    // deduplicated) on the real corpus.
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("label"), col("v"))
+    val fused = graft.similarity.Similarity.knnEdges(vecs)
+      .collect().toSet
+    val prox = vecs.groupBy($"label")
+      .agg(collect_list(struct($"vec_id", $"v")).as("vecs"))
+      .select($"label", graft.functions.cellTopK($"vecs", 5)
+        .as(Seq("vec_id", "neighbor_id", "rank", "cosine")))
+      .select($"vec_id", $"label", $"neighbor_id")
+    val unfused = prox
+      .unionByName(graft.similarity.Similarity.ringEdges(vecs))
+      .distinct().collect().toSet
+    assert(fused.nonEmpty)
+    assert(fused == unfused,
+      s"fused-only: ${(fused -- unfused).take(5)}; " +
+        s"unfused-only: ${(unfused -- fused).take(5)}")
+  }
+
+  test("3-core peel: already-converged input is the identity (count-fold convergence)") {
+    import spark.implicits._
+    // r19 folds the peel loop's emptiness test into the live-update
+    // count (one heavy action per round). An input that is ALREADY a
+    // 3-core fixpoint must come back untouched after exactly one
+    // no-op round — the count-equality convergence, not an over-peel.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val sym = und.union(und.select($"b".as("a"), $"a".as("b")))
+    val nodes = (1L to 4L).toDF("vec_id")
+    val got = graft.graph.Graph.kcoreOnEdges(sym, nodes, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("coreness: tiers assigned by the last survived phase, isolated = 0") {
     import spark.implicits._
     // 4-clique {1,2,3,4} (degree 3 → coreness 3); pendant 5 ~ 1 and
