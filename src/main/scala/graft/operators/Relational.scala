@@ -1295,7 +1295,18 @@ object Relational {
       .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
     val o = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    // SHUFFLED-HASH when orders is past the broadcast threshold — the
+    // q21 fact-fact recipe (guide §3): the hash build skips both
+    // sides' sorts, and nothing downstream needs sort order (filter +
+    // 2-group aggregate). The r19 decade run caught q12 in the same
+    // SMJ run-mode blowup as q21 (sf10 6.6 → 16.6 s on untouched
+    // code, 6.98× decade); the hint stays scale-gated so small SFs
+    // keep their broadcast plan.
+    val oSide =
+      if (o.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          spark.sessionState.conf.autoBroadcastJoinThreshold) o
+      else o.hint("shuffle_hash")
+    l.join(oSide, $"l_orderkey" === $"o_orderkey")
       .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
       .groupBy($"l_linestatus")
       .agg(
